@@ -1,0 +1,9 @@
+from .binaryfuse import BinaryFuseFilter, FuseGeometry
+from .bloom import BloomFilter
+from .peel import MAX_ITERATIONS, PeelFailure
+from .xor import XorFilter, XorPlusFilter
+
+__all__ = [
+    "BinaryFuseFilter", "FuseGeometry", "BloomFilter",
+    "XorFilter", "XorPlusFilter", "PeelFailure", "MAX_ITERATIONS",
+]

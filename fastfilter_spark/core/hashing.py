@@ -1,0 +1,168 @@
+"""Bit-exact vectorized hash kernels shared by every filter/sketch.
+
+These reimplement, in numpy uint64 wrapping arithmetic, the small hash
+utility surface of the reference library (hexops/fastfilter,
+`src/util.zig` — splitmix64 finalizer, mixSplit, rotl, multiply-shift
+range reduction, fingerprint; see SURVEY.md §2.1 #10–#13 and the
+published algorithm papers: Graf & Lemire, "Xor Filters", ACM JEA 2020
+[XOR20] and "Binary Fuse Filters", ACM JEA 2022 [BFF22]).
+
+Everything here operates on numpy arrays (vectorized, C-speed) so the
+kernels can run inside Arrow-fed pandas UDFs without per-row Python.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+U64 = np.uint64
+_M1 = U64(0xFF51AFD7ED558CCD)
+_M2 = U64(0xC4CEB9FE1A85EC53)
+_S33 = U64(33)
+
+
+def murmur64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (a.k.a. murmur64 mixer). uint64 in/out.
+
+    Reference: `[U src/util.zig ≈L5–15]`, [XOR20 §3.2].
+    """
+    h = np.asarray(h, dtype=U64)
+    with np.errstate(over="ignore"):
+        h = h ^ (h >> _S33)
+        h = h * _M1
+        h = h ^ (h >> _S33)
+        h = h * _M2
+        h = h ^ (h >> _S33)
+    return h
+
+
+def mix_split(keys: np.ndarray, seed: int) -> np.ndarray:
+    """murmur64(key +wrap seed) — the filter's private seeded hash.
+
+    Reference: `[U src/util.zig ≈L17–20]`.
+    """
+    with np.errstate(over="ignore"):
+        return murmur64(np.asarray(keys, dtype=U64) + U64(seed & 0xFFFFFFFFFFFFFFFF))
+
+
+def rotl64(x: np.ndarray, r: int) -> np.ndarray:
+    """64-bit rotate left. Reference: `[U src/util.zig ≈L22–25]`."""
+    x = np.asarray(x, dtype=U64)
+    r &= 63
+    if r == 0:
+        return x
+    with np.errstate(over="ignore"):
+        return (x << U64(r)) | (x >> U64(64 - r))
+
+
+def reduce32(h: np.ndarray, n: int) -> np.ndarray:
+    """Lemire multiply-shift range reduction: (uint32(h) * n) >> 32.
+
+    Maps a 32-bit hash uniformly onto [0, n) without modulo.
+    Reference: `[U src/util.zig ≈L30]`, [XOR20 §3.2].
+    """
+    h = np.asarray(h, dtype=U64) & U64(0xFFFFFFFF)
+    with np.errstate(over="ignore"):
+        return (h * U64(n)) >> U64(32)
+
+
+def fingerprint64(h: np.ndarray) -> np.ndarray:
+    """fingerprint(hash) = hash ^ (hash >> 32), truncated by caller to T.
+
+    Reference: `[U src/util.zig ≈L37–40]`.
+    """
+    h = np.asarray(h, dtype=U64)
+    return h ^ (h >> U64(32))
+
+
+def mulhi64(a: np.ndarray, b: int) -> np.ndarray:
+    """High 64 bits of the 128-bit product a * b (b scalar).
+
+    numpy has no uint128, so split into 32-bit halves. Used by the
+    binary-fuse segment addressing ([BFF22 §3]).
+    """
+    a = np.asarray(a, dtype=U64)
+    b = int(b) & 0xFFFFFFFFFFFFFFFF
+    m32 = U64(0xFFFFFFFF)
+    ah = a >> U64(32)
+    al = a & m32
+    bh = U64(b >> 32)
+    bl = U64(b & 0xFFFFFFFF)
+    with np.errstate(over="ignore"):
+        lo_lo = al * bl
+        hi_lo = ah * bl
+        lo_hi = al * bh
+        hi_hi = ah * bh
+        cross = (lo_lo >> U64(32)) + (hi_lo & m32) + lo_hi
+        return (hi_lo >> U64(32)) + (cross >> U64(32)) + hi_hi
+
+
+class SplitMix64:
+    """Scalar splitmix64 RNG used for seed rotation during construction.
+
+    Deterministic: same initial state → same seed sequence → same filter
+    bytes for a given key set (construction reproducibility gate).
+    """
+
+    __slots__ = ("state",)
+
+    def __init__(self, state: int = 0x726B2B9D438B9D4D) -> None:
+        self.state = state & 0xFFFFFFFFFFFFFFFF
+
+    def next(self) -> int:
+        self.state = (self.state + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = self.state
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        return (z ^ (z >> 31)) & 0xFFFFFFFFFFFFFFFF
+
+
+def clz64(x: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros for uint64 (exact, no float round)."""
+    x = np.asarray(x, dtype=U64)
+    n = np.full(x.shape, 64, dtype=np.int64)
+    cur = x.copy()
+    for bits in (32, 16, 8, 4, 2, 1):
+        b = U64(bits)
+        mask = (cur >> b) != 0
+        n = np.where(mask, n - bits, n)
+        cur = np.where(mask, cur >> b, cur)
+    n = np.where(x != 0, n - 1, n)  # n currently counts zeros above MSB + 1
+    return n.astype(np.int64)
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized population count for uint64 (SWAR; numpy<2 lacks it)."""
+    x = np.asarray(x, dtype=U64).copy()
+    with np.errstate(over="ignore"):
+        x = x - ((x >> U64(1)) & U64(0x5555555555555555))
+        x = (x & U64(0x3333333333333333)) + ((x >> U64(2)) & U64(0x3333333333333333))
+        x = (x + (x >> U64(4))) & U64(0x0F0F0F0F0F0F0F0F)
+        x = (x * U64(0x0101010101010101)) >> U64(56)
+    return x.astype(np.int64)
+
+
+def sha256_key_py(content: bytes) -> int:
+    """First 8 bytes (big-endian) of sha256(content) as unsigned int.
+
+    The per-row invariant vs the reference corpus is content-sha256
+    equality (BASELINE.json input_hint); this is the scalar oracle for
+    the Spark-side JVM derivation in fastfilter_spark.spark.keys.
+    """
+    return int.from_bytes(hashlib.sha256(content).digest()[:8], "big")
+
+
+def sha256_keys(contents) -> np.ndarray:
+    """Vector of sha256-derived uint64 keys for an iterable of strings.
+
+    Test/fixture helper (hashlib loop); production derivation happens
+    JVM-side via sha2() so no Python touches the hot path.
+    """
+    out = np.empty(len(contents), dtype=U64)
+    for i, c in enumerate(contents):
+        if isinstance(c, str):
+            c = c.encode("utf-8")
+        out[i] = sha256_key_py(c)
+    return out
