@@ -1,0 +1,159 @@
+"""KLL quantile sketch from scratch (Karnin, Lang, Liberty, FOCS 2016).
+
+Levels of buffers; level h holds items of weight 2^h. When a level
+exceeds its capacity k·c^(depth-1-h) (c = 2/3, floor 2), it is sorted
+and every other item (deterministically seeded offset) is promoted to
+the level above. Normalized rank error is O(1/k) with high probability;
+for k=200 the practical 99% error is ~1.65% (same regime as the
+DataSketches KLL the Spark built-ins wrap, which tests use as oracle).
+
+Merge = levelwise concatenation + recompression — associative up to the
+sketch's error bound (estimates from any merge order stay within bound).
+Determinism: compaction offsets come from a SplitMix64 stream seeded by
+(seed, level, n_compactions), so a fixed input order gives identical
+sketches.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List
+
+import numpy as np
+
+from ..core import serde
+from ..core.hashing import SplitMix64
+
+
+class KLLSketch:
+    kind = serde.KIND_KLL
+
+    C = 2.0 / 3.0
+
+    def __init__(self, k: int = 200, seed: int = 0x5EED) -> None:
+        self.k = k
+        self.seed = seed
+        self.levels: List[np.ndarray] = [np.empty(0, dtype=np.float64)]
+        self.n = 0
+        self.n_compactions = 0
+
+    # ---- geometry -----------------------------------------------------------
+    def _capacity(self, h: int) -> int:
+        depth = len(self.levels)
+        return max(2, int(math.ceil(self.k * (self.C ** (depth - 1 - h)))))
+
+    def _total_capacity(self) -> int:
+        return sum(self._capacity(h) for h in range(len(self.levels)))
+
+    # ---- update ---------------------------------------------------------------
+    def add(self, values: np.ndarray) -> "KLLSketch":
+        values = np.asarray(values, dtype=np.float64)
+        values = values[~np.isnan(values)]
+        if values.size == 0:
+            return self
+        self.levels[0] = np.concatenate([self.levels[0], values])
+        self.n += int(values.size)
+        self._compress()
+        return self
+
+    def _compress(self) -> None:
+        while sum(lv.size for lv in self.levels) > self._total_capacity():
+            for h in range(len(self.levels)):
+                if self.levels[h].size > self._capacity(h):
+                    buf = np.sort(self.levels[h])
+                    rng = SplitMix64(
+                        (self.seed ^ (h * 0x9E3779B97F4A7C15) ^ self.n_compactions)
+                        & 0xFFFFFFFFFFFFFFFF
+                    )
+                    offset = rng.next() & 1
+                    promoted = buf[offset::2]
+                    self.levels[h] = np.empty(0, dtype=np.float64)
+                    if h + 1 == len(self.levels):
+                        self.levels.append(np.empty(0, dtype=np.float64))
+                    self.levels[h + 1] = np.concatenate(
+                        [self.levels[h + 1], promoted]
+                    )
+                    self.n_compactions += 1
+                    break
+            else:
+                break
+
+    # ---- query ---------------------------------------------------------------
+    def _weighted_items(self):
+        items = []
+        weights = []
+        for h, lv in enumerate(self.levels):
+            if lv.size:
+                items.append(lv)
+                weights.append(np.full(lv.size, 1 << h, dtype=np.int64))
+        if not items:
+            return np.empty(0), np.empty(0, dtype=np.int64)
+        it = np.concatenate(items)
+        wt = np.concatenate(weights)
+        order = np.argsort(it, kind="stable")
+        return it[order], wt[order]
+
+    def quantile(self, q: float) -> float:
+        it, wt = self._weighted_items()
+        if it.size == 0:
+            return float("nan")
+        cum = np.cumsum(wt)
+        target = q * cum[-1]
+        idx = int(np.searchsorted(cum, target, side="left"))
+        return float(it[min(idx, it.size - 1)])
+
+    def rank(self, x: float) -> float:
+        """Normalized rank estimate of x in [0, 1]."""
+        it, wt = self._weighted_items()
+        if it.size == 0:
+            return float("nan")
+        idx = int(np.searchsorted(it, x, side="right"))
+        return float(wt[:idx].sum() / wt.sum())
+
+    def rank_error_bound(self) -> float:
+        """Practical 99% normalized rank error for this k (DataSketches
+        empirical formula ~2.446/k at 99%)."""
+        return 2.446 / self.k
+
+    # ---- merge ---------------------------------------------------------------
+    def merge(self, other: "KLLSketch") -> "KLLSketch":
+        if self.k != other.k:
+            raise ValueError("KLL k mismatch")
+        out = KLLSketch(self.k, self.seed)
+        depth = max(len(self.levels), len(other.levels))
+        out.levels = []
+        for h in range(depth):
+            a = self.levels[h] if h < len(self.levels) else np.empty(0)
+            b = other.levels[h] if h < len(other.levels) else np.empty(0)
+            out.levels.append(np.concatenate([a, b]).astype(np.float64))
+        out.n = self.n + other.n
+        out.n_compactions = self.n_compactions + other.n_compactions
+        out._compress()
+        return out
+
+    # ---- serde ---------------------------------------------------------------
+    def to_bytes(self) -> bytes:
+        sizes = [int(lv.size) for lv in self.levels]
+        params = {"k": self.k, "seed": self.seed, "n": self.n,
+                  "nc": self.n_compactions, "sizes": sizes}
+        payload = b"".join(lv.astype(np.float64).tobytes() for lv in self.levels)
+        return serde.pack(self.kind, params, payload)
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "KLLSketch":
+        kind, p, payload = serde.unpack(blob)
+        if kind != cls.kind:
+            raise ValueError("kind mismatch")
+        sk = cls(p["k"], p["seed"])
+        sk.n = p["n"]
+        sk.n_compactions = p["nc"]
+        sk.levels = []
+        off = 0
+        for s in p["sizes"]:
+            sk.levels.append(
+                np.frombuffer(payload, dtype=np.float64, count=s, offset=off).copy()
+            )
+            off += s * 8
+        if not sk.levels:
+            sk.levels = [np.empty(0, dtype=np.float64)]
+        return sk
