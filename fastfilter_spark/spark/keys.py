@@ -1,0 +1,53 @@
+"""Key derivation and skew-defusing placement — all JVM-side Catalyst
+expressions (no Python in the hot path).
+
+The per-row invariant vs the reference corpus is sha256(content)
+equality (BASELINE.json input_hint): the filter key is the first 8
+bytes (big-endian) of sha256(content), reinterpreted as int64. The
+derivation below stays entirely inside whole-stage codegen:
+sha2 → hex substrings → conv → shift/or. The numpy side views the
+signed int64 back as uint64 (two's-complement reinterpretation, exact).
+
+Placement: partitions are assigned by pmod(xxhash64(key, salt), P) —
+*never* by a natural column like repo (Zipf-skewed); xxhash64 of an
+already-uniform key gives balanced partitions at any scale, and `salt`
+lets two independent builds decorrelate their placement.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def content_key(col: str | Column) -> Column:
+    """uint64 (as int64) key = first 8 bytes of sha256(content), JVM-side."""
+    c = F.col(col) if isinstance(col, str) else col
+    hexd = F.sha2(c.cast("string"), 256)
+    hi = F.conv(F.substring(hexd, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(hexd, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
+def partition_id(key_col: str | Column, num_partitions: int, salt: int = 0) -> Column:
+    """Skew-proof partition assignment: pmod(xxhash64(key, salt), P)."""
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    return F.pmod(F.xxhash64(c, F.lit(salt)), F.lit(num_partitions)).cast("int")
+
+
+def keys_from_content(df: DataFrame, content_col: str = "content",
+                      key_name: str = "key") -> DataFrame:
+    """Project a corpus DataFrame down to its derived key column."""
+    return df.select(content_key(content_col).alias(key_name))
+
+
+def pd_to_u64(s: pd.Series) -> np.ndarray:
+    """pandas int64 Series → numpy uint64 view (bit reinterpretation)."""
+    return s.to_numpy(dtype=np.int64, na_value=0).view(np.uint64)
+
+
+def u64_to_i64(a: np.ndarray) -> np.ndarray:
+    """numpy uint64 → int64 bit reinterpretation (for Spark LongType)."""
+    return a.astype(np.uint64, copy=False).view(np.int64)

@@ -1,0 +1,185 @@
+"""Mergeable sketch aggregation over DataFrames — map-side combine.
+
+PySpark has no Python UDAF with partial aggregation, so the scalable
+two-phase shape is built explicitly:
+
+  stage 1 (map side): ``mapInPandas`` — every Arrow batch is grouped in
+      pandas and folded into one partial sketch blob per (batch, group).
+      The shuffle then moves O(#batches × #groups) tiny blobs instead of
+      all rows — the same partial-aggregate push-down Catalyst does for
+      built-in aggregates.
+  stage 2 (reduce side): ``groupBy(groups).applyInPandas`` — partials
+      merge associatively into the final sketch + its estimate columns.
+
+All sketches come from :mod:`fastfilter_spark.sketches` (from scratch);
+Spark's built-in hll_sketch_agg / count_min_sketch / kll_sketch_agg /
+approx_percentile serve only as test oracles.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..core.hashing import U64
+from ..sketches import CountMinSketch, HyperLogLog, KLLSketch, TDigest
+from .keys import pd_to_u64
+
+_GROUP_TYPES = {"string": "string", "bigint": "bigint", "int": "int",
+                "date": "date", "timestamp": "timestamp", "double": "double"}
+
+
+def _group_schema(df: DataFrame, groups: Sequence[str]) -> str:
+    by_name = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    parts = [f"`{g}` {by_name[g]}" for g in groups]
+    return ", ".join(parts)
+
+
+def _two_phase(df: DataFrame, groups: Sequence[str], value_col: str,
+               make_sketch: Callable[[], object],
+               fold: Callable[[object, pd.Series], object],
+               to_blob: Callable[[object], bytes],
+               from_blob: Callable[[bytes], object],
+               merge: Callable[[object, object], object],
+               finalize_schema: str,
+               finalize: Callable[[object], dict]) -> DataFrame:
+    """Generic 2-phase sketch aggregation (see module docstring)."""
+    gschema = _group_schema(df, groups) if groups else ""
+    mid_schema = (gschema + ", " if gschema else "") + "partial binary"
+    out_schema = (gschema + ", " if gschema else "") + finalize_schema
+    groups = list(groups)
+    sel = df.select(*groups, value_col) if groups else df.select(value_col)
+
+    def _map_partial(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if groups:
+                for gvals, sub in pdf.groupby(groups, dropna=False, sort=False):
+                    if not isinstance(gvals, tuple):
+                        gvals = (gvals,)
+                    sk = fold(make_sketch(), sub[value_col])
+                    row = {g: [v] for g, v in zip(groups, gvals)}
+                    row["partial"] = [to_blob(sk)]
+                    yield pd.DataFrame(row)
+            else:
+                sk = fold(make_sketch(), pdf[value_col])
+                yield pd.DataFrame({"partial": [to_blob(sk)]})
+
+    partials = sel.mapInPandas(_map_partial, mid_schema)
+
+    def _reduce(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = from_blob(pdf["partial"].iloc[0])
+        for b in pdf["partial"].iloc[1:]:
+            acc = merge(acc, from_blob(b))
+        out = {g: [pdf[g].iloc[0]] for g in groups}
+        for k, v in finalize(acc).items():
+            out[k] = [v]
+        return pd.DataFrame(out)
+
+    if groups:
+        return partials.groupBy(*groups).applyInPandas(_reduce, out_schema)
+    # global aggregate: single group
+    return (partials.withColumn("__g", F.lit(1)).groupBy("__g")
+            .applyInPandas(lambda p: _reduce(p.drop(columns="__g")), out_schema))
+
+
+# ---------------------------------------------------------------------------
+# public aggregates
+# ---------------------------------------------------------------------------
+
+def hll_agg(df: DataFrame, groups: Sequence[str], key_col: str,
+            p: int = 14) -> DataFrame:
+    """Distinct-count sketch per group → columns (…groups, n_est double,
+    sketch binary). ``key_col`` must be int64 (use keys.content_key or
+    xxhash64 upstream for arbitrary columns)."""
+    return _two_phase(
+        df, groups, key_col,
+        make_sketch=lambda: HyperLogLog(p),
+        fold=lambda sk, s: sk.add(pd_to_u64(s)),
+        to_blob=lambda sk: sk.to_bytes(),
+        from_blob=HyperLogLog.from_bytes,
+        merge=lambda a, b: a.merge(b),
+        finalize_schema="n_est double, sketch binary",
+        finalize=lambda sk: {"n_est": float(sk.estimate()),
+                             "sketch": sk.to_bytes()},
+    )
+
+
+def cms_agg(df: DataFrame, groups: Sequence[str], key_col: str,
+            eps: float = 1e-4, delta: float = 0.01) -> DataFrame:
+    """Count-min sketch per group → (…groups, total long, sketch binary)."""
+    return _two_phase(
+        df, groups, key_col,
+        make_sketch=lambda: CountMinSketch(eps, delta),
+        fold=lambda sk, s: sk.add(pd_to_u64(s)),
+        to_blob=lambda sk: sk.to_bytes(),
+        from_blob=CountMinSketch.from_bytes,
+        merge=lambda a, b: a.merge(b),
+        finalize_schema="total long, sketch binary",
+        finalize=lambda sk: {"total": int(sk.total), "sketch": sk.to_bytes()},
+    )
+
+
+def kll_agg(df: DataFrame, groups: Sequence[str], value_col: str,
+            k: int = 200, quantiles: Optional[List[float]] = None) -> DataFrame:
+    """KLL quantile sketch per group → (…groups, q_* double…, sketch)."""
+    qs = quantiles or [0.5]
+    qcols = ", ".join(f"q_{str(q).replace('.', '_')} double" for q in qs)
+
+    def _fin(sk: KLLSketch) -> dict:
+        out = {f"q_{str(q).replace('.', '_')}": float(sk.quantile(q)) for q in qs}
+        out["sketch"] = sk.to_bytes()
+        return out
+
+    return _two_phase(
+        df, groups, value_col,
+        make_sketch=lambda: KLLSketch(k),
+        fold=lambda sk, s: sk.add(s.to_numpy(dtype=np.float64, na_value=np.nan)),
+        to_blob=lambda sk: sk.to_bytes(),
+        from_blob=KLLSketch.from_bytes,
+        merge=lambda a, b: a.merge(b),
+        finalize_schema=qcols + ", sketch binary",
+        finalize=_fin,
+    )
+
+
+def tdigest_agg(df: DataFrame, groups: Sequence[str], value_col: str,
+                delta: float = 200.0,
+                quantiles: Optional[List[float]] = None) -> DataFrame:
+    """t-digest per group → (…groups, q_* double…, sketch binary)."""
+    qs = quantiles or [0.5]
+    qcols = ", ".join(f"q_{str(q).replace('.', '_')} double" for q in qs)
+
+    def _fin(sk: TDigest) -> dict:
+        out = {f"q_{str(q).replace('.', '_')}": float(sk.quantile(q)) for q in qs}
+        out["sketch"] = sk.to_bytes()
+        return out
+
+    return _two_phase(
+        df, groups, value_col,
+        make_sketch=lambda: TDigest(delta),
+        fold=lambda sk, s: sk.add(s.to_numpy(dtype=np.float64, na_value=np.nan)),
+        to_blob=lambda sk: sk.to_bytes(),
+        from_blob=TDigest.from_bytes,
+        merge=lambda a, b: a.merge(b),
+        finalize_schema=qcols + ", sketch binary",
+        finalize=_fin,
+    )
+
+
+def cms_query(spark, sketch_blob: bytes, keys_df: DataFrame, key_col: str,
+              out_col: str = "cms_est") -> DataFrame:
+    """Point-query a CMS blob for every key in keys_df (broadcast blob)."""
+    bc = spark.sparkContext.broadcast(sketch_blob)
+
+    @F.pandas_udf("long")
+    def _q(key: pd.Series) -> pd.Series:
+        sk = CountMinSketch.from_bytes(bc.value)
+        return pd.Series(sk.query(pd_to_u64(key)))
+
+    return keys_df.withColumn(out_col, _q(F.col(key_col)))
