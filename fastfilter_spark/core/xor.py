@@ -78,7 +78,9 @@ class XorFilter:
         dtype = _DTYPES[width]
         rng = SplitMix64(rng_state)
         if n == 0:
-            return cls(width, bl, rng.next(), np.zeros(capacity, dtype=dtype), 0)
+            empty = cls(width, bl, rng.next(), np.zeros(capacity, dtype=dtype), 0)
+            empty._occupied = np.zeros(capacity, dtype=bool)
+            return empty
 
         filt = cls(width, bl, 0, np.zeros(capacity, dtype=dtype), n)
         for attempt in range(1, MAX_ITERATIONS + 1):

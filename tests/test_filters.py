@@ -1,0 +1,140 @@
+"""Property suite for all filter kinds (SURVEY.md §5 — mirrors the
+reference's inline test properties: zero FN, FPP bound, bits/entry,
+duplicate tolerance, edge sizes, serde, determinism)."""
+
+import numpy as np
+import pytest
+
+from fastfilter_spark.core import (
+    BinaryFuseFilter, BloomFilter, XorFilter, XorPlusFilter,
+)
+
+# max_bpe = published formula at n=1e5 (+3% rounding slack):
+# binary fuse w: w * sizeFactor(1e5)=1.175 ; xor w: w * 1.23 + 32-slot slack;
+# xor+ w: w + 1.23 (bitmap) + 0.16 (rank) at occupancy n/1.23n.
+KINDS = [
+    ("bf8", lambda k: BinaryFuseFilter.populate(k, 8), 2**-8, 8 * 1.175 * 1.03),
+    ("bf16", lambda k: BinaryFuseFilter.populate(k, 16), 2**-16, 16 * 1.175 * 1.03),
+    ("bf32", lambda k: BinaryFuseFilter.populate(k, 32), 2**-32, 32 * 1.175 * 1.03),
+    ("xor8", lambda k: XorFilter.populate(k, 8), 2**-8, 8 * 1.23 * 1.03),
+    ("xor16", lambda k: XorFilter.populate(k, 16), 2**-16, 16 * 1.23 * 1.03),
+    ("xorplus8", lambda k: XorPlusFilter.populate(k, 8), 2**-8, (8 + 1.23 + 0.16) * 1.03),
+]
+
+
+def test_bits_per_entry_converges_at_1e6():
+    """Headline BASELINE.md numbers hold at n=1e6: ≈9.0 (bf8), ≈9.84 (xor8)."""
+    rng = np.random.default_rng(99)
+    keys = np.unique(rng.integers(0, 2**64, size=1_000_000, dtype=np.uint64))
+    assert abs(BinaryFuseFilter.populate(keys, 8).bits_per_entry() - 9.04) < 0.15
+    assert abs(XorFilter.populate(keys, 8).bits_per_entry() - 9.84) < 0.15
+
+
+@pytest.mark.parametrize("name,build,fpp_bound,max_bpe", KINDS)
+def test_zero_false_negatives(name, build, fpp_bound, max_bpe, member_keys):
+    f = build(member_keys)
+    assert f.contains(member_keys).all(), f"{name}: false negative"
+
+
+@pytest.mark.parametrize("name,build,fpp_bound,max_bpe", KINDS)
+def test_fpp_within_bound(name, build, fpp_bound, max_bpe,
+                          member_keys, non_member_probes):
+    f = build(member_keys)
+    hits = int(f.contains(non_member_probes).sum())
+    rate = hits / len(non_member_probes)
+    # binomial sampling slack: bound + 4 sigma (FIXTURES.md F2)
+    n = len(non_member_probes)
+    slack = 4 * np.sqrt(fpp_bound * (1 - fpp_bound) / n)
+    assert rate <= fpp_bound * 1.15 + slack, f"{name}: FPP {rate}"
+
+
+@pytest.mark.parametrize("name,build,fpp_bound,max_bpe", KINDS)
+def test_bits_per_entry(name, build, fpp_bound, max_bpe, member_keys):
+    f = build(member_keys)
+    assert f.bits_per_entry() <= max_bpe, f"{name}: {f.bits_per_entry()}"
+
+
+@pytest.mark.parametrize("n", [0, 1, 2, 3, 100])
+@pytest.mark.parametrize("build", [
+    lambda k: BinaryFuseFilter.populate(k, 8),
+    lambda k: XorFilter.populate(k, 8),
+    lambda k: XorPlusFilter.populate(k, 8),
+])
+def test_edge_sizes(n, build):
+    rng = np.random.default_rng(n)
+    keys = np.unique(rng.integers(0, 2**64, size=n, dtype=np.uint64))
+    f = build(keys)
+    if len(keys):
+        assert f.contains(keys).all()
+    other = rng.integers(0, 2**64, size=1000, dtype=np.uint64)
+    other = other[~np.isin(other, keys)]
+    if n == 0:
+        assert not f.contains(other).any()
+
+
+def test_duplicate_keys_build_succeeds():
+    """AutoUnique analog: duplicates are deduped before peeling."""
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 2**64, size=10_000, dtype=np.uint64)
+    dup = np.concatenate([base, base[:5000], base[:1000]])
+    f = BinaryFuseFilter.populate(dup, 8)
+    assert f.n_keys == len(np.unique(base))
+    assert f.contains(base).all()
+
+
+@pytest.mark.parametrize("cls,w", [(BinaryFuseFilter, 8), (BinaryFuseFilter, 16),
+                                   (XorFilter, 8), (XorPlusFilter, 8)])
+def test_serde_roundtrip(cls, w, member_keys):
+    f = cls.populate(member_keys[:20_000], w)
+    g = cls.from_bytes(f.to_bytes())
+    probe = np.concatenate([member_keys[:20_000],
+                            np.arange(1000, dtype=np.uint64)])
+    assert (f.contains(probe) == g.contains(probe)).all()
+
+
+def test_construction_deterministic(member_keys):
+    a = BinaryFuseFilter.populate(member_keys, 8)
+    b = BinaryFuseFilter.populate(member_keys, 8)
+    assert a.to_bytes() == b.to_bytes()
+    # order-insensitive: populate dedupes+sorts internally
+    shuffled = member_keys.copy()
+    np.random.default_rng(0).shuffle(shuffled)
+    c = BinaryFuseFilter.populate(shuffled, 8)
+    assert c.to_bytes() == a.to_bytes()
+
+
+def test_seed_rotation_metric(member_keys):
+    f = BinaryFuseFilter.populate(member_keys, 8)
+    assert f.attempts >= 1
+    assert f.peel_rounds >= 1
+
+
+# ---- bloom ------------------------------------------------------------------
+
+def test_bloom_properties(member_keys, non_member_probes):
+    b = BloomFilter.empty(len(member_keys), fpp=0.01)
+    b.add(member_keys)
+    assert b.contains(member_keys).all()
+    rate = b.contains(non_member_probes[:200_000]).sum() / 200_000
+    assert rate < 0.015
+    assert b.bits_per_entry() < 10.5
+
+
+def test_bloom_merge_or(member_keys):
+    n = len(member_keys)
+    a, b = member_keys[: n // 2], member_keys[n // 2:]
+    fa = BloomFilter.empty(n, 0.01)
+    fa.add(a)
+    fb = BloomFilter.empty(n, 0.01)
+    fb.add(b)
+    m = fa.merge(fb)
+    full = BloomFilter.empty(n, 0.01)
+    full.add(member_keys)
+    assert (m.words == full.words).all()  # exact associativity
+
+
+def test_bloom_geometry_mismatch_rejected():
+    a = BloomFilter.empty(1000, 0.01)
+    b = BloomFilter.empty(100_000, 0.01)
+    with pytest.raises(ValueError):
+        a.merge(b)

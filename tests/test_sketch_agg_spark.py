@@ -1,0 +1,82 @@
+"""Sketch aggregation over Spark, cross-checked against Spark 4.1's
+built-in sketch functions as *oracles* (BASELINE.md: hll_sketch_agg,
+count_min_sketch, approx_percentile — our sketches are from scratch;
+the built-ins only define the accuracy yardstick)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fastfilter_spark.spark import cms_agg, cms_query, hll_agg, kll_agg, tdigest_agg
+from fastfilter_spark.spark.keys import content_key
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    df.cache().count()
+    return df
+
+
+def test_hll_agg_vs_exact_and_builtin(spark, events):
+    keyed = events.select("event_type", F.xxhash64("user_id").alias("key"))
+    ours = {r.event_type: r.n_est
+            for r in hll_agg(keyed, ["event_type"], "key").collect()}
+    exact = {r.event_type: r.c for r in events.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("c")).collect()}
+    builtin = {r.event_type: r.b for r in events.groupBy("event_type")
+               .agg(F.approx_count_distinct("user_id").alias("b")).collect()}
+    for et, ex in exact.items():
+        assert abs(ours[et] - ex) / ex < 0.05
+        # at least as close as the built-in's documented default (5%)
+        assert abs(ours[et] - ex) <= max(abs(builtin[et] - ex) * 2, 0.05 * ex)
+
+
+def test_hll_agg_global(spark, events):
+    keyed = events.select(F.xxhash64("user_id").alias("key"))
+    est = hll_agg(keyed, [], "key").collect()[0].n_est
+    exact = events.select("user_id").distinct().count()
+    assert abs(est - exact) / exact < 0.05
+
+
+def test_cms_agg_and_query(spark, events):
+    keyed = events.select(F.xxhash64("event_type").alias("key"))
+    blob = cms_agg(keyed, [], "key", eps=1e-3, delta=0.01).collect()[0].sketch
+    exact = {r.key: r.c for r in keyed.groupBy("key").agg(F.count("*").alias("c")).collect()}
+    qdf = spark.createDataFrame([(k,) for k in exact], "key long")
+    res = {r.key: r.cms_est for r in cms_query(spark, bytes(blob), qdf, "key").collect()}
+    total = sum(exact.values())
+    for k, ex in exact.items():
+        assert res[k] >= ex
+        assert res[k] <= ex + 1e-3 * total + 1
+
+
+def test_kll_agg_vs_percentile(spark, events):
+    r = kll_agg(events, [], "value", quantiles=[0.1, 0.5, 0.9]).collect()[0]
+    exact = events.selectExpr(
+        "percentile(value, array(0.1, 0.5, 0.9)) as p").collect()[0].p
+    vals = events.select("value").toPandas()["value"].to_numpy()
+    sv = np.sort(vals)
+    for est, q in [(r.q_0_1, 0.1), (r.q_0_5, 0.5), (r.q_0_9, 0.9)]:
+        rank = np.searchsorted(sv, est) / len(sv)
+        assert abs(rank - q) < 0.03
+
+
+def test_tdigest_agg_grouped(spark, events):
+    rows = tdigest_agg(events, ["event_type"], "value",
+                       quantiles=[0.5]).collect()
+    pdf = events.select("event_type", "value").toPandas()
+    for r in rows:
+        grp = np.sort(pdf[pdf.event_type == r.event_type]["value"].to_numpy())
+        rank = np.searchsorted(grp, r.q_0_5) / len(grp)
+        assert abs(rank - 0.5) < 0.05, r.event_type
+
+
+def test_sketch_agg_on_corpus_keys(spark, corpus_path):
+    docs = spark.read.parquet(corpus_path)
+    keyed = docs.select("lang", content_key("content").alias("key"))
+    ours = {r.lang: r.n_est for r in hll_agg(keyed, ["lang"], "key").collect()}
+    exact = {r.lang: r.c for r in docs.groupBy("lang")
+             .agg(F.countDistinct("content").alias("c")).collect()}
+    for lang, ex in exact.items():
+        assert abs(ours[lang] - ex) / ex < 0.05

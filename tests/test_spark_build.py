@@ -1,0 +1,139 @@
+"""Distributed build lifecycle tests (SURVEY.md §3, FIXTURES.md F3):
+key invariant, zero-FN through the Spark path, resume determinism,
+merge associativity across partitionings, skew balance."""
+
+import glob
+import hashlib
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fastfilter_spark.spark import (
+    build_partitioned_filter, content_key, keys_from_content, partition_id,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark, corpus_path):
+    df = spark.read.parquet(corpus_path)
+    df.cache().count()
+    return df
+
+
+def test_key_invariant_sha256(spark, corpus_df):
+    """Per-row invariant: derived key == first 8 bytes of sha256(content)."""
+    rows = corpus_df.select("content", content_key("content").alias("key")) \
+                    .limit(50).collect()
+    for r in rows:
+        expect = int.from_bytes(hashlib.sha256(r.content.encode()).digest()[:8], "big")
+        got = r.key if r.key >= 0 else r.key + (1 << 64)
+        assert got == expect
+
+
+def test_build_zero_fn_and_dedup_metric(spark, corpus_df):
+    keys = keys_from_content(corpus_df, "content")
+    pf = build_partitioned_filter(keys, kind="bf8", num_partitions=8)
+    n_distinct = keys.distinct().count()
+    assert pf.n_keys == n_distinct  # dupes removed before peeling
+    probed = pf.with_contains(keys, "key")
+    assert probed.where("NOT contained").count() == 0
+
+
+@pytest.mark.parametrize("kind", ["bf16", "xor8", "xorplus8", "bloom"])
+def test_all_kinds_zero_fn(spark, corpus_df, kind):
+    keys = keys_from_content(corpus_df, "content")
+    pf = build_partitioned_filter(keys, kind=kind, num_partitions=4)
+    assert pf.with_contains(keys, "key").where("NOT contained").count() == 0
+
+
+def test_fpp_through_spark_path(spark, corpus_df):
+    keys = keys_from_content(corpus_df, "content")
+    pf = build_partitioned_filter(keys, kind="bf8", num_partitions=8)
+    probes = spark.range(1, 200_001).select(
+        F.xxhash64(F.col("id") * 2654435761).alias("key"))
+    hits = pf.with_contains(probes, "key").where("contained").count()
+    assert hits / 200_000 < 2**-8 * 1.6 + 0.002
+
+
+def test_resume_reproduces_identical_blobs(spark, corpus_df, tmp_path):
+    keys = keys_from_content(corpus_df, "content")
+    ck_full = str(tmp_path / "full")
+    pf_ref = build_partitioned_filter(keys, kind="bf8", num_partitions=8,
+                                      checkpoint_dir=ck_full)
+    # simulate a crash: keep only partials for pid < 4, then resume
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    files = glob.glob(ck_full + "/partials/*.parquet")
+    rows = pd.concat([pq.read_table(f).to_pandas() for f in files])
+    kept = rows[rows.pid < 4]
+    shutil.rmtree(ck_full + "/partials")
+    os.makedirs(ck_full + "/partials")
+    pq.write_table(pa.Table.from_pandas(kept, preserve_index=False),
+                   ck_full + "/partials/kept.parquet")
+    pf_res = build_partitioned_filter(keys, kind="bf8", num_partitions=8,
+                                      checkpoint_dir=ck_full)
+    assert all(a == b for a, b in zip(pf_ref.blobs, pf_res.blobs))
+    assert pf_res.metrics["n_keys"].sum() == pf_ref.metrics["n_keys"].sum()
+
+
+def test_manifest_mismatch_rejected(spark, corpus_df, tmp_path):
+    keys = keys_from_content(corpus_df, "content")
+    ck = str(tmp_path / "ck")
+    build_partitioned_filter(keys, kind="bf8", num_partitions=4,
+                             checkpoint_dir=ck)
+    with pytest.raises(ValueError, match="manifest mismatch"):
+        build_partitioned_filter(keys, kind="xor8", num_partitions=4,
+                                 checkpoint_dir=ck)
+
+
+def test_merge_associativity_partition_counts(spark, corpus_df):
+    """F3 `repart_variants`: equivalent membership answers at P=1/4/16."""
+    keys = keys_from_content(corpus_df, "content")
+    probes = spark.range(0, 50_000).select(F.xxhash64("id").alias("key"))
+    results = []
+    for P in (1, 4, 16):
+        pf = build_partitioned_filter(keys, kind="bf8", num_partitions=P)
+        fn = pf.with_contains(keys, "key").where("NOT contained").count()
+        assert fn == 0, f"P={P}"
+        fpp = pf.with_contains(probes, "key").where("contained").count() / 50_000
+        results.append(fpp)
+    for fpp in results:
+        assert fpp < 2**-8 * 1.6 + 0.003
+
+
+def test_skew_defused_by_salted_placement(spark, corpus_path, tmp_path):
+    """F3 `skew_extreme`: 90% of rows in one repo must still give
+    balanced partitions because placement hashes the key, not the repo."""
+    from fixtures.gen import gen_corpus
+    df = gen_corpus(20_000, seed=7, skew=3.0)  # extreme repo skew
+    top = df.groupby("repo").size().max() / len(df)
+    assert top > 0.3  # fixture really is skewed
+    sdf = spark.createDataFrame(df)
+    keys = keys_from_content(sdf, "content").dropDuplicates(["key"])
+    sizes = (keys.withColumn("pid", partition_id("key", 16))
+             .groupBy("pid").count().toPandas()["count"])
+    assert len(sizes) == 16
+    assert sizes.max() <= 1.5 * sizes.median()
+
+
+def test_bloom_global_collapse(spark, corpus_df):
+    keys = keys_from_content(corpus_df, "content")
+    pf = build_partitioned_filter(keys, kind="bloom", num_partitions=4)
+    g = pf.to_global_bloom()
+    import numpy as np
+    sample = np.array([r.key for r in keys.limit(2000).collect()],
+                      dtype=np.int64).view(np.uint64)
+    assert g.contains(sample).all()
+
+
+def test_metrics_lineage_columns(spark, corpus_df):
+    keys = keys_from_content(corpus_df, "content")
+    pf = build_partitioned_filter(keys, kind="bf8", num_partitions=4)
+    for col in ("pid", "n_keys", "attempts", "peel_rounds", "build_secs",
+                "bits_per_entry"):
+        assert col in pf.metrics.columns
+    assert (pf.metrics["attempts"] >= 1).all()
