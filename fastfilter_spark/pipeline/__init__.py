@@ -1,0 +1,12 @@
+from .ann import brute_force_topk, hyperplane_signatures, lsh_topk
+from .dedup import (
+    exact_dedup, distinct_by_content, jaccard_verify, minhash_dedup,
+    minhash_lsh_candidates, minhash_signatures, ngram_jaccard_pairs,
+    simhash, simhash_candidates,
+)
+from .multimodal import extract_features, frame_sample, make_fake_media
+from .text import (
+    bpe_token_count, char_count, doc_fingerprint, lang_id, punct_count,
+    quality_features, shingles, stopword_count, token_count, tokens,
+    with_text_analysis,
+)

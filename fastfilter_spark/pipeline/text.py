@@ -1,0 +1,137 @@
+"""Text-analysis operators for training-data pipelines.
+
+Everything that can be expressed as Catalyst expressions is (token
+counting, quality features, shingle fingerprints — all JVM-side,
+whole-stage-codegen'd, no Python). Language ID is the one heuristic
+that needs per-batch logic and runs as an Arrow-vectorized pandas UDF
+over pandas string ops (no per-row Python loops).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# token counting / quality features — pure Catalyst expressions
+# ---------------------------------------------------------------------------
+
+_WS = r"\s+"
+# BPE-ish pre-tokenizer: words, numbers, or single non-space symbols
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col) -> Column:
+    """Whitespace tokens (array<string>), empty-safe."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), _WS), lambda t: t != F.lit(""))
+
+
+def token_count(col) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_token_count(col) -> Column:
+    """Count of BPE-ish pre-tokens via regexp extraction."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(_BPE_RE), 0))
+
+
+def char_count(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c)
+
+
+def punct_count(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c) - F.length(F.regexp_replace(c, r"[.,!?;:]", ""))
+
+
+def digit_ratio(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.length(c) - F.length(F.regexp_replace(c, r"[0-9]", ""))) \
+        / F.greatest(F.length(c), F.lit(1))
+
+
+def stopword_count(col, stopwords=("the", "a", "of", "and", "to", "in",
+                                   "is", "it", "that", "for")) -> Column:
+    """Count of (lowercased) stopword tokens — JVM-side via array ops."""
+    toks = F.transform(tokens(col), lambda t: F.lower(t))
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Standard quality-scoring feature set, all JVM-side."""
+    return (df
+            .withColumn("n_chars_q", char_count(text_col))
+            .withColumn("n_tokens", token_count(text_col))
+            .withColumn("n_bpe_tokens", bpe_token_count(text_col))
+            .withColumn("n_punct", punct_count(text_col))
+            .withColumn("n_stopwords", stopword_count(text_col))
+            .withColumn("mean_token_len",
+                        F.col("n_chars_q") / F.greatest(F.col("n_tokens"), F.lit(1)))
+            .withColumn("quality_score",
+                        F.least(F.col("n_stopwords") / F.greatest(F.col("n_tokens"), F.lit(1)) * 5.0, F.lit(1.0))
+                        * F.when((F.col("n_tokens") >= 5) & (F.col("mean_token_len").between(2.0, 12.0)), 1.0).otherwise(0.3)))
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting — winnowing-lite over word shingles, JVM-side
+# ---------------------------------------------------------------------------
+
+def shingles(col, k: int = 5) -> Column:
+    """array<long>: xxhash64 of each k-word shingle (rolling window)."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1)))
+    return F.transform(
+        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))))
+
+
+def doc_fingerprint(col, k: int = 5) -> Column:
+    """64-bit doc fingerprint = min shingle hash (winnowing-lite; equal
+    for exact dups, stable under trailing whitespace)."""
+    return F.array_min(shingles(col, k))
+
+
+# ---------------------------------------------------------------------------
+# language identification — n-gram/stopword heuristic, Arrow-vectorized
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS = {
+    "en": [" the ", " and ", " of ", " is ", " to "],
+    "de": [" der ", " die ", " und ", " ist ", " das "],
+    "es": [" el ", " la ", " que ", " los ", " y "],
+    "fr": [" le ", " la ", " les ", " et ", " est "],
+}
+
+
+@F.pandas_udf(T.StringType())
+def lang_id(text: pd.Series) -> pd.Series:
+    """Heuristic language ID: CJK codepoint share, else stopword votes.
+
+    Vectorized via pandas .str ops (C-level), no per-row Python.
+    """
+    t = (" " + text.fillna("").str.lower() + " ")
+    # CJK detection first
+    cjk = t.str.count(r"[一-鿿]")
+    total = t.str.len().clip(lower=1)
+    scores = {}
+    for lang, markers in _LANG_MARKERS.items():
+        s = sum(t.str.count(m.replace(" ", r"\s")) for m in markers)
+        scores[lang] = s
+    score_df = pd.DataFrame(scores)
+    best = score_df.idxmax(axis=1)
+    best[score_df.max(axis=1) == 0] = "unknown"
+    best[(cjk / total) > 0.05] = "zh"
+    return best
+
+
+def with_text_analysis(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-stop enrichment: quality features + fingerprint + language."""
+    return (quality_features(df, text_col)
+            .withColumn("fingerprint", doc_fingerprint(text_col))
+            .withColumn("lang_pred", lang_id(F.col(text_col))))

@@ -1,0 +1,145 @@
+"""Training-data pipeline operators: dedup tiers, text analysis, ANN,
+multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fastfilter_spark.pipeline import (
+    brute_force_topk, exact_dedup, distinct_by_content, extract_features,
+    frame_sample, lang_id, lsh_topk, make_fake_media, minhash_dedup,
+    ngram_jaccard_pairs, simhash, simhash_candidates, with_text_analysis,
+)
+from fixtures.gen import gen_corpus
+
+
+@pytest.fixture(scope="module")
+def dup_corpus(spark):
+    pdf = gen_corpus(1500, seed=3, dupe_frac=0.15)
+    pdf.insert(0, "doc_id", range(len(pdf)))
+    df = spark.createDataFrame(pdf)
+    df.cache().count()
+    return df, pdf
+
+
+def test_exact_dedup_counts(spark, dup_corpus):
+    df, pdf = dup_corpus
+    groups = exact_dedup(df, "content", "doc_id")
+    assert groups.count() == pdf["content"].nunique()
+    total = groups.agg(F.sum("n_copies")).collect()[0][0]
+    assert total == len(pdf)
+    kept = distinct_by_content(df, "content", "doc_id")
+    assert kept.count() == pdf["content"].nunique()
+
+
+def test_minhash_finds_exact_dupes(spark, dup_corpus):
+    df, pdf = dup_corpus
+    pairs = minhash_dedup(df, "content", "doc_id", threshold=0.9).toPandas()
+    # every exact-duplicate pair has Jaccard 1.0 and identical signatures
+    # → must be found (LSH recall = 1 for identical docs)
+    dup_groups = pdf.groupby("content")["doc_id"].apply(list)
+    expected = set()
+    for ids in dup_groups:
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                expected.add((ids[i], ids[j]))
+    found = set(zip(pairs.id_a, pairs.id_b))
+    assert expected <= found
+    assert (pairs.jaccard >= 0.9).all()  # verify stage is exact
+
+
+def test_simhash_exact_dupes_distance_zero(spark, dup_corpus):
+    df, pdf = dup_corpus
+    sh = simhash(df, "content", "doc_id").toPandas().set_index("id")["simhash"]
+    dup_groups = [sorted(g) for g in
+                  pdf.groupby("content")["doc_id"].apply(list) if len(g) > 1]
+    assert dup_groups
+    for g in dup_groups:
+        assert len({sh[i] for i in g}) == 1  # identical docs → same simhash
+    cands = simhash_candidates(df, "content", "doc_id", max_hamming=0)
+    found = {(r.id_a, r.id_b) for r in cands.collect()}
+    for g in dup_groups:
+        assert (g[0], g[1]) in found
+
+
+def test_ngram_jaccard_exact(spark, dup_corpus):
+    df, pdf = dup_corpus
+    sub = spark.createDataFrame(pdf.tail(300))  # contains dupes
+    pairs = ngram_jaccard_pairs(sub, "content", "doc_id", threshold=0.999)
+    rows = pairs.collect()
+    by_content = pdf.tail(300).groupby("content")["doc_id"].apply(list)
+    n_expected = sum(len(g) * (len(g) - 1) // 2 for g in by_content if len(g) > 1)
+    assert len(rows) >= n_expected
+    for r in rows:
+        assert r.jaccard >= 0.999
+
+
+def test_text_analysis_features(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["the cat sat on the mat, happily!", "x"],
+    }))
+    out = with_text_analysis(df, "text").collect()
+    r1 = [r for r in out if r.doc_id == 1][0]
+    assert r1.n_tokens == 7
+    assert r1.n_punct == 2   # comma + colon-class: , !
+    assert r1.n_stopwords >= 2
+    assert r1.lang_pred == "en"
+    r2 = [r for r in out if r.doc_id == 2][0]
+    assert r2.quality_score < r1.quality_score
+
+
+def test_lang_id_multilingual(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "t": ["the quick brown fox is over the lazy dog and the end",
+              "der Hund ist gut und die Katze ist auch das beste",
+              "el perro y la casa que los gatos",
+              "le chat et la maison les chiens est grand",
+              "这是一个中文句子 机器学习 深度学习"],
+    }))
+    got = [r.l for r in df.select(lang_id(F.col("t")).alias("l")).collect()]
+    assert got == ["en", "de", "es", "fr", "zh"]
+
+
+def test_brute_force_topk_exact(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pdf = emb.toPandas()
+    mat = np.vstack(pdf["embedding"].to_numpy())
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    np.fill_diagonal(sims, -np.inf)
+    res = brute_force_topk(emb, emb.where("vec_id < 3"), k=3).toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    for q in range(3):
+        qi = np.where(ids == q)[0][0]
+        order = np.lexsort((ids, -sims[qi]))
+        expect = ids[order[:3]].tolist()
+        got = res[res.query_id == q].sort_values("rank").neighbor_id.tolist()
+        assert got == expect, (q, got, expect)
+
+
+def test_lsh_topk_recall(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    exact = brute_force_topk(emb, emb, k=1).toPandas()
+    approx = lsh_topk(emb, k=1, n_bits=16, bands=8).toPandas()
+    merged = exact.merge(approx, on="query_id", suffixes=("_e", "_a"))
+    recall = (merged.neighbor_id_e == merged.neighbor_id_a).mean()
+    assert recall > 0.5, recall  # bands=8/r=2 → generous blocking
+
+
+def test_multimodal_plumbing(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = make_fake_media(docs.limit(20), "doc_id")
+    feats = extract_features(media, feat_dim=8).toPandas()
+    assert feats.decode_ok.all()
+    assert all(len(f) == 8 for f in feats.feat)
+    # determinism: same ids → same features
+    feats2 = extract_features(media, feat_dim=8).toPandas()
+    a = np.vstack(feats.sort_values("media_id").feat.to_numpy())
+    b = np.vstack(feats2.sort_values("media_id").feat.to_numpy())
+    assert np.array_equal(a, b)
+    fs = frame_sample(media.withColumn("n_frames", F.lit(9)), every_n=4)
+    assert fs.groupBy("media_id").count().agg(F.min("count")).collect()[0][0] == 3
