@@ -1,10 +1,21 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 (filters as DataFrame predicates / semi / anti joins,
+sketch UDAFs, dedup tiers, text analysis, ANN, TPC-H-shaped filter
+pushdown). Each oracle-checkable query is engineered so its *output is
+exact* even though a probabilistic structure does the heavy lifting:
+
+* membership counts rely on the zero-false-negative guarantee;
+* semi/anti joins use the filter as a pre-filter plus an exact confirm
+  join, so the result equals the exact relational answer while the
+  filter prunes the join input (the production pattern at 100 TB);
+* sketch queries emit the *exact* quantity alongside an ``*_ok``
+  boolean asserting the sketch met its published error bound — the
+  deterministic hash makes the boolean reproducible.
+
+Non-SQL-expressible ops (LSH candidates, simhash, fingerprints,
+lang-id) have no oracle entry → the driver records rows-only checks.
 """
 
 from __future__ import annotations
@@ -12,27 +23,373 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
 
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _doc_keys(spark, sf_dir, where=None):
+    from fastfilter_spark.spark import content_key
+    df = _docs(spark, sf_dir)
+    if where is not None:
+        df = df.where(where)
+    return df.select(content_key("text").alias("key"))
+
+
+# ---------------------------------------------------------------------------
+# filter membership / joins
+# ---------------------------------------------------------------------------
+
+def _membership(kind):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from fastfilter_spark.spark import build_partitioned_filter
+        keys = _doc_keys(spark, sf_dir).dropDuplicates(["key"]).cache()
+        pf = build_partitioned_filter(keys, kind=kind, num_partitions=8)
+        probed = pf.with_contains(keys, "key")
+        return probed.agg(
+            F.count("*").alias("n_probed"),
+            F.sum(F.when(F.col("contained"), 1).otherwise(0)).alias("n_contained"),
+        )
+    return q
+
+
+_MEMBERSHIP_ORACLE = ("SELECT COUNT(DISTINCT text) AS n_probed, "
+                      "COUNT(DISTINCT text) AS n_contained FROM documents")
+
+
+def q_bf16_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs whose content appears in the EN corpus: binary-fuse pre-filter
+    + exact confirm semi-join == exact semi-join (zero FN)."""
+    from fastfilter_spark.spark import build_partitioned_filter, content_key
+    docs = _docs(spark, sf_dir).withColumn("key", content_key("text"))
+    en_keys = _doc_keys(spark, sf_dir, F.col("lang") == "en").dropDuplicates(["key"])
+    pf = build_partitioned_filter(en_keys, kind="bf16", num_partitions=8)
+    candidates = pf.with_contains(docs, "key").where("contained")
+    confirmed = candidates.join(F.broadcast(en_keys), "key", "left_semi")
+    return confirmed.select("doc_id").orderBy("doc_id")
+
+
+def q_xor8_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs definitely NOT in the EN corpus: NOT contains(k) is sound
+    (definite absence); the ε-sized candidate set is exact-checked, so
+    the union equals the exact anti-join."""
+    from fastfilter_spark.spark import build_partitioned_filter, content_key
+    docs = _docs(spark, sf_dir).withColumn("key", content_key("text"))
+    en_keys = _doc_keys(spark, sf_dir, F.col("lang") == "en").dropDuplicates(["key"])
+    pf = build_partitioned_filter(en_keys, kind="xor8", num_partitions=8)
+    probed = pf.with_contains(docs, "key")
+    definite_absent = probed.where(~F.col("contained"))
+    fp_candidates = (probed.where(F.col("contained"))
+                     .join(F.broadcast(en_keys), "key", "left_anti"))
+    return definite_absent.select("doc_id").union(
+        fp_candidates.select("doc_id")).orderBy("doc_id")
+
+
+def q_bf8_orders_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-shaped runtime-filter pattern: lineitems of 'F' orders.
+
+    The filter (built over qualifying order keys) prunes the probe side
+    before the exact confirm join — Spark's InjectRuntimeFilter analog
+    expressed with our filter. Result is exact."""
+    from fastfilter_spark.spark import build_partitioned_filter
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    fkeys = (orders.where(F.col("o_orderstatus") == "F")
+             .select(F.xxhash64(F.col("o_orderkey")).alias("key"),
+                     F.col("o_orderkey")))
+    pf = build_partitioned_filter(fkeys.select("key"), kind="bf8",
+                                  num_partitions=8)
+    probe = li.withColumn("key", F.xxhash64(F.col("l_orderkey")))
+    cand = pf.with_contains(probe, "key").where("contained")
+    confirmed = cand.join(F.broadcast(fkeys.select("o_orderkey").distinct()),
+                          cand.l_orderkey == F.col("o_orderkey"), "left_semi")
+    return (confirmed.groupBy("l_returnflag")
+            .agg(F.count("*").alias("n_items"),
+                 F.sum("l_quantity").cast("long").alias("sum_qty"))
+            .orderBy("l_returnflag"))
+
+
+# ---------------------------------------------------------------------------
+# sketches
+# ---------------------------------------------------------------------------
+
+def q_hll_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastfilter_spark.spark import content_key, hll_agg
+    docs = _docs(spark, sf_dir)
+    keyed = docs.select("lang", content_key("text").alias("key"))
+    est = hll_agg(keyed, ["lang"], "key").select("lang", "n_est")
+    exact = docs.groupBy("lang").agg(F.countDistinct("text").alias("n_exact"))
+    return (exact.join(est, "lang")
+            .select("lang", "n_exact",
+                    (F.abs(F.col("n_est") - F.col("n_exact"))
+                     / F.col("n_exact") <= 0.05).alias("hll_ok"))
+            .orderBy("lang"))
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastfilter_spark.spark import cms_agg, cms_query
+    from fastfilter_spark.pipeline import tokens
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(F.explode(tokens("text")).alias("token"))
+    keyed = toks.select("token", F.xxhash64("token").alias("key"))
+    blob = bytes(cms_agg(keyed, [], "key", eps=1e-4, delta=0.01)
+                 .collect()[0].sketch)
+    exact = keyed.groupBy("token", "key").agg(F.count("*").alias("exact_cnt"))
+    total = toks.count()
+    est = cms_query(spark, blob, exact, "key")
+    w = Window.orderBy(F.col("exact_cnt").desc(), F.col("token").asc())
+    return (est.withColumn("rn", F.row_number().over(w)).where("rn <= 20")
+            .select("token", "exact_cnt",
+                    ((F.col("cms_est") >= F.col("exact_cnt"))
+                     & (F.col("cms_est") <= F.col("exact_cnt") + 1e-4 * total + 1)
+                     ).alias("cms_ok"))
+            .orderBy(F.col("exact_cnt").desc(), F.col("token").asc()))
+
+
+def _quantile_ok_query(agg_fn, ok_tol):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        events = _events(spark, sf_dir)
+        qs = [0.1, 0.25, 0.5, 0.75, 0.9]
+        row = agg_fn(events, qs).collect()[0]
+        n = events.count()
+        ests = [(float(qq), float(row[f"q_{str(qq).replace('.', '_')}"]))
+                for qq in qs]
+        est_df = spark.createDataFrame(ests, "q double, est double")
+        # exact normalized rank of each estimate (distributed, no collect
+        # of the data): count(value <= est) / n
+        ranks = (est_df.join(events.select("value"))
+                 .groupBy("q", "est")
+                 .agg((F.sum(F.when(F.col("value") <= F.col("est"), 1)
+                             .otherwise(0)) / n).alias("rank")))
+        return (ranks.select("q", (F.abs(F.col("rank") - F.col("q"))
+                                   <= ok_tol).alias("ok"))
+                .orderBy("q"))
+    return q
+
+
+def q_kll_quantiles(spark, sf_dir):
+    from fastfilter_spark.spark import kll_agg
+    return _quantile_ok_query(
+        lambda ev, qs: kll_agg(ev, [], "value", k=200, quantiles=qs), 0.025
+    )(spark, sf_dir)
+
+
+def q_tdigest_quantiles(spark, sf_dir):
+    from fastfilter_spark.spark import tdigest_agg
+    return _quantile_ok_query(
+        lambda ev, qs: tdigest_agg(ev, [], "value", delta=200.0, quantiles=qs),
+        0.015,
+    )(spark, sf_dir)
+
+
+def q_hourly_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastfilter_spark.spark import hll_agg
+    ev = _events(spark, sf_dir).select(
+        F.date_trunc("hour", "ts").cast("string").alias("hour"),
+        F.xxhash64("user_id").alias("key"), "user_id")
+    est = hll_agg(ev, ["hour"], "key").select("hour", "n_est")
+    exact = ev.groupBy("hour").agg(F.countDistinct("user_id").alias("n_exact"))
+    return (exact.join(est, "hour")
+            .select("hour", "n_exact",
+                    (F.abs(F.col("n_est") - F.col("n_exact"))
+                     <= F.greatest(F.col("n_exact") * 0.05, F.lit(3.0))
+                     ).alias("hll_ok"))
+            .orderBy("hour"))
+
+
+# ---------------------------------------------------------------------------
+# dedup / text / ANN
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastfilter_spark.pipeline import exact_dedup
+    docs = _docs(spark, sf_dir)
+    groups = exact_dedup(docs, "text", "doc_id")
+    return groups.agg(
+        F.sum("n_copies").alias("n_docs"),
+        F.count("*").alias("n_distinct"),
+        F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0)).alias("n_dup_groups"),
+    )
+
+
+def q_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastfilter_spark.pipeline import token_count
+    docs = _docs(spark, sf_dir)
+    return (docs.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(token_count("text")).cast("long").alias("sum_tokens"),
+                 F.sum(F.length("text")).cast("long").alias("sum_chars"))
+            .orderBy("lang"))
+
+
+def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastfilter_spark.pipeline import punct_count, token_count
+    docs = _docs(spark, sf_dir)
+    return (docs.select("doc_id",
+                        F.length("text").cast("long").alias("n_chars_q"),
+                        token_count("text").cast("long").alias("n_tokens"),
+                        punct_count("text").cast("long").alias("n_punct"))
+            .orderBy("doc_id"))
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastfilter_spark.pipeline import brute_force_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    res = brute_force_topk(emb, emb.where("vec_id < 10"), k=3)
+    return res.select("query_id", "neighbor_id", "rank") \
+              .orderBy("query_id", "rank")
+
+
+# rows-only (non-SQL-expressible) ------------------------------------------------
+
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastfilter_spark.pipeline import minhash_dedup
+    docs = _docs(spark, sf_dir)
+    return minhash_dedup(docs, "text", "doc_id", threshold=0.2,
+                         num_hashes=32, bands=16, shingle_k=3) \
+        .orderBy("id_a", "id_b")
+
+
+def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastfilter_spark.pipeline import simhash_candidates
+    docs = _docs(spark, sf_dir)
+    return simhash_candidates(docs, "text", "doc_id", max_hamming=10) \
+        .orderBy("id_a", "id_b")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastfilter_spark.pipeline import lang_id
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred")) \
+               .orderBy("doc_id")
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastfilter_spark.pipeline import doc_fingerprint
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", doc_fingerprint("text").alias("fingerprint")) \
+               .orderBy("doc_id")
+
+
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastfilter_spark.pipeline import lsh_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_topk(emb, k=3, n_bits=16, bands=8).orderBy("query_id", "rank")
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastfilter_spark.pipeline import extract_features, make_fake_media
+    docs = _docs(spark, sf_dir)
+    media = make_fake_media(docs, "doc_id")
+    return extract_features(media, feat_dim=8).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: binary-fuse semi-join on sf0.001 (exact result, filter-
+    pruned join input)."""
+    return q_bf16_semijoin(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "bf8_membership": _membership("bf8"),
+        "bf16_membership": _membership("bf16"),
+        "xor8_membership": _membership("xor8"),
+        "xorplus8_membership": _membership("xorplus8"),
+        "bloom_membership": _membership("bloom"),
+        "bf16_semijoin": q_bf16_semijoin,
+        "xor8_antijoin": q_xor8_antijoin,
+        "bf8_orders_semijoin": q_bf8_orders_semijoin,
+        "hll_by_lang": q_hll_by_lang,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "kll_quantiles": q_kll_quantiles,
+        "tdigest_quantiles": q_tdigest_quantiles,
+        "hourly_distinct_users": q_hourly_distinct_users,
+        "exact_dedup": q_exact_dedup,
+        "token_stats_by_lang": q_token_stats_by_lang,
+        "quality_features": q_quality_features,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        # rows-only (no SQL oracle): LSH/simhash/fingerprint/lang-id/media
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_candidates": q_simhash_candidates,
+        "lang_id": q_lang_id,
+        "doc_fingerprints": q_doc_fingerprints,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "multimodal_features": q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_TOKENS_SQL = r"list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "bf8_membership": _MEMBERSHIP_ORACLE,
+        "bf16_membership": _MEMBERSHIP_ORACLE,
+        "xor8_membership": _MEMBERSHIP_ORACLE,
+        "xorplus8_membership": _MEMBERSHIP_ORACLE,
+        "bloom_membership": _MEMBERSHIP_ORACLE,
+        "bf16_semijoin": ("SELECT doc_id FROM documents WHERE text IN "
+                          "(SELECT text FROM documents WHERE lang = 'en') "
+                          "ORDER BY doc_id"),
+        "xor8_antijoin": ("SELECT doc_id FROM documents WHERE text NOT IN "
+                          "(SELECT text FROM documents WHERE lang = 'en') "
+                          "ORDER BY doc_id"),
+        "bf8_orders_semijoin": (
+            "SELECT l_returnflag, COUNT(*) AS n_items, "
+            "CAST(SUM(l_quantity) AS BIGINT) AS sum_qty "
+            "FROM lineitem WHERE l_orderkey IN "
+            "(SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F') "
+            "GROUP BY l_returnflag ORDER BY l_returnflag"),
+        "hll_by_lang": ("SELECT lang, COUNT(DISTINCT text) AS n_exact, "
+                        "TRUE AS hll_ok FROM documents GROUP BY lang "
+                        "ORDER BY lang"),
+        "cms_heavy_hitters": (
+            f"WITH t AS (SELECT unnest({_TOKENS_SQL}) AS token "
+            "FROM documents) "
+            "SELECT token, COUNT(*) AS exact_cnt, TRUE AS cms_ok FROM t "
+            "GROUP BY token ORDER BY exact_cnt DESC, token ASC LIMIT 20"),
+        "kll_quantiles": ("SELECT CAST(q AS DOUBLE) AS q, ok FROM (VALUES "
+                          "(0.1, TRUE), (0.25, TRUE), (0.5, TRUE), "
+                          "(0.75, TRUE), (0.9, TRUE)) AS t(q, ok) ORDER BY q"),
+        "tdigest_quantiles": ("SELECT CAST(q AS DOUBLE) AS q, ok FROM (VALUES "
+                              "(0.1, TRUE), (0.25, TRUE), (0.5, TRUE), "
+                              "(0.75, TRUE), (0.9, TRUE)) AS t(q, ok) ORDER BY q"),
+        "hourly_distinct_users": (
+            "SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, "
+            "COUNT(DISTINCT user_id) AS n_exact, TRUE AS hll_ok "
+            "FROM events GROUP BY 1 ORDER BY 1"),
+        "exact_dedup": (
+            "SELECT COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_distinct, "
+            "(SELECT COUNT(*) FROM (SELECT text FROM documents GROUP BY text "
+            "HAVING COUNT(*) > 1)) AS n_dup_groups FROM documents"),
+        "token_stats_by_lang": (
+            f"SELECT lang, COUNT(*) AS n_docs, "
+            f"CAST(SUM(len({_TOKENS_SQL})) AS BIGINT) AS sum_tokens, "
+            "CAST(SUM(length(text)) AS BIGINT) AS sum_chars "
+            "FROM documents GROUP BY lang ORDER BY lang"),
+        "quality_features": (
+            f"SELECT doc_id, length(text) AS n_chars_q, "
+            f"len({_TOKENS_SQL}) AS n_tokens, "
+            "length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) "
+            "AS n_punct FROM documents ORDER BY doc_id"),
+        "ann_cosine_topk": (
+            "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+            "CAST(row_number() OVER (PARTITION BY q.vec_id "
+            "ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, "
+            "c.vec_id ASC) AS INT) AS rank "
+            "FROM embeddings q, embeddings c "
+            "WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id "
+            "QUALIFY rank <= 3 ORDER BY query_id, rank"),
+    }
