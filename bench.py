@@ -1,0 +1,119 @@
+"""Headline benchmark — prints ONE JSON line for the driver.
+
+Covers the BASELINE.md metrics: filter-construction throughput (keys/s)
+at the 10^6 tier for bf8/xor8/bloom, query (contains) throughput, and
+the end-to-end flagship patterns at $SPARK_GRAFT_SF_DIR (default
+sf0.1): filter semi-join, HLL/KLL aggregation, MinHash dedup.
+
+Scaling evidence (local[8] vs local[32]) lives in bench_scaling.py →
+BENCH/BASELINE.md; this script stays single-config so the driver's
+per-round number is comparable across rounds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+N_KEYS = int(os.environ.get("BENCH_KEYS", 1_000_000))
+
+
+def synth_keys(spark, n):
+    from pyspark.sql import functions as F
+    return spark.range(0, n, 1, CPUS).select(F.xxhash64("id").alias("key"))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from fastfilter_spark.spark import (
+        build_partitioned_filter, content_key, get_spark, hll_agg, kll_agg,
+    )
+
+    spark = get_spark("bench", cpus=CPUS, shuffle_partitions=CPUS)
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # warm the JVM, python workers and the worker-side module once (not
+    # timed) — a real mini build+probe so timed numbers are steady-state
+    warm = synth_keys(spark, 10_000)
+    wf = build_partitioned_filter(warm, kind="bf8", num_partitions=CPUS)
+    wf.with_contains(warm, "key").count()
+
+    keys = synth_keys(spark, N_KEYS).cache()
+    keys.count()
+
+    for kind in ("bf8", "xor8", "bloom"):
+        name = f"build_{kind}_1e6"
+        pf = timed(name, lambda k=kind: build_partitioned_filter(
+            keys, kind=k, num_partitions=CPUS,
+            bloom_n_expected=N_KEYS))
+        extra[f"{kind}_keys_per_sec"] = round(N_KEYS / timings[name])
+        extra[f"{kind}_bits_per_entry"] = round(pf.bits_per_entry(), 2)
+        if kind == "bf8":
+            bf8 = pf
+
+    probes = synth_keys(spark, N_KEYS)
+    n_hits = timed("contains_1e6", lambda: bf8.with_contains(probes, "key")
+                   .where("contained").count())
+    extra["contains_keys_per_sec"] = round(N_KEYS / timings["contains_1e6"])
+    assert n_hits >= N_KEYS * 0.9  # members must all hit (minus hash dup noise)
+
+    # 10^7 tier: amortizes per-task overhead — the throughput headline
+    n_big = 10 * N_KEYS
+    big = synth_keys(spark, n_big).cache()
+    big.count()
+    timed("build_bf8_1e7", lambda: build_partitioned_filter(
+        big, kind="bf8", num_partitions=CPUS))
+    extra["bf8_1e7_keys_per_sec"] = round(n_big / timings["build_bf8_1e7"])
+    # .where("contained") keeps Catalyst from pruning the UDF column away
+    timed("contains_1e7", lambda: bf8.with_contains(big, "key")
+          .where("contained").count())
+    extra["contains_1e7_keys_per_sec"] = round(n_big / timings["contains_1e7"])
+    big.unpersist()
+
+    # end-to-end patterns at the sf tier --------------------------------------
+    import __spark_entry__ as entry
+
+    timed("semijoin_docs", lambda: entry.q_bf16_semijoin(spark, SF_DIR).count())
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    timed("hll_by_type", lambda: hll_agg(
+        events.select("event_type", F.xxhash64("user_id").alias("key")),
+        ["event_type"], "key").count())
+    timed("kll_value", lambda: kll_agg(
+        events, [], "value", quantiles=[0.5, 0.99]).count())
+
+    from fastfilter_spark.pipeline import minhash_dedup
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    timed("minhash_dedup_docs", lambda: minhash_dedup(
+        docs, "text", "doc_id", threshold=0.5, num_hashes=32, bands=8,
+        shingle_k=3).count())
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "filter-construction + query suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "cpus": CPUS,
+        "throughput": extra,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -3,11 +3,13 @@
 Design (SURVEY.md §3 "Planned Spark lifecycle"):
 
 1. *derive*  — JVM-side sha256→uint64 key column (:mod:`.keys`).
-2. *dedupe*  — ``dropDuplicates`` (peeling provably fails on duplicate
-   keys — the reference sorts+dedupes on retry; we dedupe upfront via
-   Catalyst's exchange, which is the scalable place to do it).
-3. *place*   — explicit salted repartition by pmod(xxhash64(key), P);
+2. *place*   — explicit salted repartition by pmod(xxhash64(key), P);
    never by a natural (Zipf-skewed) column.
+3. *dedupe*  — in-partition ``np.unique`` inside the builder. Because
+   every copy of a key hashes to the same pid, this is a *global*
+   dedupe without its own exchange (peeling provably fails on
+   duplicates — the reference sorts+dedupes on retry). One shuffle
+   total for the whole build.
 4. *partial build* — ``groupBy(pid).applyInPandas``: each partition's
    key set streams through Arrow into numpy and is built into one
    filter blob (the vectorized batch-peel in core/). Emits a
@@ -30,63 +32,27 @@ from __future__ import annotations
 
 import json
 import os
-import time
 import uuid
 from dataclasses import dataclass, field
-from typing import Callable, Dict, List, Optional
+from typing import List, Optional
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..core.binaryfuse import BinaryFuseFilter
 from ..core.bloom import BloomFilter
 from ..core.hashing import U64
-from ..core.xor import XorFilter, XorPlusFilter
-from .keys import partition_id, pd_to_u64
+from .keys import partition_id
 
 PARTIAL_SCHEMA = (
-    "pid int, kind string, blob binary, n_keys long, attempts int, "
-    "peel_rounds int, build_secs double, bits_per_entry double"
+    "pid int, kind string, blob binary, n_keys long, keys_ingested long, "
+    "attempts int, peel_rounds int, build_secs double, bits_per_entry double"
 )
 
-# kind name → (builder(keys, rng_state) -> filter, loader(blob) -> filter)
-FILTER_KINDS: Dict[str, Dict] = {
-    "bf8": dict(build=lambda k, r: BinaryFuseFilter.populate(k, 8, rng_state=r),
-                load=BinaryFuseFilter.from_bytes),
-    "bf16": dict(build=lambda k, r: BinaryFuseFilter.populate(k, 16, rng_state=r),
-                 load=BinaryFuseFilter.from_bytes),
-    "bf32": dict(build=lambda k, r: BinaryFuseFilter.populate(k, 32, rng_state=r),
-                 load=BinaryFuseFilter.from_bytes),
-    "xor8": dict(build=lambda k, r: XorFilter.populate(k, 8, rng_state=r),
-                 load=XorFilter.from_bytes),
-    "xor16": dict(build=lambda k, r: XorFilter.populate(k, 16, rng_state=r),
-                  load=XorFilter.from_bytes),
-    "xorplus8": dict(build=lambda k, r: XorPlusFilter.populate(k, 8, rng_state=r),
-                     load=XorPlusFilter.from_bytes),
-    "xorplus16": dict(build=lambda k, r: XorPlusFilter.populate(k, 16, rng_state=r),
-                      load=XorPlusFilter.from_bytes),
-}
-
-
-def _bloom_kind(n_expected_per_part: int, fpp: float):
-    def build(keys: np.ndarray, rng_state: int) -> BloomFilter:
-        # geometry from *expected* per-partition n so all partials share
-        # shape (→ OR-mergeable); seed fixed (not rotated) for the same
-        # reason.
-        bf = BloomFilter.empty(n_expected_per_part, fpp)
-        bf.add(keys)
-        return bf
-    return dict(build=build, load=BloomFilter.from_bytes)
-
-
-def _part_rng_state(base: int, pid: int) -> int:
-    """Per-partition deterministic RNG seed, independent of build order."""
-    x = np.asarray([(base ^ (pid * 0x9E3779B97F4A7C15)) & 0xFFFFFFFFFFFFFFFF],
-                   dtype=U64)
-    from ..core.hashing import murmur64
-    return int(murmur64(x)[0])
+# valid non-bloom kinds (builders live in fastfilter_spark.workerside so
+# executors never import pyspark-heavy modules)
+FILTER_KINDS = ("bf8", "bf16", "bf32", "xor8", "xor16", "xorplus8", "xorplus16")
 
 
 @dataclass
@@ -104,19 +70,12 @@ class PartitionedFilter:
     def with_contains(self, df: DataFrame, key_col: str,
                       out_col: str = "contained") -> DataFrame:
         spark = df.sparkSession
-        bc = spark.sparkContext.broadcast((self.token, self.kind, self.blobs))
+        from .. import workerside  # lean import graph for executors
+        bc = spark.sparkContext.broadcast((self.token, self.blobs))
 
         @F.pandas_udf("boolean")
         def _contains(key: pd.Series, pid: pd.Series) -> pd.Series:
-            token, kind, blobs = bc.value
-            filters = _deserialize_cached(token, kind, blobs)
-            keys = pd_to_u64(key)
-            pids = pid.to_numpy(dtype=np.int32, na_value=0)
-            out = np.zeros(len(keys), dtype=bool)
-            for p in np.unique(pids):
-                m = pids == p
-                out[m] = filters[p].contains(keys[m])
-            return pd.Series(out)
+            return workerside.contains_kernel(bc.value, key, pid)
 
         pid_expr = partition_id(key_col, self.num_partitions, self.salt)
         return df.withColumn(out_col, _contains(F.col(key_col), pid_expr))
@@ -132,7 +91,8 @@ class PartitionedFilter:
         """
         keys = np.asarray(keys, dtype=U64)
         out = np.zeros(keys.shape, dtype=bool)
-        filters = [_load_filter(self.kind, b) for b in self.blobs]
+        from .. import workerside
+        filters = [workerside.load_filter(b) for b in self.blobs]
         for f in filters:
             out |= f.contains(keys)
         return out
@@ -171,25 +131,6 @@ class PartitionedFilter:
         return 8.0 * total_bytes / max(1, self.n_keys)
 
 
-_FILTER_CACHE: Dict[str, List] = {}
-
-
-def _load_filter(kind: str, blob: bytes):
-    if kind.startswith("bloom"):
-        return BloomFilter.from_bytes(blob)
-    return FILTER_KINDS[kind]["load"](blob)
-
-
-def _deserialize_cached(token: str, kind: str, blobs: List[bytes]) -> List:
-    cached = _FILTER_CACHE.get(token)
-    if cached is None:
-        cached = [_load_filter(kind, b) for b in blobs]
-        _FILTER_CACHE[token] = cached
-        if len(_FILTER_CACHE) > 8:  # bound worker memory
-            _FILTER_CACHE.pop(next(iter(_FILTER_CACHE)))
-    return cached
-
-
 def build_partitioned_filter(
     keys_df: DataFrame,
     key_col: str = "key",
@@ -208,25 +149,28 @@ def build_partitioned_filter(
     per-pid RNG seed depends only on (base_rng_state, pid), so a
     resumed build produces byte-identical blobs to an uninterrupted one.
     """
+    from .. import workerside
+
     spark = keys_df.sparkSession
     P = num_partitions
 
-    deduped = (keys_df.select(F.col(key_col).alias("key"))
-               .where(F.col("key").isNotNull())
-               .dropDuplicates(["key"])
-               .withColumn("pid", partition_id("key", P, salt)))
+    # NOTE: no dropDuplicates exchange — all copies of a key hash to the
+    # same pid, so the in-partition np.unique in the builder is a global
+    # dedupe. One shuffle total (the groupBy below).
+    placed = (keys_df.select(F.col(key_col).alias("key"))
+              .where(F.col("key").isNotNull())
+              .withColumn("pid", partition_id("key", P, salt)))
 
+    bloom_args = None
     if kind == "bloom":
         n_exp = bloom_n_expected
         if n_exp is None:
-            n_exp = deduped.count()
-        per_part = max(16, int(1.2 * n_exp / P))
-        kind_impl = _bloom_kind(per_part, bloom_fpp)
+            n_exp = placed.select("key").dropDuplicates().count()
+        bloom_args = (max(16, int(1.2 * n_exp / P)), bloom_fpp)
         kind_name = "bloom"
     else:
         if kind not in FILTER_KINDS:
             raise ValueError(f"unknown filter kind {kind!r}")
-        kind_impl = FILTER_KINDS[kind]
         kind_name = kind
 
     done_pids: List[int] = []
@@ -250,29 +194,15 @@ def build_partitioned_filter(
             done = spark.read.parquet(partials_path).select("pid").distinct()
             done_pids = [r.pid for r in done.collect()]
 
-    todo = deduped
+    todo = placed
     if done_pids:
-        todo = deduped.where(~F.col("pid").isin(done_pids))
+        todo = placed.where(~F.col("pid").isin(done_pids))
 
-    build_fn = kind_impl["build"]
+    def _build_partition(tbl):
+        return workerside.build_partition_arrow(
+            tbl, kind_name, base_rng_state, bloom_args)
 
-    def _build_partition(pdf: pd.DataFrame) -> pd.DataFrame:
-        pid = int(pdf["pid"].iloc[0])
-        keys = pd_to_u64(pdf["key"])
-        t0 = time.time()
-        filt = build_fn(keys, _part_rng_state(base_rng_state, pid))
-        dt = time.time() - t0
-        blob = filt.to_bytes()
-        return pd.DataFrame({
-            "pid": [pid], "kind": [kind_name], "blob": [blob],
-            "n_keys": [int(keys.size)],
-            "attempts": [int(getattr(filt, "attempts", 1))],
-            "peel_rounds": [int(getattr(filt, "peel_rounds", 0))],
-            "build_secs": [dt],
-            "bits_per_entry": [float(filt.bits_per_entry())],
-        })
-
-    partials = todo.groupBy("pid").applyInPandas(_build_partition, PARTIAL_SCHEMA)
+    partials = todo.groupBy("pid").applyInArrow(_build_partition, PARTIAL_SCHEMA)
 
     if partials_path:
         partials.write.mode("append").parquet(partials_path)
@@ -290,8 +220,11 @@ def build_partitioned_filter(
     # an empty filter of the right kind so routing stays total.
     for pid in range(P):
         if not blobs[pid]:
-            empty = build_fn(np.empty(0, dtype=U64),
-                             _part_rng_state(base_rng_state, pid))
+            builder = (workerside.bloom_builder(*bloom_args)
+                       if kind_name == "bloom"
+                       else workerside._BUILDERS[kind_name])
+            empty = builder(np.empty(0, dtype=U64),
+                            workerside.part_rng_state(base_rng_state, pid))
             blobs[pid] = empty.to_bytes()
 
     metrics = all_rows.drop(columns=["blob"])
