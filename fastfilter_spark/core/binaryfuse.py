@@ -115,14 +115,19 @@ class BinaryFuseFilter:
     # ---- construction ------------------------------------------------------
     @classmethod
     def populate(cls, keys: np.ndarray, width: int = 8, arity: int = 3,
-                 rng_state: int = 0x726B2B9D438B9D4D) -> "BinaryFuseFilter":
-        """Build from uint64 keys (duplicates tolerated: deduped upfront).
+                 rng_state: int = 0x726B2B9D438B9D4D,
+                 assume_unique: bool = False) -> "BinaryFuseFilter":
+        """Build from uint64 keys (duplicates tolerated: deduped upfront;
+        pass assume_unique=True to skip the sort when the caller already
+        deduped, e.g. the Spark partition builder).
 
         Deterministic for a given (key set, width, rng_state).
         """
         if width not in _DTYPES:
             raise ValueError("width must be 8, 16 or 32")
-        keys = np.unique(np.asarray(keys, dtype=U64))
+        keys = np.asarray(keys, dtype=U64)
+        if not assume_unique:
+            keys = np.unique(keys)
         n = int(keys.size)
         geom = FuseGeometry.for_size(n, arity)
         dtype = _DTYPES[width]
@@ -136,10 +141,8 @@ class BinaryFuseFilter:
         for attempt in range(1, MAX_ITERATIONS + 1):
             filt.seed = rng.next()
             hashes = mix_split(keys, filt.seed)
-            # distinct keys can collide post-mix (prob ~n^2/2^64); a
-            # collision makes peeling fail for the pair — rotate seed.
-            if np.unique(hashes).size != n:
-                continue
+            # distinct keys colliding post-mix (prob ~n²/2^64) simply
+            # fail the peel → next seed. No pre-check sort needed.
             filt.fingerprints[:] = 0
             ok, rounds, _ = peel_and_assign(
                 hashes, filt._positions, geom.array_length, filt.fingerprints

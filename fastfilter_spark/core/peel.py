@@ -15,6 +15,15 @@ parallel-peeling result), so the per-key work stays vectorized numpy
 instead of a per-key Python loop — this is what makes a pure-Python
 implementation fast enough to saturate an executor core.
 
+Implementation notes (profiled at n=1e6):
+* slot positions h0/h1/h2 are computed ONCE per attempt; every round
+  *gathers* them by key index instead of recomputing the hash mix
+  (tracking xor-of-indices per slot instead of xor-of-hashes);
+* per-slot state is cnt:int32 + ixor:uint32 — half the memory traffic
+  of hash-xor tracking, which matters at 32 concurrent builders per box;
+* a single errstate block wraps the whole attempt (numpy's per-call
+  seterr was ~10% of build time).
+
 Correctness of the round-batched *assignment* (reverse order): if slot
 s is the found-slot of key C peeled in round r, then no key peeled in
 round > r can hash to s (count[s] was 1 at round r), and no key peeled
@@ -39,10 +48,6 @@ class PeelFailure(Exception):
     """Construction failed after MAX_ITERATIONS seed rotations."""
 
 
-def _xor_scatter_u64(target: np.ndarray, idx: np.ndarray, val: np.ndarray) -> None:
-    np.bitwise_xor.at(target, idx, val)
-
-
 def peel_and_assign(
     hashes: np.ndarray,
     positions: Callable[[np.ndarray], Tuple[np.ndarray, np.ndarray, np.ndarray]],
@@ -54,6 +59,8 @@ def peel_and_assign(
     Parameters
     ----------
     hashes : uint64[n] — seeded hashes of the (deduplicated) keys.
+        Distinct keys colliding to one hash simply fail the peel →
+        caller rotates the seed (same recovery as the reference).
     positions : maps uint64 hashes → (h0, h1, h2) slot indices.
     array_length : number of slots.
     fingerprints : zeroed output array (uint8/16/32), len == array_length.
@@ -67,87 +74,76 @@ def peel_and_assign(
     if n == 0:
         return True, 0, np.zeros(array_length, dtype=bool)
 
-    h0, h1, h2 = positions(hashes)
-    all_pos = np.concatenate([h0, h1, h2]).astype(np.int64)
-    all_hash = np.concatenate([hashes, hashes, hashes])
-    all_j = np.concatenate(
-        [
-            np.zeros(n, dtype=np.uint8),
-            np.ones(n, dtype=np.uint8),
-            np.full(n, 2, dtype=np.uint8),
-        ]
-    )
+    with np.errstate(over="ignore"):
+        p0, p1, p2 = positions(hashes)
+        pos3 = np.stack([np.asarray(p0, dtype=np.int64),
+                         np.asarray(p1, dtype=np.int64),
+                         np.asarray(p2, dtype=np.int64)])  # (3, n)
+        flat_pos = pos3.reshape(-1)
+        idx3 = np.tile(np.arange(n, dtype=np.uint32), 3)
 
-    cnt = np.bincount(all_pos, minlength=array_length).astype(np.int64)
-    txor = np.zeros(array_length, dtype=U64)
-    jxor = np.zeros(array_length, dtype=np.uint8)
-    _xor_scatter_u64(txor, all_pos, all_hash)
-    np.bitwise_xor.at(jxor, all_pos, all_j)
+        cnt = np.bincount(flat_pos, minlength=array_length).astype(np.int32)
+        ixor = np.zeros(array_length, dtype=np.uint32)
+        np.bitwise_xor.at(ixor, flat_pos, idx3)
 
-    # ---- batch peel rounds -------------------------------------------------
-    stack_hash = np.empty(n, dtype=U64)
-    stack_found = np.empty(n, dtype=np.uint8)
-    rounds: List[Tuple[int, int]] = []
-    sp = 0
+        # ---- batch peel rounds ------------------------------------------
+        stack_idx = np.empty(n, dtype=np.int64)
+        stack_found = np.empty(n, dtype=np.int64)  # found SLOT per key
+        rounds: List[Tuple[int, int]] = []
+        sp = 0
 
-    singles = np.flatnonzero(cnt == 1)
-    while singles.size:
-        hs = txor[singles]
-        js = jxor[singles]
-        # A key that is the lone occupant of 2–3 slots appears multiple
-        # times; keep the first occurrence per hash (deterministic —
-        # np.unique returns first-occurrence indices of the sorted uniques).
-        uniq, first = np.unique(hs, return_index=True)
-        hs = hs[first]
-        js = js[first]
-        k = hs.size
+        singles = np.flatnonzero(cnt == 1)
+        while singles.size:
+            cand = ixor[singles].astype(np.int64)
+            # one key may be the lone occupant of 2–3 slots → dedupe by
+            # key index (uint32 sort, cheap)
+            u = np.unique(cand)
+            # find each key's singleton slot: the one (lowest j wins)
+            # whose cnt==1 and residual index == the key
+            s0, s1, s2 = pos3[0, u], pos3[1, u], pos3[2, u]
+            m0 = (cnt[s0] == 1) & (ixor[s0] == u)
+            m1 = (cnt[s1] == 1) & (ixor[s1] == u)
+            m2 = (cnt[s2] == 1) & (ixor[s2] == u)
+            found = np.where(m0, s0, np.where(m1, s1, s2))
+            # (at least one of m0/m1/m2 holds by construction of cand)
+            ok = m0 | m1 | m2
+            if not ok.all():
+                u = u[ok]
+                found = found[ok]
+            k = u.size
+            if k == 0:
+                break
+            stack_idx[sp:sp + k] = u
+            stack_found[sp:sp + k] = found
+            rounds.append((sp, sp + k))
+            sp += k
 
-        start = sp
-        stack_hash[sp : sp + k] = hs
-        stack_found[sp : sp + k] = js
-        sp += k
-        rounds.append((start, sp))
+            rm_pos = np.concatenate([pos3[0, u], pos3[1, u], pos3[2, u]])
+            rm_idx = np.tile(u.astype(np.uint32), 3)
+            np.subtract.at(cnt, rm_pos, 1)
+            np.bitwise_xor.at(ixor, rm_pos, rm_idx)
 
-        p0, p1, p2 = positions(hs)
-        rm_pos = np.concatenate([p0, p1, p2]).astype(np.int64)
-        rm_hash = np.concatenate([hs, hs, hs])
-        rm_j = np.concatenate(
-            [
-                np.zeros(k, dtype=np.uint8),
-                np.ones(k, dtype=np.uint8),
-                np.full(k, 2, dtype=np.uint8),
-            ]
-        )
-        np.subtract.at(cnt, rm_pos, 1)
-        _xor_scatter_u64(txor, rm_pos, rm_hash)
-        np.bitwise_xor.at(jxor, rm_pos, rm_j)
+            touched = np.unique(rm_pos)
+            singles = touched[cnt[touched] == 1]
 
-        touched = np.unique(rm_pos)
-        singles = touched[cnt[touched] == 1]
+        if sp != n:
+            return False, len(rounds), np.zeros(array_length, dtype=bool)
 
-    if sp != n:
-        return False, len(rounds), np.zeros(array_length, dtype=bool)
-
-    # ---- reverse-round fingerprint assignment ------------------------------
-    occupied = np.zeros(array_length, dtype=bool)
-    fdtype = fingerprints.dtype
-    for start, end in reversed(rounds):
-        hs = stack_hash[start:end]
-        js = stack_found[start:end].astype(np.int64)
-        p0, p1, p2 = positions(hs)
-        pstack = np.stack([p0, p1, p2])  # (3, k)
-        found_pos = pstack[js, np.arange(hs.size)].astype(np.int64)
-        # fingerprint source value for these hashes
-        fval = (hs ^ (hs >> U64(32))).astype(fdtype)
-        acc = (
-            fval
-            ^ fingerprints[p0.astype(np.int64)]
-            ^ fingerprints[p1.astype(np.int64)]
-            ^ fingerprints[p2.astype(np.int64)]
-        )
-        # fingerprints[found_pos] is still 0 here, so it contributed
-        # nothing to acc; writing acc satisfies f == fp[h0]^fp[h1]^fp[h2].
-        fingerprints[found_pos] = acc
-        occupied[found_pos] = True
+        # ---- reverse-round fingerprint assignment ------------------------
+        occupied = np.zeros(array_length, dtype=bool)
+        fdtype = fingerprints.dtype
+        for start, end in reversed(rounds):
+            u = stack_idx[start:end]
+            found_pos = stack_found[start:end]
+            hs = hashes[u]
+            fval = (hs ^ (hs >> U64(32))).astype(fdtype)
+            acc = (fval
+                   ^ fingerprints[pos3[0, u]]
+                   ^ fingerprints[pos3[1, u]]
+                   ^ fingerprints[pos3[2, u]])
+            # fingerprints[found_pos] is still 0 here, so it contributed
+            # nothing to acc; writing acc satisfies f == fp[h0]^fp[h1]^fp[h2].
+            fingerprints[found_pos] = acc
+            occupied[found_pos] = True
 
     return True, len(rounds), occupied

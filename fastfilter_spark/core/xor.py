@@ -69,10 +69,13 @@ class XorFilter:
 
     @classmethod
     def populate(cls, keys: np.ndarray, width: int = 8,
-                 rng_state: int = 0x726B2B9D438B9D4D) -> "XorFilter":
+                 rng_state: int = 0x726B2B9D438B9D4D,
+                 assume_unique: bool = False) -> "XorFilter":
         if width not in _DTYPES:
             raise ValueError("width must be 8, 16 or 32")
-        keys = np.unique(np.asarray(keys, dtype=U64))
+        keys = np.asarray(keys, dtype=U64)
+        if not assume_unique:
+            keys = np.unique(keys)
         n = int(keys.size)
         capacity, bl = _xor_capacity(n)
         dtype = _DTYPES[width]
@@ -86,8 +89,6 @@ class XorFilter:
         for attempt in range(1, MAX_ITERATIONS + 1):
             filt.seed = rng.next()
             hashes = mix_split(keys, filt.seed)
-            if np.unique(hashes).size != n:
-                continue
             filt.fingerprints[:] = 0
             ok, rounds, occupied = peel_and_assign(
                 hashes, filt._positions, capacity, filt.fingerprints
@@ -184,8 +185,10 @@ class XorPlusFilter:
 
     @classmethod
     def populate(cls, keys: np.ndarray, width: int = 8,
-                 rng_state: int = 0x726B2B9D438B9D4D) -> "XorPlusFilter":
-        return cls.compress(XorFilter.populate(keys, width, rng_state))
+                 rng_state: int = 0x726B2B9D438B9D4D,
+                 assume_unique: bool = False) -> "XorPlusFilter":
+        return cls.compress(XorFilter.populate(keys, width, rng_state,
+                                               assume_unique=assume_unique))
 
     def _positions(self, hashes: np.ndarray):
         return XorFilter._positions(self, hashes)  # same addressing

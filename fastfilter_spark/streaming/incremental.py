@@ -1,0 +1,141 @@
+"""Structured Streaming integration for the sketch engine.
+
+The reference's only streaming-flavored surface is ``populateIter``
+(build from an iterator, `[U src/binaryfusefilter.zig ≈L200]`); a
+static xor/fuse filter cannot be updated in place. The streaming
+shapes that ARE sound:
+
+* ``incremental_sketch_sink`` — foreachBatch: every micro-batch's keys
+  fold into mergeable sketch state (HLL / CMS / Bloom are algebraic, so
+  batch-partial ⊕ state is exact). State lives in a parquet blob table
+  next to the stream checkpoint — restart-safe because foreachBatch
+  gives exactly-once batch ids (idempotent overwrite keyed by batch id).
+* ``windowed_distinct_hll`` — event-time windows + watermark, custom
+  stateful operator via ``applyInPandasWithState``: per-window HLL
+  registers as GroupState, emitting running distinct estimates; late
+  data beyond the watermark is dropped by Spark's state eviction.
+* xor/binary-fuse over a stream — rebuild-on-trigger: accumulate keys
+  (append sink), rebuild the partitioned filter periodically via the
+  batch builder (documented SURVEY.md §2.2; true sliding-window
+  membership needs a deletable structure — out of scope, as upstream).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..sketches import HyperLogLog
+from ..workerside import pd_to_u64
+
+
+def incremental_sketch_sink(stream_keys: DataFrame, state_dir: str,
+                            key_col: str = "key", p: int = 14,
+                            checkpoint_dir: str | None = None,
+                            trigger_available_now: bool = True):
+    """foreachBatch sink folding each micro-batch into one HLL blob.
+
+    Returns the StreamingQuery. State file: {state_dir}/hll.bin, with
+    the last applied batch id in {state_dir}/state.json (idempotent
+    re-application on restart → exactly-once folding).
+    """
+    os.makedirs(state_dir, exist_ok=True)
+    blob_path = os.path.join(state_dir, "hll.bin")
+    meta_path = os.path.join(state_dir, "state.json")
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                if json.load(fh).get("last_batch", -1) >= batch_id:
+                    return  # replayed batch — already folded
+        # distributed partial: one HLL per partition via mapInPandas,
+        # driver merges the tiny register blobs
+        def _partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            h = HyperLogLog(p)
+            seen = False
+            for pdf in batches:
+                if len(pdf):
+                    h.add(pd_to_u64(pdf[key_col]))
+                    seen = True
+            if seen:
+                yield pd.DataFrame({"blob": [h.to_bytes()]})
+
+        partials = batch_df.select(key_col).mapInPandas(
+            _partial, "blob binary").collect()
+        acc = (HyperLogLog.from_bytes(open(blob_path, "rb").read())
+               if os.path.exists(blob_path) else HyperLogLog(p))
+        for row in partials:
+            acc = acc.merge(HyperLogLog.from_bytes(bytes(row.blob)))
+        tmp = blob_path + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(acc.to_bytes())
+        os.replace(tmp, blob_path)
+        with open(meta_path, "w") as fh:
+            json.dump({"last_batch": batch_id, "estimate": acc.estimate()}, fh)
+
+    writer = stream_keys.writeStream.foreachBatch(_fold)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_incremental_estimate(state_dir: str) -> float:
+    with open(os.path.join(state_dir, "hll.bin"), "rb") as fh:
+        return HyperLogLog.from_bytes(fh.read()).estimate()
+
+
+_OUT_SCHEMA = T.StructType([
+    T.StructField("window_start", T.StringType()),
+    T.StructField("n_est", T.DoubleType()),
+    T.StructField("n_events", T.LongType()),
+])
+
+_STATE_SCHEMA = T.StructType([
+    T.StructField("blob", T.BinaryType()),
+    T.StructField("n_events", T.LongType()),
+])
+
+
+def windowed_distinct_hll(stream: DataFrame, ts_col: str, key_col: str,
+                          window: str = "1 hour",
+                          watermark: str = "2 hours", p: int = 12) -> DataFrame:
+    """Custom stateful streaming aggregation: per event-time window, a
+    HyperLogLog register set as GroupState; emits updated estimates.
+
+    The HLL registers ARE the state (mergeable, bounded 2^p bytes), so
+    state size is constant per window regardless of stream volume —
+    the property that makes this viable on an unbounded stream.
+    """
+    # watermarks require TIMESTAMP (tz-aware); parquet often yields NTZ
+    keyed = (stream
+             .withColumn("__ts", F.col(ts_col).cast("timestamp"))
+             .withWatermark("__ts", watermark)
+             .select(F.window(F.col("__ts"), window).start.cast("string")
+                     .alias("window_start"), F.col(key_col).alias("key")))
+
+    def _update(key: Tuple[str], pdfs: Iterator[pd.DataFrame],
+                state: GroupState) -> Iterator[pd.DataFrame]:
+        h = (HyperLogLog.from_bytes(bytes(state.get[0]))
+             if state.exists else HyperLogLog(p))
+        n = state.get[1] if state.exists else 0
+        for pdf in pdfs:
+            if len(pdf):
+                h.add(pd_to_u64(pdf["key"]))
+                n += len(pdf)
+        state.update((h.to_bytes(), n))
+        yield pd.DataFrame({"window_start": [key[0]],
+                            "n_est": [float(h.estimate())],
+                            "n_events": [int(n)]})
+
+    return keyed.groupBy("window_start").applyInPandasWithState(
+        _update, _OUT_SCHEMA, _STATE_SCHEMA, "update",
+        GroupStateTimeout.NoTimeout)

@@ -30,13 +30,13 @@ _LOADERS = {
 }
 
 _BUILDERS = {
-    "bf8": lambda k, r: BinaryFuseFilter.populate(k, 8, rng_state=r),
-    "bf16": lambda k, r: BinaryFuseFilter.populate(k, 16, rng_state=r),
-    "bf32": lambda k, r: BinaryFuseFilter.populate(k, 32, rng_state=r),
-    "xor8": lambda k, r: XorFilter.populate(k, 8, rng_state=r),
-    "xor16": lambda k, r: XorFilter.populate(k, 16, rng_state=r),
-    "xorplus8": lambda k, r: XorPlusFilter.populate(k, 8, rng_state=r),
-    "xorplus16": lambda k, r: XorPlusFilter.populate(k, 16, rng_state=r),
+    "bf8": lambda k, r: BinaryFuseFilter.populate(k, 8, rng_state=r, assume_unique=True),
+    "bf16": lambda k, r: BinaryFuseFilter.populate(k, 16, rng_state=r, assume_unique=True),
+    "bf32": lambda k, r: BinaryFuseFilter.populate(k, 32, rng_state=r, assume_unique=True),
+    "xor8": lambda k, r: XorFilter.populate(k, 8, rng_state=r, assume_unique=True),
+    "xor16": lambda k, r: XorFilter.populate(k, 16, rng_state=r, assume_unique=True),
+    "xorplus8": lambda k, r: XorPlusFilter.populate(k, 8, rng_state=r, assume_unique=True),
+    "xorplus16": lambda k, r: XorPlusFilter.populate(k, 16, rng_state=r, assume_unique=True),
 }
 
 
