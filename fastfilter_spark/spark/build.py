@@ -156,10 +156,10 @@ def build_partitioned_filter(
 
     # NOTE: no dropDuplicates exchange — all copies of a key hash to the
     # same pid, so the in-partition np.unique in the builder is a global
-    # dedupe. One shuffle total (the groupBy below).
+    # dedupe. One sort-free shuffle total (the repartition below; unlike
+    # groupBy().applyIn*, no within-partition grouping sort is planned).
     placed = (keys_df.select(F.col(key_col).alias("key"))
-              .where(F.col("key").isNotNull())
-              .withColumn("pid", partition_id("key", P, salt)))
+              .where(F.col("key").isNotNull()))
 
     bloom_args = None
     if kind == "bloom":
@@ -196,13 +196,15 @@ def build_partitioned_filter(
 
     todo = placed
     if done_pids:
-        todo = placed.where(~F.col("pid").isin(done_pids))
+        todo = placed.where(~partition_id("key", P, salt).isin(done_pids))
 
-    def _build_partition(tbl):
-        return workerside.build_partition_arrow(
-            tbl, kind_name, base_rng_state, bloom_args)
+    def _build_partitions(batches):
+        return workerside.build_partitions_map(
+            batches, kind_name, base_rng_state, bloom_args)
 
-    partials = todo.groupBy("pid").applyInArrow(_build_partition, PARTIAL_SCHEMA)
+    from .keys import route_expr
+    partials = (todo.repartition(P, route_expr("key", salt))
+                .mapInArrow(_build_partitions, PARTIAL_SCHEMA))
 
     if partials_path:
         partials.write.mode("append").parquet(partials_path)
@@ -235,3 +237,82 @@ def _parquet_exists(path: str) -> bool:
     return os.path.isdir(path) and any(
         f.endswith(".parquet") for f in os.listdir(path)
     )
+
+
+def add_keys(
+    pf: PartitionedFilter,
+    old_keys_df: DataFrame,
+    new_keys_df: DataFrame,
+    key_col: str = "key",
+    checkpoint_dir: Optional[str] = None,
+    base_rng_state: int = 0x726B2B9D438B9D4D,
+) -> PartitionedFilter:
+    """Union-keys-and-rebuild merge path for the holistic filters.
+
+    xor/binary-fuse cannot merge at the blob level (peeling needs the
+    complete key set — SURVEY.md §2.2 Aggregations), so incremental
+    ingest rebuilds ONLY the partitions that received new keys: the
+    anti-join below finds genuinely-new keys, their pids are rebuilt
+    from the union, all other blobs are reused verbatim. At 10^12 keys
+    with a daily increment touching k of P partitions, this is k/P of
+    the full build cost. Associativity: the result depends only on the
+    final key set (per-pid RNG seeds are fixed), so any ingest order
+    yields byte-identical blobs.
+    """
+    from .. import workerside
+
+    P, salt = pf.num_partitions, pf.salt
+    old = old_keys_df.select(F.col(key_col).alias("key"))
+    new = new_keys_df.select(F.col(key_col).alias("key"))
+    genuinely_new = new.join(old, "key", "left_anti")
+    touched = (genuinely_new
+               .withColumn("pid", partition_id("key", P, salt))
+               .select("pid").distinct())
+    touched_pids = [r.pid for r in touched.collect()]
+    if not touched_pids:
+        return pf
+
+    union = old.unionByName(new) \
+               .withColumn("pid", partition_id("key", P, salt)) \
+               .where(F.col("pid").isin(touched_pids))
+
+    bloom_args = None
+    if pf.kind == "bloom":
+        # reuse geometry of an existing blob so OR-merge stays valid
+        b0 = BloomFilter.from_bytes(pf.blobs[0])
+        bloom_args = (max(16, int(b0.m_bits / 9.6)), 0.01)
+
+    def _build(tbl):
+        return workerside.build_partition_arrow(
+            tbl, pf.kind, base_rng_state, bloom_args)
+
+    rebuilt = union.groupBy("pid").applyInArrow(_build, PARTIAL_SCHEMA)
+    rows = rebuilt.toPandas()
+
+    blobs = list(pf.blobs)
+    for _, r in rows.iterrows():
+        blobs[int(r["pid"])] = bytes(r["blob"])
+    metrics = (pd.concat([pf.metrics[~pf.metrics["pid"].isin(touched_pids)],
+                          rows.drop(columns=["blob"])])
+               .sort_values("pid").reset_index(drop=True))
+    out = PartitionedFilter(pf.kind, P, salt, blobs, metrics)
+    if checkpoint_dir:
+        _rewrite_checkpoint(out, checkpoint_dir, base_rng_state)
+    return out
+
+
+def _rewrite_checkpoint(pf: PartitionedFilter, checkpoint_dir: str,
+                        base_rng_state: int) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    os.makedirs(os.path.join(checkpoint_dir, "partials"), exist_ok=True)
+    manifest_path = os.path.join(checkpoint_dir, "manifest.json")
+    with open(manifest_path, "w") as fh:
+        json.dump({"kind": pf.kind, "P": pf.num_partitions, "salt": pf.salt,
+                   "base_rng_state": base_rng_state}, fh)
+    tbl = pf.metrics.copy()
+    tbl["blob"] = [pf.blobs[int(p)] for p in tbl["pid"]]
+    for f in os.listdir(os.path.join(checkpoint_dir, "partials")):
+        os.remove(os.path.join(checkpoint_dir, "partials", f))
+    pq.write_table(pa.Table.from_pandas(tbl, preserve_index=False),
+                   os.path.join(checkpoint_dir, "partials", "rebuilt.parquet"))

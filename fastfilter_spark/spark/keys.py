@@ -31,10 +31,24 @@ def content_key(col: str | Column) -> Column:
     return F.shiftleft(hi, 32).bitwiseOR(lo)
 
 
-def partition_id(key_col: str | Column, num_partitions: int, salt: int = 0) -> Column:
-    """Skew-proof partition assignment: pmod(xxhash64(key, salt), P)."""
+def route_expr(key_col: str | Column, salt: int = 0) -> Column:
+    """The column the build repartitions on: xxhash64(key, salt)."""
     c = F.col(key_col) if isinstance(key_col, str) else key_col
-    return F.pmod(F.xxhash64(c, F.lit(salt)), F.lit(num_partitions)).cast("int")
+    return F.xxhash64(c, F.lit(salt))
+
+
+def partition_id(key_col: str | Column, num_partitions: int, salt: int = 0) -> Column:
+    """Skew-proof partition assignment: pmod(hash(xxhash64(key, salt)), P).
+
+    This is exactly where ``repartition(P, route_expr(key, salt))``
+    places a row (Spark's HashPartitioning = pmod(Murmur3 ``hash``, P);
+    verified empirically on 100k keys), so the build can use a sort-free
+    repartition+mapInArrow while queries route JVM-side with this
+    expression. The salt decorrelates independent builds and defuses
+    any key-distribution pathology.
+    """
+    return F.pmod(F.hash(route_expr(key_col, salt)),
+                  F.lit(num_partitions)).cast("int")
 
 
 def keys_from_content(df: DataFrame, content_col: str = "content",

@@ -64,17 +64,43 @@ def bloom_builder(n_expected_per_part: int, fpp: float):
     return build
 
 
+def build_partitions_map(batches, kind: str, base_rng_state: int,
+                         bloom_args=None):
+    """Partition builder body for repartition(P, route).mapInArrow —
+    sort-free: unlike groupBy().applyIn*, the exchange does no
+    within-partition grouping sort, and the partition index IS the pid
+    (Spark HashPartitioning == pmod(hash(route), P), mirrored JVM-side
+    by keys.partition_id for query routing).
+
+    TaskContext is part of the worker runtime, so this import adds no
+    executor cold-start cost (pyspark.sql is what must stay out).
+    """
+    from pyspark import TaskContext
+
+    pid = TaskContext.get().partitionId()
+    chunks = [b.column("key").to_numpy(zero_copy_only=False)
+              for b in batches]
+    if not chunks:
+        return
+    raw = np.concatenate(chunks).view(np.uint64)
+    yield _build_one(pid, raw, kind, base_rng_state, bloom_args)
+
+
 def build_partition_arrow(tbl: "pa.Table", kind: str, base_rng_state: int,
                           bloom_args=None) -> "pa.Table":
-    """Partition builder body (runs under groupBy(pid).applyInArrow —
-    measured ~3× faster end-to-end than applyInPandas at 10M keys:
-    the key column transfers as one Arrow buffer, viewed zero-copy).
-
-    Dedupes in-partition (all copies of a key hash to the same pid, so
-    np.unique here is a *global* dedupe — saves the upstream exchange).
-    """
+    """groupBy(pid).applyInArrow variant (kept for the incremental
+    add_keys path, where only a few pids rebuild)."""
     pid = int(tbl.column("pid")[0].as_py())
     raw = tbl.column("key").to_numpy(zero_copy_only=False).view(np.uint64)
+    batch = _build_one(pid, raw, kind, base_rng_state, bloom_args)
+    return pa.Table.from_batches([batch])
+
+
+def _build_one(pid: int, raw: np.ndarray, kind: str, base_rng_state: int,
+               bloom_args=None) -> "pa.RecordBatch":
+    """Dedupes in-partition (all copies of a key hash to the same pid,
+    so np.unique here is a *global* dedupe — no upstream exchange) and
+    builds one filter blob + its lineage/metrics row."""
     keys = np.unique(raw)
     t0 = time.time()
     if kind == "bloom":
@@ -83,17 +109,18 @@ def build_partition_arrow(tbl: "pa.Table", kind: str, base_rng_state: int,
         build = _BUILDERS[kind]
     filt = build(keys, part_rng_state(base_rng_state, pid))
     dt = time.time() - t0
-    return pa.table({
-        "pid": pa.array([pid], pa.int32()),
-        "kind": pa.array([kind], pa.string()),
-        "blob": pa.array([filt.to_bytes()], pa.binary()),
-        "n_keys": pa.array([int(keys.size)], pa.int64()),
-        "keys_ingested": pa.array([int(raw.size)], pa.int64()),
-        "attempts": pa.array([int(getattr(filt, "attempts", 1))], pa.int32()),
-        "peel_rounds": pa.array([int(getattr(filt, "peel_rounds", 0))], pa.int32()),
-        "build_secs": pa.array([dt], pa.float64()),
-        "bits_per_entry": pa.array([float(filt.bits_per_entry())], pa.float64()),
-    })
+    return pa.RecordBatch.from_arrays([
+        pa.array([pid], pa.int32()),
+        pa.array([kind], pa.string()),
+        pa.array([filt.to_bytes()], pa.binary()),
+        pa.array([int(keys.size)], pa.int64()),
+        pa.array([int(raw.size)], pa.int64()),
+        pa.array([int(getattr(filt, "attempts", 1))], pa.int32()),
+        pa.array([int(getattr(filt, "peel_rounds", 0))], pa.int32()),
+        pa.array([dt], pa.float64()),
+        pa.array([float(filt.bits_per_entry())], pa.float64()),
+    ], names=["pid", "kind", "blob", "n_keys", "keys_ingested", "attempts",
+              "peel_rounds", "build_secs", "bits_per_entry"])
 
 
 _FILTER_CACHE: Dict[str, List] = {}

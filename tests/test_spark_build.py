@@ -137,3 +137,20 @@ def test_metrics_lineage_columns(spark, corpus_df):
                 "bits_per_entry"):
         assert col in pf.metrics.columns
     assert (pf.metrics["attempts"] >= 1).all()
+
+
+def test_add_keys_incremental_rebuild(spark, corpus_df):
+    """Union-keys-and-rebuild: result identical to a from-scratch build
+    over the union, and untouched partitions' blobs are reused."""
+    from fastfilter_spark.spark import add_keys
+    keys = keys_from_content(corpus_df, "content").cache()
+    half_a = keys.where(F.col("key") % 2 == 0)
+    half_b = keys.where(F.col("key") % 2 != 0)
+    pf_a = build_partitioned_filter(half_a, kind="bf8", num_partitions=8)
+    pf_inc = add_keys(pf_a, half_a, half_b)
+    pf_full = build_partitioned_filter(keys, kind="bf8", num_partitions=8)
+    assert all(x == y for x, y in zip(pf_inc.blobs, pf_full.blobs))
+    assert pf_inc.with_contains(keys, "key").where("NOT contained").count() == 0
+    # no-op increment returns the same object state
+    pf_same = add_keys(pf_full, keys, keys.limit(5))
+    assert all(x == y for x, y in zip(pf_same.blobs, pf_full.blobs))
