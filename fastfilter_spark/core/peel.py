@@ -76,15 +76,31 @@ def peel_and_assign(
 
     with np.errstate(over="ignore"):
         p0, p1, p2 = positions(hashes)
-        pos3 = np.stack([np.asarray(p0, dtype=np.int64),
-                         np.asarray(p1, dtype=np.int64),
-                         np.asarray(p2, dtype=np.int64)])  # (3, n)
+        # int32 positions: the peel is DRAM-bound at high core counts
+        # (random scatter/gather over >L3-sized arrays), so element
+        # width directly sets multi-core throughput.
+        pos3 = np.stack([np.asarray(p0).astype(np.int32),
+                         np.asarray(p1).astype(np.int32),
+                         np.asarray(p2).astype(np.int32)])  # (3, n)
         flat_pos = pos3.reshape(-1)
-        idx3 = np.tile(np.arange(n, dtype=np.uint32), 3)
 
-        cnt = np.bincount(flat_pos, minlength=array_length).astype(np.int32)
-        ixor = np.zeros(array_length, dtype=np.uint32)
-        np.bitwise_xor.at(ixor, flat_pos, idx3)
+        # single packed per-slot state: (degree << 40) | sum_of_key_idx.
+        # Removing key i from slot s is then ONE scatter:
+        #   state[s] -= (1 << 40) + i
+        # and a slot is singleton iff state>>40 == 1, with the remaining
+        # key's index in the low 40 bits. Index sums fit: deg ≤ 250
+        # (checked), n < 2^31 → sum < 2^39 < 2^40, exact in the float64
+        # bincount weights (< 2^53).
+        deg = np.bincount(flat_pos, minlength=array_length)
+        if deg.max(initial=0) > 250:
+            # absurd slot degree (adversarial hash) → seed rotation
+            return False, 0, np.zeros(array_length, dtype=bool)
+        idx3 = np.tile(np.arange(n, dtype=np.int64), 3)
+        isum = np.bincount(flat_pos, weights=idx3, minlength=array_length)
+        state = (deg.astype(np.uint64) << U64(40)) + isum.astype(np.uint64)
+        del deg, isum, idx3
+        ONE = U64(1) << U64(40)
+        LOWMASK = ONE - U64(1)
 
         # ---- batch peel rounds ------------------------------------------
         stack_idx = np.empty(n, dtype=np.int64)
@@ -92,39 +108,31 @@ def peel_and_assign(
         rounds: List[Tuple[int, int]] = []
         sp = 0
 
-        singles = np.flatnonzero(cnt == 1)
+        singles = np.flatnonzero(state >> U64(40) == U64(1))
         while singles.size:
-            cand = ixor[singles].astype(np.int64)
+            cand = (state[singles] & LOWMASK).astype(np.int64)
             # one key may be the lone occupant of 2–3 slots → dedupe by
-            # key index (uint32 sort, cheap)
+            # key index (int sort, cheap)
             u = np.unique(cand)
             # find each key's singleton slot: the one (lowest j wins)
-            # whose cnt==1 and residual index == the key
+            # whose state says "1 occupant, and it is u"
             s0, s1, s2 = pos3[0, u], pos3[1, u], pos3[2, u]
-            m0 = (cnt[s0] == 1) & (ixor[s0] == u)
-            m1 = (cnt[s1] == 1) & (ixor[s1] == u)
-            m2 = (cnt[s2] == 1) & (ixor[s2] == u)
+            target = ONE + u.astype(np.uint64)
+            m0 = state[s0] == target
+            m1 = state[s1] == target
             found = np.where(m0, s0, np.where(m1, s1, s2))
-            # (at least one of m0/m1/m2 holds by construction of cand)
-            ok = m0 | m1 | m2
-            if not ok.all():
-                u = u[ok]
-                found = found[ok]
             k = u.size
-            if k == 0:
-                break
             stack_idx[sp:sp + k] = u
             stack_found[sp:sp + k] = found
             rounds.append((sp, sp + k))
             sp += k
 
-            rm_pos = np.concatenate([pos3[0, u], pos3[1, u], pos3[2, u]])
-            rm_idx = np.tile(u.astype(np.uint32), 3)
-            np.subtract.at(cnt, rm_pos, 1)
-            np.bitwise_xor.at(ixor, rm_pos, rm_idx)
+            rm_pos = np.concatenate([s0, s1, s2])
+            rm_val = np.tile(target, 3)
+            np.subtract.at(state, rm_pos, rm_val)
 
             touched = np.unique(rm_pos)
-            singles = touched[cnt[touched] == 1]
+            singles = touched[state[touched] >> U64(40) == U64(1)]
 
         if sp != n:
             return False, len(rounds), np.zeros(array_length, dtype=bool)

@@ -37,18 +37,32 @@ def route_expr(key_col: str | Column, salt: int = 0) -> Column:
     return F.xxhash64(c, F.lit(salt))
 
 
-def partition_id(key_col: str | Column, num_partitions: int, salt: int = 0) -> Column:
-    """Skew-proof partition assignment: pmod(hash(xxhash64(key, salt)), P).
+ROUTING_XXHASH_PMOD = "xxhash_pmod"   # packed shuffle: pid = pmod(xxhash64(key,salt), P)
+ROUTING_SPARK_HASH = "spark_hash"     # rows shuffle: pid = Spark HashPartitioning
+                                      #   = pmod(hash(xxhash64(key,salt)), P)
 
-    This is exactly where ``repartition(P, route_expr(key, salt))``
-    places a row (Spark's HashPartitioning = pmod(Murmur3 ``hash``, P);
-    verified empirically on 100k keys), so the build can use a sort-free
-    repartition+mapInArrow while queries route JVM-side with this
-    expression. The salt decorrelates independent builds and defuses
-    any key-distribution pathology.
+
+def partition_id(key_col: str | Column, num_partitions: int, salt: int = 0,
+                 routing: str = ROUTING_XXHASH_PMOD) -> Column:
+    """Skew-proof partition assignment, pure-Catalyst (used for query
+    routing and resume filtering; must mirror how the build placed keys).
+
+    * ``xxhash_pmod``: pmod(xxhash64(key, salt), P) — the packed-shuffle
+      build buckets with the same arithmetic in numpy (signed % has
+      identical non-negative semantics).
+    * ``spark_hash``: pmod(hash(xxhash64(key, salt)), P) — exactly where
+      ``repartition(P, xxhash64(key, salt))`` places a row (Spark's
+      HashPartitioning = pmod(Murmur3 ``hash``, P); verified on 100k keys).
+
+    The salt decorrelates independent builds and defuses any
+    key-distribution pathology.
     """
-    return F.pmod(F.hash(route_expr(key_col, salt)),
-                  F.lit(num_partitions)).cast("int")
+    r = route_expr(key_col, salt)
+    if routing == ROUTING_SPARK_HASH:
+        r = F.hash(r)
+    elif routing != ROUTING_XXHASH_PMOD:
+        raise ValueError(f"unknown routing {routing!r}")
+    return F.pmod(r, F.lit(num_partitions)).cast("int")
 
 
 def keys_from_content(df: DataFrame, content_col: str = "content",

@@ -64,6 +64,50 @@ def bloom_builder(n_expected_per_part: int, fpp: float):
     return build
 
 
+def pack_by_pid(batches, P: int):
+    """Stage 1 of the pack-shuffle build (mapInArrow over raw input).
+
+    Buckets this input partition's keys by pid = pmod(route, P) in
+    numpy and emits ONE fat binary row per (input partition, pid):
+    the shuffle then moves ~M·P chunk rows instead of n key rows —
+    row-shuffle overhead was ~60% of build wall-time even at 2 cores.
+    Matches the JVM query-routing expression pmod(xxhash64(key,salt),P)
+    (numpy signed % has the same non-negative semantics as Spark pmod).
+    """
+    accum: Dict[int, List[np.ndarray]] = {}
+    for b in batches:
+        k = b.column("key").to_numpy(zero_copy_only=False)
+        r = b.column("route").to_numpy(zero_copy_only=False)
+        pid = np.mod(r, P)
+        order = np.argsort(pid, kind="stable")
+        sp = pid[order]
+        sk = k[order]
+        present = np.unique(sp)
+        bounds = np.searchsorted(sp, present)
+        bounds = np.append(bounds, len(sp))
+        for i, p in enumerate(present):
+            accum.setdefault(int(p), []).append(sk[bounds[i]:bounds[i + 1]])
+    if not accum:
+        return
+    pids = sorted(accum)
+    chunks = [np.concatenate(accum[p]).tobytes() for p in pids]
+    yield pa.RecordBatch.from_arrays(
+        [pa.array(pids, pa.int32()), pa.array(chunks, pa.binary())],
+        names=["pid", "chunk"])
+
+
+def build_from_chunks(tbl: "pa.Table", kind: str, base_rng_state: int,
+                      bloom_args=None) -> "pa.Table":
+    """Stage 2: groupBy(pid).applyInArrow over packed chunks."""
+    pid = int(tbl.column("pid")[0].as_py())
+    raw = np.concatenate([
+        np.frombuffer(c.as_py(), dtype=np.int64)
+        for c in tbl.column("chunk")
+    ]).view(np.uint64)
+    batch = _build_one(pid, raw, kind, base_rng_state, bloom_args)
+    return pa.Table.from_batches([batch])
+
+
 def build_partitions_map(batches, kind: str, base_rng_state: int,
                          bloom_args=None):
     """Partition builder body for repartition(P, route).mapInArrow —

@@ -1,0 +1,98 @@
+"""Plan-hygiene audit: .explain("formatted") for the engine's core
+query shapes + automated checks that the plans have the properties the
+100TB design depends on:
+
+  * parquet scans carry PushedFilters / pruned ReadSchema;
+  * the filter-confirm join is a BroadcastHashJoin;
+  * the filter build plans exactly ONE exchange and no sort;
+  * aggregations show partial_ stages (map-side combine).
+
+Usage: python tools/explain_plans.py [sf_dir]  (prints plans + PASS/FAIL)
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, "/root/repo")
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
+    from pyspark.sql import functions as F
+
+    from fastfilter_spark.spark import (
+        build_partitioned_filter, content_key, get_spark,
+    )
+    from fastfilter_spark.spark.keys import route_expr
+
+    spark = get_spark("plans", cpus=8)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    checks = []
+
+    # 1. projection+filter pushdown on the corpus scan
+    q1 = docs.where(F.col("lang") == "en").select("doc_id", "lang")
+    p1 = plan_of(q1)
+    checks.append(("scan pushdown: PushedFilters carries lang filter",
+                   "PushedFilters" in p1 and "lang" in p1.split("PushedFilters")[1][:200]))
+    checks.append(("scan pruning: ReadSchema excludes text",
+                   "text" not in re.search(r"ReadSchema:.*", p1).group(0)))
+
+    # 2. build plan: the one exchange moves packed chunk rows, and the
+    # raw key rows never shuffle (pack runs pre-exchange, map-side)
+    keys = docs.select(content_key("text").alias("key"))
+    from fastfilter_spark.spark.build import PARTIAL_SCHEMA
+    from fastfilter_spark import workerside
+    packed = (keys.withColumn("route", route_expr("key", 0))
+              .mapInArrow(lambda it: workerside.pack_by_pid(it, 8),
+                          "pid int, chunk binary"))
+    build_df = packed.groupBy("pid").applyInArrow(
+        lambda t: workerside.build_from_chunks(t, "bf8", 1, None),
+        PARTIAL_SCHEMA)
+    p2 = plan_of(build_df)
+    checks.append(("build: exactly one Exchange (of packed chunks)",
+                   p2.count("Exchange hashpartitioning") == 1))
+    checks.append(("build: pack (MapInArrow) runs BELOW the exchange",
+                   p2.find("MapInArrow") > p2.find("Exchange")))
+
+    # 3. confirm join is broadcast
+    en_keys = docs.where("lang = 'en'").select(content_key("text").alias("key"))
+    pf = build_partitioned_filter(en_keys, kind="bf8", num_partitions=4)
+    probe = docs.withColumn("key", content_key("text"))
+    cand = pf.with_contains(probe, "key").where("contained")
+    confirmed = cand.join(F.broadcast(en_keys.dropDuplicates()), "key", "left_semi")
+    p3 = plan_of(confirmed)
+    checks.append(("semi-join: BroadcastHashJoin planned",
+                   "BroadcastHashJoin" in p3))
+
+    # 4. aggregation shows partial (map-side) stage
+    agg = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    p4 = plan_of(agg)
+    checks.append(("agg: partial_count map-side combine", "partial_count" in p4))
+
+    # 5. whole-stage codegen spans the key derivation
+    p5 = plan_of(keys)
+    checks.append(("key derivation inside WholeStageCodegen",
+                   "WholeStageCodegen" in p5))
+
+    print(p2)
+    print(p3[:3000])
+    ok = True
+    for name, passed in checks:
+        print(("PASS" if passed else "FAIL"), "-", name)
+        ok &= passed
+    spark.stop()
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(*sys.argv[1:]))
