@@ -64,7 +64,7 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 16_000_000
     lo = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     hi = int(sys.argv[3]) if len(sys.argv) > 3 else 32
-    P = 2 * hi  # fixed task count, 2 waves at hi — same plan both runs
+    P = int(sys.argv[4]) if len(sys.argv) > 4 else 2 * hi  # fixed task count both runs
     r_lo = run(lo, n, P)
     r_hi = run(hi, n, P)
     ratio = hi / lo

@@ -10,10 +10,11 @@ Design (SURVEY.md §3 "Planned Spark lifecycle"):
    dedupe without its own exchange (peeling provably fails on
    duplicates — the reference sorts+dedupes on retry). One shuffle
    total for the whole build.
-4. *partial build* — ``groupBy(pid).applyInPandas``: each partition's
-   key set streams through Arrow into numpy and is built into one
-   filter blob (the vectorized batch-peel in core/). Emits a
-   lineage+metrics row per partition — this row is the checkpoint unit.
+4. *partial build* — packed-chunk shuffle + ``applyInArrow`` (or
+   repartition + ``mapInArrow`` in rows mode): each partition's key
+   set lands in numpy and is built into one filter blob (the
+   vectorized batch-peel in core/). Emits a lineage+metrics row per
+   partition — this row is the checkpoint unit.
 5. *merge*   — Bloom partials OR-merge into one global blob
    (algebraic). xor/binary-fuse are holistic: the scalable serve shape
    is the *partitioned filter* (P blobs + route-by-hash lookup), with

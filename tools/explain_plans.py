@@ -60,7 +60,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
         PARTIAL_SCHEMA)
     p2 = plan_of(build_df)
     checks.append(("build: exactly one Exchange (of packed chunks)",
-                   p2.count("Exchange hashpartitioning") == 1))
+                   len(re.findall(r"\(\d+\) Exchange", p2)) == 1))
     checks.append(("build: pack (MapInArrow) runs BELOW the exchange",
                    p2.find("MapInArrow") > p2.find("Exchange")))
 
@@ -82,7 +82,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
     # 5. whole-stage codegen spans the key derivation
     p5 = plan_of(keys)
     checks.append(("key derivation inside WholeStageCodegen",
-                   "WholeStageCodegen" in p5))
+                   "codegen id" in p5))
 
     print(p2)
     print(p3[:3000])
