@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
@@ -247,6 +248,155 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
               .orderBy("query_id", "rank")
 
 
+def q_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/KMV sketch set algebra vs exact set cardinalities: union,
+    intersection and difference of (lang='en') and (n_chars > 300)
+    document sets, with deterministic within-bound flags."""
+    from fastfilter_spark.sketches import ThetaSketch
+    from fastfilter_spark.spark import content_key, theta_agg
+    docs = _docs(spark, sf_dir).withColumn("key", content_key("text"))
+    A = docs.where(F.col("lang") == "en")
+    B = docs.where(F.col("n_chars") > 300)
+    ta = ThetaSketch.from_bytes(bytes(theta_agg(A, [], "key").collect()[0].sketch))
+    tb = ThetaSketch.from_bytes(bytes(theta_agg(B, [], "key").collect()[0].sketch))
+    ests = {"1_union": ta.union(tb).estimate(),
+            "2_intersect": ta.intersect(tb).estimate(),
+            "3_a_not_b": ta.a_not_b(tb).estimate()}
+    exact = {
+        "1_union": A.select("key").union(B.select("key")).distinct().count(),
+        "2_intersect": A.select("key").intersect(B.select("key")).count(),
+        "3_a_not_b": A.select("key").exceptAll(B.select("key")).distinct().count(),
+    }
+    tol = 6 * ta.rel_std_error() + 0.02
+    rows = [(op, int(exact[op]),
+             bool(abs(ests[op] - exact[op]) <= max(tol * exact[op], 2.0)))
+            for op in sorted(exact)]
+    return spark.createDataFrame(rows, "op string, n_exact long, theta_ok boolean") \
+                .orderBy("op")
+
+
+def q_cube_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets coverage: CUBE(lang, source) — free from Catalyst
+    over the same engine inputs (SURVEY.md §2.2 Distinct/cube/rollup)."""
+    docs = _docs(spark, sf_dir)
+    return (docs.cube("lang", "source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("sum_chars"))
+            .orderBy("lang", "source"))
+
+
+def q_window_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function coverage: top-3 events by value per type."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").asc())
+    return (ev.withColumn("rank", F.row_number().over(w))
+            .where("rank <= 3")
+            .select("event_type", "rank", "event_id")
+            .orderBy("event_type", "rank"))
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful-analytics coverage (batch): 30-minute-gap sessionization
+    per user via lag + running sum; output users with most sessions."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = (F.unix_timestamp(F.col("ts").cast("timestamp"))
+           - F.unix_timestamp(F.lag(F.col("ts").cast("timestamp")).over(w)))
+    sess = (ev.withColumn("new_sess",
+                          F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+            .groupBy("user_id")
+            .agg(F.sum("new_sess").cast("long").alias("n_sessions"),
+                 F.count("*").alias("n_events")))
+    return sess.orderBy("user_id")
+
+
+def q_bloom_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter set-algebra: bloom AND (superset of true intersection) as
+    the pre-filter, exact confirm → exactly docs in BOTH corpora."""
+    from fastfilter_spark.core.bloom import BloomFilter
+    from fastfilter_spark.spark import build_partitioned_filter, content_key
+    from fastfilter_spark.workerside import pd_to_u64
+    docs = _docs(spark, sf_dir).withColumn("key", content_key("text"))
+    n = docs.count()
+    en = docs.where("lang = 'en'").select("key")
+    s0 = docs.where("source = 'src0'").select("key")
+    pf_en = build_partitioned_filter(en, kind="bloom", num_partitions=4,
+                                     bloom_n_expected=n)
+    pf_s0 = build_partitioned_filter(s0, kind="bloom", num_partitions=4,
+                                     bloom_n_expected=n)
+    both = pf_en.to_global_bloom().intersect(pf_s0.to_global_bloom())
+    bc = spark.sparkContext.broadcast(both.to_bytes())
+
+    @F.pandas_udf("boolean")
+    def _maybe_both(key: pd.Series) -> pd.Series:
+        bf = BloomFilter.from_bytes(bc.value)
+        return pd.Series(bf.contains(pd_to_u64(key)))
+
+    cands = docs.withColumn("maybe", _maybe_both("key")).where("maybe")
+    confirmed = (cands.join(F.broadcast(en.distinct()), "key", "left_semi")
+                 .join(F.broadcast(s0.distinct()), "key", "left_semi"))
+    return confirmed.select("doc_id").orderBy("doc_id")
+
+
+def q_hll_union_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blob-level HLL merge across disjoint halves == whole-stream
+    estimate; flags the union estimate against the exact count."""
+    from fastfilter_spark.sketches import HyperLogLog
+    from fastfilter_spark.spark import hll_agg
+    ev = _events(spark, sf_dir).select(
+        "event_id", F.xxhash64("user_id").alias("key"))
+    h1 = hll_agg(ev.where("event_id % 2 = 0"), [], "key").collect()[0].sketch
+    h2 = hll_agg(ev.where("event_id % 2 = 1"), [], "key").collect()[0].sketch
+    merged = HyperLogLog.from_bytes(bytes(h1)).merge(
+        HyperLogLog.from_bytes(bytes(h2)))
+    exact = _events(spark, sf_dir).select("user_id").distinct().count()
+    ok = abs(merged.estimate() - exact) / exact < 0.05
+    return spark.createDataFrame([(int(exact), bool(ok))],
+                                 "n_exact long, union_ok boolean")
+
+
+def q_streaming_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming coverage, oracle-checked: daily distinct
+    users via the applyInPandasWithState HLL operator, replayed with
+    availableNow over the events parquet; flags vs exact."""
+    import os
+    import tempfile
+    import uuid as _uuid
+    from fastfilter_spark.streaming import windowed_distinct_hll
+    ev_batch = _events(spark, sf_dir)
+    schema = ev_batch.schema
+    # the streaming file source wants a directory — symlink the parquet
+    stream_dir = tempfile.mkdtemp(prefix="ffsk_stream_")
+    os.symlink(f"{sf_dir}/events.parquet",
+               os.path.join(stream_dir, "events.parquet"))
+    stream = (spark.readStream.schema(schema)
+              .parquet(stream_dir)
+              .select("ts", F.xxhash64("user_id").alias("key")))
+    out = windowed_distinct_hll(stream, "ts", "key", window="1 day",
+                                watermark="400 days", p=12)
+    qname = "win_" + _uuid.uuid4().hex[:8]
+    q = (out.writeStream.format("memory").queryName(qname)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    res = spark.sql(f"SELECT window_start, n_est FROM {qname}") \
+               .withColumn("window_start",
+                           F.to_date("window_start").cast("string"))
+    last = (res.groupBy("window_start").agg(F.max("n_est").alias("n_est")))
+    exact = (ev_batch
+             .select(F.date_trunc("day", F.col("ts").cast("timestamp"))
+                     .cast("date").cast("string").alias("window_start"),
+                     "user_id")
+             .groupBy("window_start")
+             .agg(F.countDistinct("user_id").alias("n_exact")))
+    return (exact.join(last, "window_start")
+            .select("window_start", "n_exact",
+                    (F.abs(F.col("n_est") - F.col("n_exact"))
+                     <= F.greatest(F.col("n_exact") * 0.08, F.lit(3.0)))
+                    .alias("hll_ok"))
+            .orderBy("window_start"))
+
+
 # rows-only (non-SQL-expressible) ------------------------------------------------
 
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -316,6 +466,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_quantiles": q_kll_quantiles,
         "tdigest_quantiles": q_tdigest_quantiles,
         "hourly_distinct_users": q_hourly_distinct_users,
+        "theta_set_ops": q_theta_set_ops,
+        "cube_doc_stats": q_cube_doc_stats,
+        "window_topk_events": q_window_topk_events,
+        "sessionize_events": q_sessionize_events,
+        "bloom_intersect": q_bloom_intersect,
+        "hll_union_split": q_hll_union_split,
+        "streaming_windowed_distinct": q_streaming_windowed_distinct,
         "exact_dedup": q_exact_dedup,
         "token_stats_by_lang": q_token_stats_by_lang,
         "quality_features": q_quality_features,
@@ -368,6 +525,45 @@ def oracle_sql() -> dict[str, str]:
                               "(0.75, TRUE), (0.9, TRUE)) AS t(q, ok) ORDER BY q"),
         "hourly_distinct_users": (
             "SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, "
+            "COUNT(DISTINCT user_id) AS n_exact, TRUE AS hll_ok "
+            "FROM events GROUP BY 1 ORDER BY 1"),
+        "theta_set_ops": (
+            "SELECT * FROM (VALUES "
+            "('1_union', (SELECT COUNT(DISTINCT text) FROM documents "
+            "  WHERE lang = 'en' OR n_chars > 300), TRUE), "
+            "('2_intersect', (SELECT COUNT(DISTINCT text) FROM documents "
+            "  WHERE lang = 'en' AND n_chars > 300), TRUE), "
+            "('3_a_not_b', (SELECT COUNT(DISTINCT text) FROM documents "
+            "  WHERE lang = 'en' AND n_chars <= 300), TRUE)"
+            ") AS t(op, n_exact, theta_ok) ORDER BY op"),
+        "cube_doc_stats": (
+            "SELECT lang, source, COUNT(*) AS n_docs, "
+            "CAST(SUM(n_chars) AS BIGINT) AS sum_chars "
+            "FROM documents GROUP BY CUBE(lang, source) "
+            "ORDER BY lang, source"),
+        "window_topk_events": (
+            "SELECT event_type, CAST(row_number() OVER w AS INT) AS rank, "
+            "event_id FROM events "
+            "WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id) "
+            "QUALIFY rank <= 3 ORDER BY event_type, rank"),
+        "sessionize_events": (
+            "WITH g AS (SELECT user_id, "
+            " CASE WHEN epoch(ts) - epoch(lag(ts) OVER "
+            "  (PARTITION BY user_id ORDER BY ts)) > 1800 "
+            "  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+            " THEN 1 ELSE 0 END AS new_sess FROM events) "
+            "SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, "
+            "COUNT(*) AS n_events FROM g GROUP BY user_id ORDER BY user_id"),
+        "bloom_intersect": (
+            "SELECT doc_id FROM documents WHERE text IN "
+            "(SELECT text FROM documents WHERE lang = 'en') AND text IN "
+            "(SELECT text FROM documents WHERE source = 'src0') "
+            "ORDER BY doc_id"),
+        "hll_union_split": (
+            "SELECT COUNT(DISTINCT user_id) AS n_exact, TRUE AS union_ok "
+            "FROM events"),
+        "streaming_windowed_distinct": (
+            "SELECT CAST(date_trunc('day', ts) AS VARCHAR) AS window_start, "
             "COUNT(DISTINCT user_id) AS n_exact, TRUE AS hll_ok "
             "FROM events GROUP BY 1 ORDER BY 1"),
         "exact_dedup": (

@@ -31,6 +31,7 @@ KIND_HLL = 5
 KIND_CMS = 6
 KIND_KLL = 7
 KIND_TDIGEST = 8
+KIND_THETA = 9
 
 
 def pack(kind: int, params: Dict[str, Any], payload: bytes) -> bytes:

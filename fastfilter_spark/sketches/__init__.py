@@ -2,5 +2,6 @@ from .cms import CountMinSketch
 from .hll import HyperLogLog
 from .kll import KLLSketch
 from .tdigest import TDigest
+from .theta import ThetaSketch
 
-__all__ = ["HyperLogLog", "CountMinSketch", "KLLSketch", "TDigest"]
+__all__ = ["HyperLogLog", "CountMinSketch", "KLLSketch", "TDigest", "ThetaSketch"]

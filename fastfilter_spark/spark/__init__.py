@@ -1,10 +1,10 @@
 from .build import PartitionedFilter, add_keys, build_partitioned_filter
 from .keys import content_key, keys_from_content, partition_id, pd_to_u64
 from .session import get_spark
-from .sketch_agg import cms_agg, cms_query, hll_agg, kll_agg, tdigest_agg
+from .sketch_agg import cms_agg, cms_query, hll_agg, kll_agg, tdigest_agg, theta_agg
 
 __all__ = [
     "get_spark", "content_key", "keys_from_content", "partition_id",
     "pd_to_u64", "build_partitioned_filter", "PartitionedFilter", "add_keys",
-    "hll_agg", "cms_agg", "cms_query", "kll_agg", "tdigest_agg",
+    "hll_agg", "cms_agg", "cms_query", "kll_agg", "tdigest_agg", "theta_agg",
 ]

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..core.hashing import U64
-from ..sketches import CountMinSketch, HyperLogLog, KLLSketch, TDigest
+from ..sketches import CountMinSketch, HyperLogLog, KLLSketch, TDigest, ThetaSketch
 from .keys import pd_to_u64
 
 _GROUP_TYPES = {"string": "string", "bigint": "bigint", "int": "int",
@@ -169,6 +169,24 @@ def tdigest_agg(df: DataFrame, groups: Sequence[str], value_col: str,
         merge=lambda a, b: a.merge(b),
         finalize_schema=qcols + ", sketch binary",
         finalize=_fin,
+    )
+
+
+def theta_agg(df: DataFrame, groups: Sequence[str], key_col: str,
+              k: int = 4096) -> DataFrame:
+    """Theta/KMV distinct sketch per group → (…groups, n_est double,
+    sketch binary). Unlike HLL the blobs support set algebra
+    (union / intersect / a_not_b) — see sketches.theta."""
+    return _two_phase(
+        df, groups, key_col,
+        make_sketch=lambda: ThetaSketch(k),
+        fold=lambda sk, s: sk.add(pd_to_u64(s)),
+        to_blob=lambda sk: sk.to_bytes(),
+        from_blob=ThetaSketch.from_bytes,
+        merge=lambda a, b: a.union(b),
+        finalize_schema="n_est double, sketch binary",
+        finalize=lambda sk: {"n_est": float(sk.estimate()),
+                             "sketch": sk.to_bytes()},
     )
 
 

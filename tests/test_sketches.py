@@ -138,3 +138,35 @@ def test_tdigest_serde_and_minmax():
     t2 = TDigest.from_bytes(td.to_bytes())
     assert t2.min == 1.0 and t2.max == 100.0
     assert t2.quantile(0.5) == td.quantile(0.5)
+
+
+# ---- theta ------------------------------------------------------------------
+
+def test_theta_set_algebra_and_bounds():
+    from fastfilter_spark.sketches import ThetaSketch
+    rng = np.random.default_rng(21)
+    both = rng.integers(0, 2**64, size=50_000, dtype=np.uint64)
+    A = np.unique(np.concatenate([rng.integers(0, 2**64, size=200_000, dtype=np.uint64), both]))
+    B = np.unique(np.concatenate([rng.integers(0, 2**64, size=150_000, dtype=np.uint64), both]))
+    ta, tb = ThetaSketch(4096).add(A), ThetaSketch(4096).add(B)
+    for est, exact in ((ta.union(tb).estimate(), len(np.union1d(A, B))),
+                       (ta.intersect(tb).estimate(), len(np.intersect1d(A, B))),
+                       (ta.a_not_b(tb).estimate(), len(np.setdiff1d(A, B)))):
+        assert abs(est - exact) / exact < 6 * ta.rel_std_error() + 0.02
+
+
+def test_theta_union_associative_exact():
+    from fastfilter_spark.sketches import ThetaSketch
+    rng = np.random.default_rng(22)
+    parts = [rng.integers(0, 2**64, size=60_000, dtype=np.uint64) for _ in range(4)]
+    sks = [ThetaSketch(1024).add(p) for p in parts]
+    l = sks[0].union(sks[1]).union(sks[2]).union(sks[3])
+    r = sks[0].union(sks[1].union(sks[2].union(sks[3])))
+    assert l.theta == r.theta and np.array_equal(l.values, r.values)
+
+
+def test_theta_serde():
+    from fastfilter_spark.sketches import ThetaSketch
+    t = ThetaSketch(256).add(np.arange(10_000, dtype=np.uint64))
+    t2 = ThetaSketch.from_bytes(t.to_bytes())
+    assert t2.estimate() == t.estimate() and t2.theta == t.theta
