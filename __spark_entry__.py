@@ -456,6 +456,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf8_membership": _membership("bf8"),
         "bf16_membership": _membership("bf16"),
         "xor8_membership": _membership("xor8"),
+        "bf32_membership": _membership("bf32"),
+        "xor16_membership": _membership("xor16"),
         "xorplus8_membership": _membership("xorplus8"),
         "bloom_membership": _membership("bloom"),
         "bf16_semijoin": q_bf16_semijoin,
@@ -495,6 +497,8 @@ def oracle_sql() -> dict[str, str]:
         "bf8_membership": _MEMBERSHIP_ORACLE,
         "bf16_membership": _MEMBERSHIP_ORACLE,
         "xor8_membership": _MEMBERSHIP_ORACLE,
+        "bf32_membership": _MEMBERSHIP_ORACLE,
+        "xor16_membership": _MEMBERSHIP_ORACLE,
         "xorplus8_membership": _MEMBERSHIP_ORACLE,
         "bloom_membership": _MEMBERSHIP_ORACLE,
         "bf16_semijoin": ("SELECT doc_id FROM documents WHERE text IN "
