@@ -167,6 +167,47 @@ def _build_one(pid: int, raw: np.ndarray, kind: str, base_rng_state: int,
               "peel_rounds", "build_secs", "bits_per_entry"])
 
 
+def contains_sidecar_route(batches, sidecar_path: str, P: int,
+                           key_name: str = "key",
+                           route_name: str = "__route"):
+    """Probe-side routed lookup for large P (mapInArrow after
+    repartition on the pid expression): a task deserializes ONLY the
+    blobs of the pids routed to it (expected 1, Poisson tail 2–3) by
+    reading them from the sidecar parquet — per-worker memory is a
+    couple of blobs instead of all P (broadcast-all was >100 MB/worker
+    at P=256). Emits the input rows + a `contained` column.
+    """
+    import os
+    import pyarrow.parquet as pq
+
+    cache: Dict[int, object] = {}
+    path = os.path.join(sidecar_path, "partials.parquet")
+
+    def _filter_for(pid: int):
+        f = cache.get(pid)
+        if f is None:
+            tbl = pq.read_table(path, columns=["pid", "blob"],
+                                filters=[("pid", "=", pid)])
+            f = (load_filter(tbl.column("blob")[0].as_py())
+                 if tbl.num_rows else False)
+            cache[pid] = f
+        return f
+
+    for b in batches:
+        keys = b.column(key_name).to_numpy(zero_copy_only=False).view(np.uint64)
+        route = b.column(route_name).to_numpy(zero_copy_only=False)
+        pids = np.mod(route, P)
+        out = np.zeros(len(keys), dtype=bool)
+        for pid in np.unique(pids):
+            filt = _filter_for(int(pid))
+            if filt is not False:
+                m = pids == pid
+                out[m] = filt.contains(keys[m])
+        yield pa.RecordBatch.from_arrays(
+            list(b.columns) + [pa.array(out, pa.bool_())],
+            names=b.schema.names + ["contained"])
+
+
 _FILTER_CACHE: Dict[str, List] = {}
 
 

@@ -154,3 +154,32 @@ def test_add_keys_incremental_rebuild(spark, corpus_df):
     # no-op increment returns the same object state
     pf_same = add_keys(pf_full, keys, keys.limit(5))
     assert all(x == y for x, y in zip(pf_same.blobs, pf_full.blobs))
+
+
+def test_filter_sidecar_roundtrip(spark, corpus_df, tmp_path):
+    """Persist a built filter as a parquet sidecar; reload answers the
+    same membership queries (SURVEY.md §3 stage 6 publish artifact)."""
+    from fastfilter_spark.spark import (
+        read_filter_sidecar, write_filter_sidecar,
+    )
+    keys = keys_from_content(corpus_df, "content")
+    pf = build_partitioned_filter(keys, kind="xorplus8", num_partitions=8)
+    side = str(tmp_path / "sidecar")
+    write_filter_sidecar(pf, side)
+    pf2 = read_filter_sidecar(side)
+    assert pf2.kind == pf.kind and pf2.routing == pf.routing
+    assert all(a == b for a, b in zip(pf.blobs, pf2.blobs))
+    assert pf2.with_contains(keys, "key").where("NOT contained").count() == 0
+
+
+def test_contains_via_sidecar_routes_correctly(spark, corpus_df, tmp_path):
+    from fastfilter_spark.spark import contains_via_sidecar, write_filter_sidecar
+    keys = keys_from_content(corpus_df, "content")
+    pf = build_partitioned_filter(keys, kind="bf8", num_partitions=16)
+    side = str(tmp_path / "side")
+    write_filter_sidecar(pf, side)
+    out = contains_via_sidecar(keys, side)
+    assert out.where("NOT contained").count() == 0
+    probes = spark.range(0, 30_000).select(F.xxhash64("id").alias("key"))
+    fpp = contains_via_sidecar(probes, side).where("contained").count() / 30_000
+    assert fpp < 2**-8 * 1.6 + 0.004
