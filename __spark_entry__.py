@@ -248,6 +248,37 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
               .orderBy("query_id", "rank")
 
 
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN (the partition-prunable scale path):
+    probe 8 of 16 cells, compare against exact brute-force top-3 and
+    flag mean recall@3 >= 0.5 (deterministic: fixed seed + data; the
+    fixture embeddings are near-uniform, so ~0.77-0.9 measured)."""
+    from fastfilter_spark.pipeline import brute_force_topk, ivf_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where("vec_id < 10")
+    approx = ivf_topk(emb, q, k=3, n_cells=16, nprobe=8) \
+        .select("query_id", "neighbor_id")
+    exact = brute_force_topk(emb, q, k=3).select("query_id", "neighbor_id")
+    nq = q.count()
+    hits = approx.join(exact, ["query_id", "neighbor_id"], "left_semi").count()
+    return spark.createDataFrame(
+        [(int(nq), bool(hits / (3.0 * nq) >= 0.5))],
+        "n_queries long, ivf_recall_ok boolean")
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact mode: the cosine is
+    a Catalyst zip_with/aggregate fold over a broadcast self-join (no
+    Python in the hot path), so the result is the exact relational
+    answer; LSH mode (cosine_near_dups(method='lsh')) is the 100 TB
+    pre-filter over the same verify stage."""
+    from fastfilter_spark.pipeline import cosine_near_dups
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (cosine_near_dups(emb, threshold=0.35, method="exact")
+            .select("id_a", "id_b")
+            .orderBy("id_a", "id_b"))
+
+
 def q_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta/KMV sketch set algebra vs exact set cardinalities: union,
     intersection and difference of (lang='en') and (n_chars > 300)
@@ -479,6 +510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats_by_lang": q_token_stats_by_lang,
         "quality_features": q_quality_features,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ivf_ann_topk": q_ivf_ann_topk,
+        "embedding_near_dups": q_embedding_near_dups,
         # rows-only (no SQL oracle): LSH/simhash/fingerprint/lang-id/media
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_candidates": q_simhash_candidates,
@@ -584,6 +617,15 @@ def oracle_sql() -> dict[str, str]:
             f"len({_TOKENS_SQL}) AS n_tokens, "
             "length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) "
             "AS n_punct FROM documents ORDER BY doc_id"),
+        "ivf_ann_topk": (
+            "SELECT COUNT(*) AS n_queries, TRUE AS ivf_recall_ok "
+            "FROM embeddings WHERE vec_id < 10"),
+        "embedding_near_dups": (
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+            "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id "
+            "AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.35 "
+            "ORDER BY id_a, id_b"),
         "ann_cosine_topk": (
             "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
             "CAST(row_number() OVER (PARTITION BY q.vec_id "

@@ -1,4 +1,7 @@
-from .ann import brute_force_topk, hyperplane_signatures, lsh_topk
+from .ann import (
+    brute_force_topk, cosine_near_dups, hyperplane_signatures, ivf_assign,
+    ivf_topk, lsh_topk, train_ivf_centroids,
+)
 from .dedup import (
     exact_dedup, distinct_by_content, jaccard_verify, minhash_dedup,
     minhash_lsh_candidates, minhash_signatures, ngram_jaccard_pairs,

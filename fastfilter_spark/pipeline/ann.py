@@ -11,6 +11,18 @@ Two paths:
   batched matmul, candidates blocked on signature bands, exact cosine
   re-rank of candidates only. The scale path: shuffle moves only
   (band, sig) buckets, never the cross product.
+* ivf_topk — IVF (inverted-file) coarse quantizer: spherical k-means
+  centroids trained on a bounded deterministic sample, every corpus
+  vector assigned to its nearest cell JVM-filterable `cell` column,
+  queries probe only their `nprobe` nearest cells. The alternative
+  scale path: with the corpus written partitioned-by-cell, the
+  `cell IN (...)` predicate becomes partition pruning and a probe
+  touches nprobe/n_cells of the data.
+* cosine_near_dups — embedding-cosine near-duplicate pairs. Exact
+  mode keeps the whole cosine in Catalyst (zip_with/aggregate fold,
+  no Python in the hot path) over a broadcast self-join — the verify
+  stage; LSH mode pre-filters candidates by signature bands first —
+  the 100 TB stage.
 
 Vectors are `array<float>` columns; norms are precomputed JVM-side.
 """
@@ -137,3 +149,204 @@ def lsh_topk(corpus: DataFrame, vec_col: str = "embedding",
         F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) coarse quantizer
+# ---------------------------------------------------------------------------
+
+def _spherical_kmeans(x: np.ndarray, k: int, iters: int = 15,
+                      seed: int = 42) -> np.ndarray:
+    """Deterministic spherical k-means on unit vectors (k-means++ init,
+    cosine assignment, renormalized means). Pure numpy, runs on the
+    driver over a bounded training sample."""
+    rng = np.random.default_rng(seed)
+    k = min(k, len(x))
+    idx = [int(rng.integers(len(x)))]
+    for _ in range(k - 1):
+        d = np.maximum(1.0 - np.max(x @ x[idx].T, axis=1), 0)
+        total = d.sum()
+        if total <= 0:
+            idx.append(int(rng.integers(len(x))))
+        else:
+            idx.append(int(rng.choice(len(x), p=d / total)))
+    cents = x[idx].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[j] = v / n
+    return cents
+
+
+def _unit(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return mat / norms[:, None]
+
+
+def train_ivf_centroids(corpus: DataFrame, vec_col: str = "embedding",
+                        id_col: str = "vec_id", n_cells: int = 16,
+                        train_limit: int = 4096, kmeans_iters: int = 15,
+                        seed: int = 42) -> np.ndarray:
+    """Train the coarse quantizer on a deterministic hash-sampled subset
+    of at most ``train_limit`` vectors (never a full collect — at 100 TB
+    the sample is a tiny fraction picked by key hash, not by position)."""
+    n = corpus.count()
+    # deterministic 1-in-m hash sample sized to ~2x train_limit, then cap
+    m = max(1, n // max(1, train_limit))
+    sample = corpus.where(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(m)) == 0) if m > 1 else corpus
+    rows = sample.select(vec_col).limit(train_limit).collect()
+    mat = np.vstack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    return _spherical_kmeans(_unit(mat), n_cells, kmeans_iters, seed)
+
+
+def ivf_assign(corpus: DataFrame, centroids: np.ndarray,
+               vec_col: str = "embedding") -> DataFrame:
+    """Add an int `cell` column = nearest centroid by cosine. The cell
+    column is a plain JVM-filterable int: writing the corpus partitioned
+    by it turns probe-side `cell IN (...)` into partition pruning."""
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+
+    @F.pandas_udf("int")
+    def _cell(vec: pd.Series) -> pd.Series:
+        cents = bc.value
+        m = _unit(_as_matrix(vec, cents.shape[1]))
+        return pd.Series(np.argmax(m @ cents.T, axis=1).astype(np.int32))
+
+    return corpus.withColumn("cell", _cell(F.col(vec_col)))
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             k: int = 5, n_cells: int = 16, nprobe: int = 8,
+             train_limit: int = 4096, kmeans_iters: int = 15,
+             seed: int = 42, exclude_self: bool = True,
+             centroids: Optional[np.ndarray] = None) -> DataFrame:
+    """IVF approximate cosine top-k: (query_id, neighbor_id, cos_sim, rank).
+
+    Each query scores only vectors in its ``nprobe`` nearest cells. The
+    corpus-side prefilter is a JVM `cell IN (union of probed cells)`
+    predicate — pushdown/partition-prunable — and the per-(row, query)
+    cell mask is applied vectorized inside the scoring UDF, so a row is
+    never scored against a query that did not probe its cell."""
+    spark = corpus.sparkSession
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, vec_col, id_col, n_cells,
+                                        train_limit, kmeans_iters, seed)
+    n_cells = len(centroids)
+    nprobe = min(nprobe, n_cells)
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = _unit(np.vstack([np.asarray(r[1], dtype=np.float64)
+                            for r in qrows]))
+    # (nq, nprobe) probed cells per query + (n_cells, nq) membership mask
+    order = np.argsort(-(qmat @ centroids.T), axis=1)[:, :nprobe]
+    probe_mask = np.zeros((n_cells, len(qids)), dtype=bool)
+    for qi in range(len(qids)):
+        probe_mask[order[qi], qi] = True
+    probed_cells = sorted({int(c) for c in order.ravel()})
+    bc = spark.sparkContext.broadcast((qids, qmat, probe_mask))
+
+    assigned = ivf_assign(corpus, centroids, vec_col).where(
+        F.col("cell").isin(probed_cells))
+
+    out_schema = "query_id long, neighbor_id long, cos_sim double"
+    dim = centroids.shape[1]
+
+    def _score(batches):
+        qids_b, qn, mask = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cmat = _unit(_as_matrix(pdf[vec_col], dim))
+            sims = cmat @ qn.T                            # (batch, nq)
+            cells = pdf["cell"].to_numpy(dtype=np.int64)
+            keep = mask[cells]                            # (batch, nq)
+            cids = pdf[id_col].to_numpy(dtype=np.int64)
+            bi, qi = np.nonzero(keep)
+            yield pd.DataFrame({
+                "query_id": qids_b[qi],
+                "neighbor_id": cids[bi],
+                "cos_sim": sims[bi, qi],
+            })
+
+    scored = assigned.select(id_col, vec_col, "cell") \
+                     .mapInPandas(_score, out_schema)
+    if exclude_self:
+        scored = scored.where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+def _jvm_cosine(a, b):
+    """Cosine similarity entirely in Catalyst (double precision):
+    zip_with product fold — no Python worker in the loop."""
+    def dot(u, v):
+        return F.aggregate(
+            F.zip_with(u, v, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x)
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def cosine_near_dups(df: DataFrame, vec_col: str = "embedding",
+                     id_col: str = "vec_id", threshold: float = 0.35,
+                     method: str = "exact", n_bits: int = 16,
+                     bands: int = 8, dim: int = 64,
+                     seed: int = 42) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, cos_sim >= threshold).
+
+    method='exact': broadcast self-join, cosine in Catalyst — exact
+    answer, O(n^2) scoring; the verify stage / small-side baseline.
+    method='lsh': hyperplane-band candidates first, exact cosine only
+    on candidates — the at-scale pre-filter (may miss pairs whose
+    signatures collide in no band; recall tunable via n_bits/bands)."""
+    left = df.select(F.col(id_col).alias("id_a"),
+                     F.col(vec_col).alias("va"))
+    right = df.select(F.col(id_col).alias("id_b"),
+                      F.col(vec_col).alias("vb"))
+    if method == "exact":
+        pairs = left.join(F.broadcast(right),
+                          F.col("id_a") < F.col("id_b"))
+    elif method == "lsh":
+        sigs = hyperplane_signatures(df, vec_col, id_col, n_bits, dim, seed)
+        rows = n_bits // bands
+        band_arr = F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.shiftrightunsigned(F.col("sig"), rows * b)
+                     .bitwiseAND(F.lit((1 << rows) - 1)).alias("bh"))
+            for b in range(bands)
+        ])
+        e = sigs.select("id", F.explode(band_arr).alias("b")) \
+                .select("id", "b.band", "b.bh")
+        cands = (e.alias("l").join(e.alias("r"), ["band", "bh"])
+                 .where(F.col("l.id") < F.col("r.id"))
+                 .select(F.col("l.id").alias("id_a"),
+                         F.col("r.id").alias("id_b"))
+                 .dropDuplicates())
+        pairs = (cands
+                 .join(left.withColumnRenamed("id_a", "id_a2")
+                       .withColumnRenamed("va", "va"),
+                       F.col("id_a") == F.col("id_a2")).drop("id_a2")
+                 .join(right.withColumnRenamed("id_b", "id_b2")
+                       .withColumnRenamed("vb", "vb"),
+                       F.col("id_b") == F.col("id_b2")).drop("id_b2"))
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return (pairs
+            .withColumn("cos_sim", _jvm_cosine(F.col("va"), F.col("vb")))
+            .where(F.col("cos_sim") >= threshold)
+            .select("id_a", "id_b", "cos_sim"))

@@ -130,6 +130,60 @@ def test_lsh_topk_recall(spark):
     assert recall > 0.5, recall  # bands=8/r=2 → generous blocking
 
 
+def test_ivf_topk_recall_and_pruning(spark):
+    from fastfilter_spark.pipeline import ivf_topk
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where("vec_id < 10")
+    exact = brute_force_topk(emb, q, k=3).toPandas()
+    approx = ivf_topk(emb, q, k=3, n_cells=16, nprobe=8).toPandas()
+    exact_pairs = set(zip(exact.query_id, exact.neighbor_id))
+    approx_pairs = set(zip(approx.query_id, approx.neighbor_id))
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.5, recall
+    # full probe (nprobe == n_cells) degenerates to the exact answer
+    full = ivf_topk(emb, q, k=3, n_cells=16, nprobe=16).toPandas()
+    full_pairs = set(zip(full.query_id, full.neighbor_id))
+    assert full_pairs == exact_pairs
+    # determinism: same seed → identical result
+    again = ivf_topk(emb, q, k=3, n_cells=16, nprobe=8).toPandas()
+    assert set(zip(again.query_id, again.neighbor_id)) == approx_pairs
+
+
+def test_ivf_assign_covers_all_cells_filterable(spark):
+    from fastfilter_spark.pipeline import ivf_assign, train_ivf_centroids
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = train_ivf_centroids(emb, n_cells=8)
+    assigned = ivf_assign(emb, cents)
+    pdf = assigned.select("vec_id", "cell").toPandas()
+    assert pdf.cell.between(0, 7).all()
+    assert len(pdf) == emb.count()
+    # the cell predicate is a plain JVM filter (prunable at the source)
+    some = assigned.where(F.col("cell").isin([0, 1])).count()
+    assert some == int((pdf.cell < 2).sum())
+
+
+def test_cosine_near_dups_exact_vs_numpy(spark):
+    from fastfilter_spark.pipeline import cosine_near_dups
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pdf = emb.toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = unit @ unit.T
+    iu, ju = np.triu_indices(len(ids), 1)
+    want = {(min(int(ids[i]), int(ids[j])), max(int(ids[i]), int(ids[j])))
+            for i, j in zip(iu, ju) if sims[i, j] >= 0.35}
+    got_df = cosine_near_dups(emb, threshold=0.35, method="exact").toPandas()
+    got = set(zip(got_df.id_a, got_df.id_b))
+    assert got == want
+    # LSH mode returns a subset (candidates are verified exactly)
+    lsh_df = cosine_near_dups(emb, threshold=0.35, method="lsh",
+                              n_bits=16, bands=8).toPandas()
+    lsh = set(zip(lsh_df.id_a, lsh_df.id_b))
+    assert lsh <= want
+    assert len(lsh) >= 0.3 * len(want), (len(lsh), len(want))
+
+
 def test_multimodal_plumbing(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     media = make_fake_media(docs.limit(20), "doc_id")

@@ -2,7 +2,8 @@
 
 runs every ``queries()`` entry at sf0.01 and compares row-count, schema
 (column names) and order-insensitive values against ``oracle_sql()``
-via DuckDB. Usage: python tools/check_entry.py [sf_dir]
+via DuckDB. Usage: python tools/check_entry.py [sf_dir] [query ...]
+(optional query names restrict the run to those entries)
 """
 
 from __future__ import annotations
@@ -34,7 +35,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
+def main(sf_dir: str = "/root/testdata/sf0.01", *only: str) -> int:
     import __spark_entry__ as e
     from fastfilter_spark.spark import get_spark
 
@@ -45,6 +46,8 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
     spark = get_spark("check_entry", cpus=8)
 
     qs, oracles = e.queries(), e.oracle_sql()
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     failures = []
     for name, fn in qs.items():
         t0 = time.time()
