@@ -248,6 +248,52 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
               .orderBy("query_id", "rank")
 
 
+def q_bf8_grouped_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group filters (one bf8 blob per lang): for each lang, how
+    many docs of the whole corpus have content present in that lang's
+    corpus. Zero FN + exact confirm join → exact answer; the per-lang
+    filter prunes the (doc × lang) probe space."""
+    from fastfilter_spark.spark import build_grouped_filters, content_key
+    docs = _docs(spark, sf_dir).withColumn("key", content_key("text"))
+    gf = build_grouped_filters(docs.select("lang", "key"), ["lang"],
+                               kind="bf8")
+    langs = docs.select("lang").distinct()
+    probe = docs.select("doc_id", "key").crossJoin(F.broadcast(langs))
+    cand = gf.with_contains(probe, "key").where("contained")
+    truth = docs.select("lang", "key").dropDuplicates()
+    confirmed = cand.join(F.broadcast(truth), ["lang", "key"], "left_semi")
+    return (confirmed.groupBy("lang").agg(F.count("*").alias("n_hits"))
+            .orderBy("lang"))
+
+
+def q_bf8_composite_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same question, unbounded-group shape: ONE salted-partitioned
+    filter over composite xxhash64(lang, key) keys — membership of
+    (g, k) is contains(xxhash64(g, k)); placement hashes the composite,
+    so a Zipf-skewed group domain (repo at 10^12 files) cannot skew the
+    build. Exact via the confirm join."""
+    from fastfilter_spark.spark import build_partitioned_filter, content_key
+    docs = _docs(spark, sf_dir).withColumn("key", content_key("text"))
+    pairs = docs.select("lang", "key").dropDuplicates()
+    composite = pairs.select(F.xxhash64("lang", "key").alias("ckey"))
+    pf = build_partitioned_filter(composite, key_col="ckey", kind="bf8",
+                                  num_partitions=8)
+    langs = docs.select("lang").distinct()
+    probe = (docs.select("doc_id", "key").crossJoin(F.broadcast(langs))
+             .withColumn("ckey", F.xxhash64("lang", "key")))
+    cand = pf.with_contains(probe, "ckey").where("contained")
+    confirmed = cand.join(F.broadcast(pairs), ["lang", "key"], "left_semi")
+    return (confirmed.groupBy("lang").agg(F.count("*").alias("n_hits"))
+            .orderBy("lang"))
+
+
+_GROUPED_ORACLE = (
+    "SELECT x.lang, COUNT(*) AS n_hits "
+    "FROM (SELECT DISTINCT lang, text FROM documents) x "
+    "JOIN documents d ON d.text = x.text "
+    "GROUP BY x.lang ORDER BY x.lang")
+
+
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantizer ANN (the partition-prunable scale path):
     probe 8 of 16 cells, compare against exact brute-force top-3 and
@@ -494,6 +540,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf16_semijoin": q_bf16_semijoin,
         "xor8_antijoin": q_xor8_antijoin,
         "bf8_orders_semijoin": q_bf8_orders_semijoin,
+        "bf8_grouped_membership": q_bf8_grouped_membership,
+        "bf8_composite_grouped": q_bf8_composite_grouped,
         "hll_by_lang": q_hll_by_lang,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "kll_quantiles": q_kll_quantiles,
@@ -546,6 +594,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem WHERE l_orderkey IN "
             "(SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F') "
             "GROUP BY l_returnflag ORDER BY l_returnflag"),
+        "bf8_grouped_membership": _GROUPED_ORACLE,
+        "bf8_composite_grouped": _GROUPED_ORACLE,
         "hll_by_lang": ("SELECT lang, COUNT(DISTINCT text) AS n_exact, "
                         "TRUE AS hll_ok FROM documents GROUP BY lang "
                         "ORDER BY lang"),

@@ -1,0 +1,127 @@
+"""Per-group membership filters: one filter blob per group key.
+
+Two shapes for "is key k a member of group g's set", picked by the
+group domain:
+
+* **Bounded group domains** (lang, source, date partition, tenant —
+  up to ~10^4 groups): :func:`build_grouped_filters` builds one blob
+  per group via ``groupBy(group_cols).applyInArrow`` and queries route
+  by the group value. Each group's key set must fit one task (the same
+  bound a GROUP BY aggregation state has); per-group FPP/size metrics
+  come out per row, and a single group's filter can be exported and
+  shipped on its own (:meth:`GroupedFilters.filter_for`).
+
+* **Unbounded / Zipf-skewed group domains** (repo at 10^12-file scale):
+  do NOT build per-group blobs — fold the group into the key instead:
+  ``xxhash64(group..., key)`` and build ONE salted-partitioned filter
+  over the composite keys (`build_partitioned_filter`). Membership of
+  (g, k) is `contains(xxhash64(g, k))`; skew is defused because
+  placement hashes the composite, never the group. The driver query
+  ``bf8_grouped_membership`` demonstrates the first shape and
+  ``bf8_composite_grouped`` the second, against the same exact oracle.
+"""
+
+from __future__ import annotations
+
+import uuid
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+GROUP_SEP = "\x1f"
+
+_GROUPED_SCHEMA = (
+    "gkey string, kind string, blob binary, n_keys long, keys_ingested long, "
+    "attempts int, peel_rounds int, build_secs double, bits_per_entry double"
+)
+
+
+def _gkey_expr(group_cols: Sequence[str]):
+    return F.concat_ws(GROUP_SEP,
+                       *[F.col(c).cast("string") for c in group_cols])
+
+
+@dataclass
+class GroupedFilters:
+    """group value(s) -> filter blob; queryable as a DataFrame predicate."""
+
+    kind: str
+    group_cols: List[str]
+    blob_map: Dict[str, bytes]
+    metrics: pd.DataFrame                  # one row per group (no blob)
+    token: str = field(default_factory=lambda: uuid.uuid4().hex)
+
+    def with_contains(self, df: DataFrame, key_col: str,
+                      out_col: str = "contained") -> DataFrame:
+        """contained := key ∈ filter[group cols of the row]. Rows whose
+        group had no filter at build time get False (empty set)."""
+        spark = df.sparkSession
+        from .. import workerside
+        bc = spark.sparkContext.broadcast((self.token, self.blob_map))
+
+        @F.pandas_udf("boolean")
+        def _contains(key: pd.Series, gkey: pd.Series) -> pd.Series:
+            return workerside.contains_grouped_kernel(bc.value, key, gkey)
+
+        return df.withColumn(
+            out_col, _contains(F.col(key_col), _gkey_expr(self.group_cols)))
+
+    def filter_for(self, *values):
+        """Load one group's filter driver-side (export / unit probes)."""
+        from .. import workerside
+        return workerside.load_filter(
+            self.blob_map[GROUP_SEP.join(str(v) for v in values)])
+
+    @property
+    def n_groups(self) -> int:
+        return len(self.blob_map)
+
+
+def build_grouped_filters(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    key_col: str = "key",
+    kind: str = "bf8",
+    base_rng_state: int = 0x726B2B9D438B9D4D,
+    bloom_n_expected_per_group: Optional[int] = None,
+    bloom_fpp: float = 0.01,
+) -> GroupedFilters:
+    """One filter per distinct (group_cols) value.
+
+    The exchange is the groupBy shuffle only; dedupe is the in-task
+    np.unique (global per group, same argument as the pid build). The
+    per-group RNG seed depends only on (base_rng_state, group values),
+    so rebuilds are byte-identical regardless of parallelism.
+    NULL group values are excluded (concat_ws drops NULLs, which would
+    alias groups) — filter them upstream if they are meaningful.
+    """
+    from .. import workerside
+
+    bloom_args = None
+    if kind == "bloom":
+        if bloom_n_expected_per_group is None:
+            raise ValueError("bloom grouped build needs "
+                             "bloom_n_expected_per_group")
+        bloom_args = (max(16, int(1.2 * bloom_n_expected_per_group)),
+                      bloom_fpp)
+
+    all_non_null = F.lit(True)
+    for c in group_cols:
+        all_non_null = all_non_null & F.col(c).isNotNull()
+    placed = (df.where(all_non_null)
+              .select(_gkey_expr(group_cols).alias("gkey"),
+                      F.col(key_col).alias("key"))
+              .where(F.col("key").isNotNull()))
+
+    def _build(tbl):
+        return workerside.build_group_arrow(tbl, kind, base_rng_state,
+                                            bloom_args)
+
+    rows = placed.groupBy("gkey").applyInArrow(_build, _GROUPED_SCHEMA) \
+                 .toPandas()
+    blob_map = {r["gkey"]: bytes(r["blob"]) for _, r in rows.iterrows()}
+    return GroupedFilters(kind, list(group_cols), blob_map,
+                          rows.drop(columns=["blob"]))

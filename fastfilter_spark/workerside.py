@@ -167,6 +167,72 @@ def _build_one(pid: int, raw: np.ndarray, kind: str, base_rng_state: int,
               "peel_rounds", "build_secs", "bits_per_entry"])
 
 
+def group_rng_state(base: int, gkey: str) -> int:
+    """Deterministic per-group RNG seed: depends only on (base, group
+    values), so grouped builds are reproducible regardless of task
+    placement — the same property part_rng_state gives pids."""
+    import hashlib
+    h = int.from_bytes(hashlib.sha256(gkey.encode("utf-8")).digest()[:8],
+                       "little")
+    return part_rng_state(base, h)
+
+
+def build_group_arrow(tbl: "pa.Table", kind: str, base_rng_state: int,
+                      bloom_args=None) -> "pa.Table":
+    """groupBy(gkey).applyInArrow body: one filter blob per group key.
+    Same in-partition np.unique global dedupe as the pid builders (all
+    copies of a (group, key) pair land in the same group task)."""
+    gkey = tbl.column("gkey")[0].as_py()
+    raw = tbl.column("key").to_numpy(zero_copy_only=False).view(np.uint64)
+    keys = np.unique(raw)
+    t0 = time.time()
+    build = bloom_builder(*bloom_args) if kind == "bloom" else _BUILDERS[kind]
+    filt = build(keys, group_rng_state(base_rng_state, gkey))
+    dt = time.time() - t0
+    batch = pa.RecordBatch.from_arrays([
+        pa.array([gkey], pa.string()),
+        pa.array([kind], pa.string()),
+        pa.array([filt.to_bytes()], pa.binary()),
+        pa.array([int(keys.size)], pa.int64()),
+        pa.array([int(raw.size)], pa.int64()),
+        pa.array([int(getattr(filt, "attempts", 1))], pa.int32()),
+        pa.array([int(getattr(filt, "peel_rounds", 0))], pa.int32()),
+        pa.array([dt], pa.float64()),
+        pa.array([float(filt.bits_per_entry())], pa.float64()),
+    ], names=["gkey", "kind", "blob", "n_keys", "keys_ingested", "attempts",
+              "peel_rounds", "build_secs", "bits_per_entry"])
+    return pa.Table.from_batches([batch])
+
+
+def contains_grouped_kernel(bc_value, key: pd.Series,
+                            gkey: pd.Series) -> pd.Series:
+    """Vectorized per-group membership: factorize the batch's group
+    column, one numpy contains() per distinct group present. A group
+    with no filter (unseen at build time) yields all-False — 'key in
+    empty set'."""
+    token, blob_map = bc_value
+    cache = _FILTER_CACHE.get(token)
+    if cache is None:
+        cache = {}
+        _FILTER_CACHE[token] = cache
+        while len(_FILTER_CACHE) > 8:
+            _FILTER_CACHE.pop(next(iter(_FILTER_CACHE)))
+    keys = pd_to_u64(key)
+    out = np.zeros(len(keys), dtype=bool)
+    codes, uniques = pd.factorize(gkey, use_na_sentinel=True)
+    for ci, g in enumerate(uniques):
+        filt = cache.get(g)
+        if filt is None and g not in cache:
+            blob = blob_map.get(g)
+            filt = load_filter(blob) if blob is not None else None
+            cache[g] = filt
+        if filt is None:
+            continue
+        mask = codes == ci
+        out[mask] = filt.contains(keys[mask])
+    return pd.Series(out)
+
+
 def contains_sidecar_route(batches, sidecar_path: str, P: int,
                            key_name: str = "key",
                            route_name: str = "__route"):

@@ -183,3 +183,59 @@ def test_contains_via_sidecar_routes_correctly(spark, corpus_df, tmp_path):
     probes = spark.range(0, 30_000).select(F.xxhash64("id").alias("key"))
     fpp = contains_via_sidecar(probes, side).where("contained").count() / 30_000
     assert fpp < 2**-8 * 1.6 + 0.004
+
+
+def test_grouped_filters_zero_fn_and_exactness(spark, corpus_df):
+    from fastfilter_spark.spark import build_grouped_filters
+    docs = corpus_df.withColumn("key", content_key("content"))
+    gf = build_grouped_filters(docs.select("lang", "key"), ["lang"],
+                               kind="bf8")
+    assert gf.n_groups == docs.select("lang").distinct().count()
+    # zero FN: probing each row against its own group is always true
+    own = gf.with_contains(docs.select("lang", "key"), "key")
+    assert own.where("NOT contained").count() == 0
+    # per-group metrics rows carry lineage
+    assert set(gf.metrics.columns) >= {"gkey", "n_keys", "attempts",
+                                       "bits_per_entry"}
+    # a group's filter is individually exportable + probes correctly
+    some_lang = docs.select("lang").first().lang
+    filt = gf.filter_for(some_lang)
+    keys = (docs.where(F.col("lang") == some_lang).select("key")
+            .limit(100).toPandas()["key"].to_numpy(np.int64)
+            .view(np.uint64))
+    assert filt.contains(keys).all()
+
+
+def test_grouped_filters_unknown_group_and_determinism(spark, corpus_df):
+    from fastfilter_spark.spark import build_grouped_filters
+    docs = corpus_df.withColumn("key", content_key("content"))
+    gf = build_grouped_filters(docs.select("lang", "key"), ["lang"],
+                               kind="bf8")
+    # unknown group at probe time == empty set
+    probe = docs.select("key").withColumn("lang", F.lit("__nope__"))
+    assert gf.with_contains(probe.select("lang", "key"), "key") \
+             .where("contained").count() == 0
+    # determinism: rebuild at different parallelism → identical blobs
+    gf2 = build_grouped_filters(
+        docs.repartition(3).select("lang", "key"), ["lang"], kind="bf8")
+    assert gf.blob_map == gf2.blob_map
+
+
+def test_grouped_filters_cross_group_fpp_bounded(spark, corpus_df):
+    from fastfilter_spark.spark import build_grouped_filters
+    docs = corpus_df.withColumn("key", content_key("content"))
+    gf = build_grouped_filters(docs.select("lang", "key"), ["lang"],
+                               kind="bf16")
+    langs = [r.lang for r in docs.select("lang").distinct().collect()]
+    # probe every key against a DIFFERENT group: hits must be only true
+    # cross-group overlaps plus a ~2^-16 FP rate
+    other = {langs[i]: langs[(i + 1) % len(langs)] for i in range(len(langs))}
+    mapping = F.create_map(*[F.lit(x) for kv in other.items() for x in kv])
+    probe = (docs.select("lang", "key")
+             .withColumn("plang", mapping[F.col("lang")])
+             .select(F.col("plang").alias("lang"), "key"))
+    got = gf.with_contains(probe, "key").where("contained").count()
+    truth = (probe.join(docs.select("lang", "key").dropDuplicates(),
+                        ["lang", "key"], "left_semi").count())
+    n = probe.count()
+    assert truth <= got <= truth + max(10, int(n * 3e-4))
