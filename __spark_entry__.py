@@ -248,6 +248,54 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
               .orderBy("query_id", "rank")
 
 
+def q_q3_two_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape with TWO composed runtime filters: a bf16 over
+    BUILDING-segment custkeys prunes orders; a bf16 over the surviving
+    orderkeys prunes lineitem — each probe side shrinks before its
+    shuffle join, the way chained InjectRuntimeFilter works. Exact via
+    confirm joins (zero FN, FP candidates removed)."""
+    from fastfilter_spark.spark import build_partitioned_filter
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    bld = cust.where(F.col("c_mktsegment") == "BUILDING") \
+              .select("c_custkey").distinct()
+    pf_c = build_partitioned_filter(
+        bld.select(F.xxhash64("c_custkey").alias("key")), kind="bf16",
+        num_partitions=8)
+    o_cand = pf_c.with_contains(
+        orders.where(F.col("o_orderdate") < "1998-01-01")
+              .withColumn("key", F.xxhash64("o_custkey")), "key") \
+        .where("contained")
+    o_ok = o_cand.join(F.broadcast(bld),
+                       o_cand.o_custkey == bld.c_custkey, "left_semi")
+
+    okeys = o_ok.select("o_orderkey").distinct()
+    pf_o = build_partitioned_filter(
+        okeys.select(F.xxhash64("o_orderkey").alias("key")), kind="bf16",
+        num_partitions=8)
+    l_cand = pf_o.with_contains(
+        li.where(F.col("l_shipdate") > "1998-01-01")
+          .withColumn("key", F.xxhash64("l_orderkey")), "key") \
+        .where("contained")
+    l_ok = l_cand.join(F.broadcast(okeys),
+                       l_cand.l_orderkey == okeys.o_orderkey, "left_semi")
+
+    # revenue in integer cents: per-row IEEE double product + floor is
+    # bit-identical across engines, the BIGINT sum is exact — no FP
+    # boundary flake in the value-hash compare.
+    cents = F.floor((F.col("l_extendedprice")
+                     * (F.lit(1.0) - F.col("l_discount"))) * F.lit(100.0))
+    return (l_ok.groupBy("l_orderkey")
+            .agg(F.sum(cents).cast("long").alias("revenue_cents"),
+                 F.count("*").alias("n_items"))
+            .select(F.col("l_orderkey").alias("orderkey"),
+                    "revenue_cents", "n_items")
+            .orderBy(F.col("revenue_cents").desc(), F.col("orderkey"))
+            .limit(20))
+
+
 def q_bf8_grouped_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group filters (one bf8 blob per lang): for each lang, how
     many docs of the whole corpus have content present in that lang's
@@ -536,10 +584,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf32_membership": _membership("bf32"),
         "xor16_membership": _membership("xor16"),
         "xorplus8_membership": _membership("xorplus8"),
+        "xorplus16_membership": _membership("xorplus16"),
         "bloom_membership": _membership("bloom"),
         "bf16_semijoin": q_bf16_semijoin,
         "xor8_antijoin": q_xor8_antijoin,
         "bf8_orders_semijoin": q_bf8_orders_semijoin,
+        "q3_two_filters": q_q3_two_filters,
         "bf8_grouped_membership": q_bf8_grouped_membership,
         "bf8_composite_grouped": q_bf8_composite_grouped,
         "hll_by_lang": q_hll_by_lang,
@@ -581,6 +631,7 @@ def oracle_sql() -> dict[str, str]:
         "bf32_membership": _MEMBERSHIP_ORACLE,
         "xor16_membership": _MEMBERSHIP_ORACLE,
         "xorplus8_membership": _MEMBERSHIP_ORACLE,
+        "xorplus16_membership": _MEMBERSHIP_ORACLE,
         "bloom_membership": _MEMBERSHIP_ORACLE,
         "bf16_semijoin": ("SELECT doc_id FROM documents WHERE text IN "
                           "(SELECT text FROM documents WHERE lang = 'en') "
@@ -594,6 +645,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem WHERE l_orderkey IN "
             "(SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F') "
             "GROUP BY l_returnflag ORDER BY l_returnflag"),
+        "q3_two_filters": (
+            "SELECT l_orderkey AS orderkey, "
+            "CAST(SUM(FLOOR((l_extendedprice * (1 - l_discount)) * 100)) "
+            "AS BIGINT) AS revenue_cents, "
+            "COUNT(*) AS n_items "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "AND o_orderdate < DATE '1998-01-01' "
+            "AND l_shipdate > DATE '1998-01-01' "
+            "GROUP BY l_orderkey "
+            "ORDER BY revenue_cents DESC, orderkey LIMIT 20"),
         "bf8_grouped_membership": _GROUPED_ORACLE,
         "bf8_composite_grouped": _GROUPED_ORACLE,
         "hll_by_lang": ("SELECT lang, COUNT(DISTINCT text) AS n_exact, "
