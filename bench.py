@@ -78,6 +78,12 @@ def main() -> None:
     timed("build_bf8_1e7", lambda: build_partitioned_filter(
         big, kind="bf8", num_partitions=CPUS))
     extra["bf8_1e7_keys_per_sec"] = round(n_big / timings["build_bf8_1e7"])
+    # rows shuffle mode: single-box fast path (one python pass; packed
+    # stays the default because per-row shuffle cost explodes multi-node)
+    timed("build_bf8_1e7_rows", lambda: build_partitioned_filter(
+        big, kind="bf8", num_partitions=CPUS, shuffle_mode="rows"))
+    extra["bf8_1e7_rows_keys_per_sec"] = round(
+        n_big / timings["build_bf8_1e7_rows"])
     # .where("contained") keeps Catalyst from pruning the UDF column away
     timed("contains_1e7", lambda: bf8.with_contains(big, "key")
           .where("contained").count())
