@@ -292,14 +292,12 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame,
 # embedding-cosine near-duplicate pairs
 # ---------------------------------------------------------------------------
 
-def _jvm_cosine(a, b):
-    """Cosine similarity entirely in Catalyst (double precision):
+def _jvm_dot(u, v):
+    """Dot product entirely in Catalyst (double precision):
     zip_with product fold — no Python worker in the loop."""
-    def dot(u, v):
-        return F.aggregate(
-            F.zip_with(u, v, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0), lambda acc, x: acc + x)
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    return F.aggregate(
+        F.zip_with(u, v, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
 
 
 def cosine_near_dups(df: DataFrame, vec_col: str = "embedding",
@@ -314,10 +312,15 @@ def cosine_near_dups(df: DataFrame, vec_col: str = "embedding",
     method='lsh': hyperplane-band candidates first, exact cosine only
     on candidates — the at-scale pre-filter (may miss pairs whose
     signatures collide in no band; recall tunable via n_bits/bands)."""
-    left = df.select(F.col(id_col).alias("id_a"),
-                     F.col(vec_col).alias("va"))
-    right = df.select(F.col(id_col).alias("id_b"),
-                      F.col(vec_col).alias("vb"))
+    # norms once per vector BEFORE the pair join: the join then folds
+    # one dot per pair instead of three
+    normed = df.select(F.col(id_col).alias("id"),
+                       F.col(vec_col).alias("v")) \
+               .withColumn("nrm", F.sqrt(_jvm_dot(F.col("v"), F.col("v"))))
+    left = normed.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                         F.col("nrm").alias("na"))
+    right = normed.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                          F.col("nrm").alias("nb"))
     if method == "exact":
         pairs = left.join(F.broadcast(right),
                           F.col("id_a") < F.col("id_b"))
@@ -347,6 +350,7 @@ def cosine_near_dups(df: DataFrame, vec_col: str = "embedding",
     else:
         raise ValueError(f"unknown method {method!r}")
     return (pairs
-            .withColumn("cos_sim", _jvm_cosine(F.col("va"), F.col("vb")))
+            .withColumn("cos_sim", _jvm_dot(F.col("va"), F.col("vb"))
+                        / (F.col("na") * F.col("nb")))
             .where(F.col("cos_sim") >= threshold)
             .select("id_a", "id_b", "cos_sim"))
