@@ -248,6 +248,33 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
               .orderBy("query_id", "rank")
 
 
+def q_source_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (format 'ffsk_membership'): the filter
+    sidecar is applied INSIDE the scan — one InputPartition per parquet
+    row group, keys routed to blobs by the bit-exact numpy xxhash64
+    replica — so downstream only sees the ε-sized candidate stream
+    (SURVEY.md §4's runtime-filter pushdown, via the public Spark 4
+    Python DataSource API). Exact after the confirm join; same answer
+    as bf16_semijoin."""
+    import tempfile
+    from fastfilter_spark.spark import build_partitioned_filter, content_key
+    from fastfilter_spark.spark.io import write_filter_sidecar
+    from fastfilter_spark.sources import register_sources
+    register_sources(spark)
+    tmp = tempfile.mkdtemp(prefix="ffsk_src_")
+    docs = _docs(spark, sf_dir).withColumn("key", content_key("text"))
+    en_keys = docs.where("lang = 'en'").select("key").dropDuplicates()
+    pf = build_partitioned_filter(en_keys, kind="bf16", num_partitions=8)
+    write_filter_sidecar(pf, f"{tmp}/sidecar")
+    docs.write.mode("overwrite").parquet(f"{tmp}/probe")
+    candidates = (spark.read.format("ffsk_membership")
+                  .option("path", f"{tmp}/probe")
+                  .option("sidecar", f"{tmp}/sidecar")
+                  .option("key_col", "key").option("mode", "semi").load())
+    confirmed = candidates.join(F.broadcast(en_keys), "key", "left_semi")
+    return confirmed.select("doc_id").orderBy("doc_id")
+
+
 def q_q3_two_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape with TWO composed runtime filters: a bf16 over
     BUILDING-segment custkeys prunes orders; a bf16 over the surviving
@@ -590,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xor8_antijoin": q_xor8_antijoin,
         "bf8_orders_semijoin": q_bf8_orders_semijoin,
         "q3_two_filters": q_q3_two_filters,
+        "source_pruned_scan": q_source_pruned_scan,
         "bf8_grouped_membership": q_bf8_grouped_membership,
         "bf8_composite_grouped": q_bf8_composite_grouped,
         "hll_by_lang": q_hll_by_lang,
@@ -645,6 +673,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem WHERE l_orderkey IN "
             "(SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F') "
             "GROUP BY l_returnflag ORDER BY l_returnflag"),
+        "source_pruned_scan": ("SELECT doc_id FROM documents WHERE text IN "
+                               "(SELECT text FROM documents WHERE lang = 'en') "
+                               "ORDER BY doc_id"),
         "q3_two_filters": (
             "SELECT l_orderkey AS orderkey, "
             "CAST(SUM(FLOOR((l_extendedprice * (1 - l_discount)) * 100)) "

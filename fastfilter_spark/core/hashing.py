@@ -144,6 +144,78 @@ def popcount64(x: np.ndarray) -> np.ndarray:
     return x.astype(np.int64)
 
 
+_XXP1 = U64(0x9E3779B185EBCA87)
+_XXP2 = U64(0xC2B2AE3D27D4EB4F)
+_XXP3 = U64(0x165667B19E3779F9)
+_XXP4 = U64(0x85EBCA77C2B2AE63)
+_XXP5 = U64(0x27D4EB2F165667C5)
+
+
+def xxhash64_long(x: np.ndarray, seed) -> np.ndarray:
+    """Vectorized XXH64 of a single 8-byte (long) input — the exact
+    arithmetic Spark's ``xxhash64(col)`` applies per long column
+    (XxHash64.hashLong). uint64 in/out; ``seed`` may be a scalar or a
+    per-element uint64 array (for chaining multi-column hashes).
+
+    Public algorithm (Collet's xxHash, BSD); needed so Python-side
+    readers (sidecar source, driver-local probes) can route keys to
+    the same pid Spark's route_expr = xxhash64(key, salt) computes.
+    """
+    x = np.asarray(x, dtype=U64)
+    seed = np.asarray(seed, dtype=U64)
+    with np.errstate(over="ignore"):
+        acc = seed + _XXP5 + U64(8)
+        k1 = x * _XXP2
+        k1 = rotl64(k1, 31)
+        k1 = k1 * _XXP1
+        acc = acc ^ k1
+        acc = rotl64(acc, 27) * _XXP1 + _XXP4
+        acc = acc ^ (acc >> U64(33))
+        acc = acc * _XXP2
+        acc = acc ^ (acc >> U64(29))
+        acc = acc * _XXP3
+        acc = acc ^ (acc >> U64(32))
+    return acc
+
+
+def xxhash64_int(x: np.ndarray, seed) -> np.ndarray:
+    """Vectorized XXH64 of a single 4-byte (int) input — Spark's
+    XxHash64.hashInt. ``x`` is masked to its low 32 bits."""
+    x = np.asarray(x, dtype=U64) & U64(0xFFFFFFFF)
+    seed = np.asarray(seed, dtype=U64)
+    with np.errstate(over="ignore"):
+        acc = seed + _XXP5 + U64(4)
+        acc = acc ^ (x * _XXP1)
+        acc = rotl64(acc, 23) * _XXP2 + _XXP3
+        acc = acc ^ (acc >> U64(33))
+        acc = acc * _XXP2
+        acc = acc ^ (acc >> U64(29))
+        acc = acc * _XXP3
+        acc = acc ^ (acc >> U64(32))
+    return acc
+
+
+def spark_route(keys: np.ndarray, salt: int) -> np.ndarray:
+    """Replicates ``route_expr(key, salt)`` = Spark xxhash64(key, lit(salt)):
+    hashLong(key, seed=42) chained into the salt literal. A Python int
+    literal within int32 range becomes IntegerType (hashInt, 4 bytes);
+    otherwise LongType (hashLong). Returns uint64 (``.view(np.int64)``
+    for signed comparison with Spark output)."""
+    h = xxhash64_long(np.asarray(keys, dtype=U64), U64(42))
+    if -(1 << 31) <= salt < (1 << 31):
+        salt_arr = np.broadcast_to(U64(salt & 0xFFFFFFFF), h.shape)
+        return xxhash64_int(salt_arr, h)
+    salt_arr = np.broadcast_to(U64(salt & 0xFFFFFFFFFFFFFFFF), h.shape)
+    return xxhash64_long(salt_arr, h)
+
+
+def route_pid(keys: np.ndarray, salt: int, P: int) -> np.ndarray:
+    """pid = pmod(xxhash64(key, salt), P) — identical to
+    keys.partition_id(..., routing='xxhash_pmod'), in numpy."""
+    r = spark_route(keys, salt).view(np.int64)
+    return (r % np.int64(P)).astype(np.int32)
+
+
 def sha256_key_py(content: bytes) -> int:
     """First 8 bytes (big-endian) of sha256(content) as unsigned int.
 

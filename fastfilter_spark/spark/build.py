@@ -84,20 +84,22 @@ class PartitionedFilter:
         return df.withColumn(out_col, _contains(F.col(key_col), pid_expr))
 
     def contains_local(self, keys: np.ndarray) -> np.ndarray:
-        """Driver-side probe without a Spark job (tests/bench).
+        """Driver-side probe without a Spark job (tests/bench/sources).
 
-        Routing uses Spark's xxhash64, which we do not reimplement in
-        numpy; instead this ORs membership across all P blobs. Zero
-        false negatives is preserved (a member is in its routed blob);
-        false positives grow to ≤ P·2^−w. Use ``with_contains`` for the
-        production FPP.
+        xxhash_pmod routing is replicated bit-exactly in numpy
+        (core.hashing.route_pid), so each key probes only its own blob —
+        identical FPP to ``with_contains``. spark_hash routing (rows
+        shuffle mode) has no numpy replica of Murmur3; there membership
+        ORs across all P blobs (zero FN preserved, FPP ≤ P·2^−w).
         """
         keys = np.asarray(keys, dtype=U64)
-        out = np.zeros(keys.shape, dtype=bool)
         from .. import workerside
-        filters = [workerside.load_filter(b) for b in self.blobs]
-        for f in filters:
-            out |= f.contains(keys)
+        if self.routing == ROUTING_XXHASH_PMOD:
+            return workerside.contains_routed(
+                self.blobs, self.salt, self.num_partitions, keys)
+        out = np.zeros(keys.shape, dtype=bool)
+        for b in self.blobs:
+            out |= workerside.load_filter(b).contains(keys)
         return out
 
     # -- merge ---------------------------------------------------------------

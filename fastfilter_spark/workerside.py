@@ -167,6 +167,29 @@ def _build_one(pid: int, raw: np.ndarray, kind: str, base_rng_state: int,
               "peel_rounds", "build_secs", "bits_per_entry"])
 
 
+def contains_routed(blobs, salt: int, P: int, keys: np.ndarray) -> np.ndarray:
+    """Pure-numpy routed membership: pid = pmod(xxhash64(key, salt), P)
+    (bit-exact Spark replica), each key probes only its own blob —
+    production FPP with no JVM. Used by contains_local and the
+    ffsk_membership data source."""
+    from .core.hashing import route_pid
+    keys = np.asarray(keys, dtype=np.uint64)
+    pids = route_pid(keys, salt, P)
+    out = np.zeros(keys.shape, dtype=bool)
+    order = np.argsort(pids, kind="stable")
+    bounds = np.searchsorted(pids[order], np.arange(P + 1))
+    loaded: Dict[int, object] = {}
+    for p in range(P):
+        lo, hi = bounds[p], bounds[p + 1]
+        if hi > lo:
+            f = loaded.get(p)
+            if f is None:
+                f = loaded[p] = load_filter(blobs[p])
+            idx = order[lo:hi]
+            out[idx] = f.contains(keys[idx])
+    return out
+
+
 def group_rng_state(base: int, gkey: str) -> int:
     """Deterministic per-group RNG seed: depends only on (base, group
     values), so grouped builds are reproducible regardless of task
