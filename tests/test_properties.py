@@ -1,0 +1,108 @@
+"""Hypothesis property suite over the pure-numpy core (no Spark).
+
+Mirrors the reference's inline-`test`-block strategy (SURVEY.md §5)
+but with generated inputs: arbitrary key sets (any size, any u64
+values, duplicates allowed after dedupe) must build with zero false
+negatives, round-trip serde byte-exactly, and stay deterministic.
+"""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fastfilter_spark.core.binaryfuse import BinaryFuseFilter
+from fastfilter_spark.core.bloom import BloomFilter
+from fastfilter_spark.core.hashing import (
+    U64, murmur64, rotl64, route_pid, xxhash64_long,
+)
+from fastfilter_spark.core.xor import XorFilter, XorPlusFilter
+from fastfilter_spark.workerside import load_filter
+
+key_arrays = st.lists(
+    st.integers(min_value=0, max_value=2**64 - 1), min_size=0, max_size=400,
+).map(lambda xs: np.unique(np.array(xs, dtype=U64)))
+
+
+@settings(max_examples=25, deadline=None)
+@given(keys=key_arrays, w=st.sampled_from([8, 16, 32]))
+def test_binaryfuse_zero_fn_any_keyset(keys, w):
+    f = BinaryFuseFilter.populate(keys, w, assume_unique=True)
+    assert f.contains(keys).all()
+    assert load_filter(f.to_bytes()).contains(keys).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(keys=key_arrays, w=st.sampled_from([8, 16]))
+def test_xor_and_xorplus_zero_fn_any_keyset(keys, w):
+    for cls in (XorFilter, XorPlusFilter):
+        f = cls.populate(keys, w, assume_unique=True)
+        assert f.contains(keys).all()
+        rt = load_filter(f.to_bytes())
+        assert rt.to_bytes() == f.to_bytes()
+        assert rt.contains(keys).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(keys=key_arrays)
+def test_bloom_zero_fn_and_or_merge(keys):
+    n = max(16, len(keys))
+    f = BloomFilter.empty(n, 0.01)
+    f.add(keys)
+    assert f.contains(keys).all()
+    half = len(keys) // 2
+    a = BloomFilter.empty(n, 0.01)
+    a.add(keys[:half])
+    b = BloomFilter.empty(n, 0.01)
+    b.add(keys[half:])
+    assert a.merge(b).to_bytes() == f.to_bytes()
+
+
+@settings(max_examples=50, deadline=None)
+@given(x=st.integers(min_value=0, max_value=2**64 - 1),
+       r=st.integers(min_value=0, max_value=63))
+def test_rotl_matches_python_int(x, r):
+    got = int(rotl64(np.array([x], dtype=U64), r)[0])
+    want = ((x << r) | (x >> (64 - r))) & (2**64 - 1) if r else x
+    assert got == want
+
+
+@settings(max_examples=50, deadline=None)
+@given(x=st.integers(min_value=0, max_value=2**64 - 1))
+def test_murmur64_bijective_nonzero(x):
+    # splitmix finalizer is a bijection: equal outputs ⇒ equal inputs
+    a = int(murmur64(np.array([x], dtype=U64))[0])
+    b = int(murmur64(np.array([(x + 1) % 2**64], dtype=U64))[0])
+    assert a != b
+
+
+@settings(max_examples=50, deadline=None)
+@given(x=st.integers(min_value=0, max_value=2**64 - 1),
+       seed=st.integers(min_value=0, max_value=2**64 - 1))
+def test_xxhash64_long_scalar_reference(x, seed):
+    M = 2**64 - 1
+    P1, P2 = 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F
+    P3, P4, P5 = 0x165667B19E3779F9, 0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5
+    h = (seed + P5 + 8) & M
+    k1 = (x * P2) & M
+    k1 = ((k1 << 31) | (k1 >> 33)) & M
+    k1 = (k1 * P1) & M
+    h ^= k1
+    h = ((((h << 27) | (h >> 37)) & M) * P1 + P4) & M
+    h ^= h >> 33
+    h = (h * P2) & M
+    h ^= h >> 29
+    h = (h * P3) & M
+    h ^= h >> 32
+    got = int(xxhash64_long(np.array([x], dtype=U64), U64(seed))[0])
+    assert got == h
+
+
+@settings(max_examples=25, deadline=None)
+@given(keys=key_arrays, salt=st.integers(min_value=-2**31, max_value=2**31 - 1),
+       p=st.integers(min_value=1, max_value=64))
+def test_route_pid_in_range_and_deterministic(keys, salt, p):
+    if len(keys) == 0:
+        return
+    pids = route_pid(keys, salt, p)
+    assert ((pids >= 0) & (pids < p)).all()
+    assert (pids == route_pid(keys, salt, p)).all()
