@@ -43,7 +43,11 @@ def write_filter_sidecar(pf: PartitionedFilter, path: str) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
     os.makedirs(path, exist_ok=True)
-    tbl = pf.metrics.copy()
+    # one row per pid — including pids that received no keys (their
+    # synthesized empty-filter blobs must survive the round trip, or a
+    # probe routed to them would have nothing to load)
+    tbl = (pd.DataFrame({"pid": range(pf.num_partitions)})
+           .merge(pf.metrics, on="pid", how="left"))
     tbl["blob"] = [pf.blobs[int(p)] for p in tbl["pid"]]
     pq.write_table(pa.Table.from_pandas(tbl, preserve_index=False),
                    os.path.join(path, "partials.parquet"))

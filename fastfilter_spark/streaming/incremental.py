@@ -139,3 +139,70 @@ def windowed_distinct_hll(stream: DataFrame, ts_col: str, key_col: str,
     return keyed.groupBy("window_start").applyInPandasWithState(
         _update, _OUT_SCHEMA, _STATE_SCHEMA, "update",
         GroupStateTimeout.NoTimeout)
+
+
+def filter_rebuild_sink(stream_keys: DataFrame, work_dir: str,
+                        key_col: str = "key", kind: str = "bf8",
+                        num_partitions: int = 8, salt: int = 0,
+                        checkpoint_dir: str | None = None,
+                        trigger_available_now: bool = True):
+    """Rebuild-on-trigger membership filter over a key stream.
+
+    xor/binary-fuse are holistic (a static filter cannot be updated in
+    place), so each micro-batch (a) appends its deduped keys to a
+    per-batch parquet dir (idempotent overwrite keyed by batch id →
+    exactly-once under retries), then (b) refreshes the published
+    sidecar: the FIRST batch builds from scratch, later batches take
+    the ``add_keys`` incremental path — only partitions that received
+    genuinely-new keys rebuild (k/P of full cost), everything else is
+    reused verbatim. Because per-pid RNG seeds are fixed, the streamed
+    result is byte-identical to a one-shot batch build over the same
+    key set (tested), and any reader (with_contains, contains_via_
+    sidecar, the ffsk_membership source) can consume the sidecar
+    between triggers.
+    """
+    from ..spark.build import add_keys, build_partitioned_filter
+    from ..spark.io import read_filter_sidecar, write_filter_sidecar
+
+    keys_dir = os.path.join(work_dir, "keys")
+    sidecar_dir = os.path.join(work_dir, "sidecar")
+    state_path = os.path.join(work_dir, "state.json")
+    os.makedirs(keys_dir, exist_ok=True)
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        applied = -1
+        if os.path.exists(state_path):
+            with open(state_path) as fh:
+                applied = json.load(fh)["applied"]
+        if batch_id <= applied:
+            return  # replayed batch after restart — already folded
+        new = batch_df.select(F.col(key_col).alias("key")).dropDuplicates()
+        new.write.mode("overwrite").parquet(
+            os.path.join(keys_dir, f"batch={batch_id}"))
+        prev_dirs = [os.path.join(keys_dir, d) for d in os.listdir(keys_dir)
+                     if d.startswith("batch=")
+                     and int(d.split("=")[1]) != batch_id]
+        if prev_dirs and os.path.exists(
+                os.path.join(sidecar_dir, "filter_manifest.json")):
+            old = spark.read.parquet(*prev_dirs).select("key")
+            pf = add_keys(read_filter_sidecar(sidecar_dir), old, new)
+        else:
+            # no sidecar yet (first batch, or crash before publish):
+            # full build over every accumulated batch dir
+            all_dirs = prev_dirs + [os.path.join(keys_dir,
+                                                 f"batch={batch_id}")]
+            pf = build_partitioned_filter(
+                spark.read.parquet(*all_dirs).select("key"), kind=kind,
+                num_partitions=num_partitions, salt=salt)
+        write_filter_sidecar(pf, sidecar_dir)
+        with open(state_path, "w") as fh:
+            json.dump({"applied": batch_id}, fh)
+
+    writer = stream_keys.writeStream.foreachBatch(_fold) \
+                        .outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -77,3 +77,31 @@ def test_windowed_distinct_hll_state(spark, events_stream_dir, tmp_path):
     for w, c in exact.items():
         est = last.loc[w, "n_est"]
         assert abs(est - c) / c < 0.08, (w, est, c)
+
+
+def test_filter_rebuild_sink_byte_identical_to_batch(spark, events_stream_dir,
+                                                     tmp_path):
+    from fastfilter_spark.spark import build_partitioned_filter
+    from fastfilter_spark.spark.io import read_filter_sidecar
+    from fastfilter_spark.streaming import filter_rebuild_sink
+
+    batch = spark.read.parquet(events_stream_dir)
+    schema = batch.schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(events_stream_dir)
+              .select(F.xxhash64("user_id").alias("key")))
+    work = str(tmp_path / "rebuild")
+    q = filter_rebuild_sink(stream, work, kind="bf8", num_partitions=8,
+                            checkpoint_dir=str(tmp_path / "ck2"))
+    q.awaitTermination(180)
+    streamed = read_filter_sidecar(os.path.join(work, "sidecar"))
+
+    keys = batch.select(F.xxhash64("user_id").alias("key"))
+    oneshot = build_partitioned_filter(keys, kind="bf8", num_partitions=8)
+    assert streamed.blobs == oneshot.blobs  # byte-identical publish
+    # and it answers membership with zero FN
+    probed = streamed.with_contains(keys, "key")
+    assert probed.where("NOT contained").count() == 0
+    # multiple micro-batches actually happened (incremental path ran)
+    assert len(glob.glob(os.path.join(work, "keys", "batch=*"))) >= 2
