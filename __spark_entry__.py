@@ -240,6 +240,23 @@ def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline composition, exact: exact
+    dedup (keep lowest doc_id per content) → quality gate (>=5 tokens,
+    >=50 chars) → per-lang corpus stats. One DataFrame program; every
+    stage is an engine operator."""
+    from fastfilter_spark.pipeline import token_count
+    docs = _docs(spark, sf_dir)
+    reps = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    kept = docs.join(reps, ["text", "doc_id"], "left_semi")
+    feat = kept.withColumn("n_tokens", token_count("text")) \
+               .where("n_tokens >= 5 AND n_chars >= 50")
+    return (feat.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("sum_tokens"))
+            .orderBy("lang"))
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastfilter_spark.pipeline import brute_force_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -635,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "token_stats_by_lang": q_token_stats_by_lang,
         "quality_features": q_quality_features,
+        "training_pipeline": q_training_pipeline,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
         "embedding_near_dups": q_embedding_near_dups,
@@ -761,6 +779,17 @@ def oracle_sql() -> dict[str, str]:
             f"len({_TOKENS_SQL}) AS n_tokens, "
             "length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) "
             "AS n_punct FROM documents ORDER BY doc_id"),
+        "training_pipeline": (
+            "WITH reps AS (SELECT text, MIN(doc_id) AS doc_id "
+            "FROM documents GROUP BY text), "
+            "kept AS (SELECT d.* FROM documents d JOIN reps r "
+            "ON d.doc_id = r.doc_id AND d.text = r.text), "
+            f"feat AS (SELECT lang, len({_TOKENS_SQL}) AS n_tokens, "
+            "n_chars FROM kept) "
+            "SELECT lang, COUNT(*) AS n_docs, "
+            "CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens FROM feat "
+            "WHERE n_tokens >= 5 AND n_chars >= 50 "
+            "GROUP BY lang ORDER BY lang"),
         "ivf_ann_topk": (
             "SELECT COUNT(*) AS n_queries, TRUE AS ivf_recall_ok "
             "FROM embeddings WHERE vec_id < 10"),
