@@ -84,6 +84,39 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
     checks.append(("key derivation inside WholeStageCodegen",
                    "codegen id" in p5))
 
+    # 6. grouped build: one exchange (the groupBy), no extra sort of
+    # key rows beyond the grouping requirement
+    from fastfilter_spark.spark import build_grouped_filters  # noqa: F401
+    from fastfilter_spark.spark.grouped import _GROUPED_SCHEMA, _gkey_expr
+    gsrc = (docs.withColumn("key", content_key("text"))
+            .select(_gkey_expr(["lang"]).alias("gkey"), "key"))
+    gbuild = gsrc.groupBy("gkey").applyInArrow(
+        lambda t: workerside.build_group_arrow(t, "bf8", 1, None),
+        _GROUPED_SCHEMA)
+    p6 = plan_of(gbuild)
+    checks.append(("grouped build: exactly one Exchange",
+                   len(re.findall(r"\(\d+\) Exchange", p6)) == 1))
+
+    # 7. custom source scan: membership applied inside a BatchScan with
+    # the comparison predicate consumed by pushFilters (no residual
+    # Filter node for it above the scan)
+    import tempfile
+    from fastfilter_spark.spark.io import write_filter_sidecar
+    from fastfilter_spark.sources import register_sources
+    register_sources(spark)
+    tmp = tempfile.mkdtemp(prefix="ffsk_plan_")
+    write_filter_sidecar(pf, f"{tmp}/sidecar")
+    probe.write.mode("overwrite").parquet(f"{tmp}/probe")
+    src = (spark.read.format("ffsk_membership")
+           .option("path", f"{tmp}/probe").option("sidecar", f"{tmp}/sidecar")
+           .option("key_col", "key").load()
+           .where(F.col("n_chars") > 100))
+    p7 = plan_of(src)
+    checks.append(("source: membership scan is a BatchScan (Python)",
+                   "BatchScan ffsk_membership" in p7))
+    checks.append(("source: comparison predicate pushed (no residual Filter)",
+                   len(re.findall(r"\(\d+\) Filter", p7)) == 0))
+
     print(p2)
     print(p3[:3000])
     ok = True
