@@ -28,6 +28,8 @@ def get_spark(app: str = "fastfilter_spark", cpus: int | None = None,
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1048576")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.driver.extraJavaOptions",
+                os.environ.get("SPARK_DRIVER_JAVA_OPTS", ""))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .getOrCreate()

@@ -34,6 +34,15 @@ def test_key_invariant_sha256(spark, corpus_df):
         assert got == expect
 
 
+def test_key_derivation_arrow_jvm_parity(spark, corpus_df):
+    """content_key_arrow (hashlib pandas UDF — the fat-executor path that
+    sidesteps the JVM MessageDigest provider-lock contention) must be
+    byte-identical to the codegen sha2 path on every corpus row."""
+    a = keys_from_content(corpus_df, "content", method="jvm")
+    b = keys_from_content(corpus_df, "content", method="arrow")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
 def test_build_zero_fn_and_dedup_metric(spark, corpus_df):
     keys = keys_from_content(corpus_df, "content")
     pf = build_partitioned_filter(keys, kind="bf8", num_partitions=8)
