@@ -117,6 +117,24 @@ def q_bf8_orders_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("l_returnflag"))
 
 
+def q_bucketed_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed sink + co-located join (SURVEY.md §2.2 scans/sinks,
+    joins): both sides are written bucketed by key, paying the shuffle
+    once at write time, so the sort-merge join plans with NO Exchange —
+    the 100 TB pattern for any key-key join that runs more than once
+    (plan-audited in tools/explain_plans.py). Result is exact: per-lang
+    count of docs whose content also appears in the EN corpus."""
+    from fastfilter_spark.spark import content_key, write_bucketed
+    docs = _docs(spark, sf_dir).withColumn("key", content_key("text"))
+    en = docs.where(F.col("lang") == "en").select("key").distinct()
+    write_bucketed(docs.select("lang", "key"), "ffsk_docs_bkt", "key", 16)
+    write_bucketed(en, "ffsk_en_bkt", "key", 16)
+    a, b = spark.table("ffsk_docs_bkt"), spark.table("ffsk_en_bkt")
+    joined = a.hint("merge").join(b, "key")   # merge hint → bucketed SMJ, no shuffle
+    return (joined.groupBy("lang").agg(F.count("*").alias("n_en_shared"))
+            .orderBy("lang"))
+
+
 # ---------------------------------------------------------------------------
 # sketches
 # ---------------------------------------------------------------------------
@@ -633,6 +651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf16_semijoin": q_bf16_semijoin,
         "xor8_antijoin": q_xor8_antijoin,
         "bf8_orders_semijoin": q_bf8_orders_semijoin,
+        "bucketed_join_stats": q_bucketed_join_stats,
         "q3_two_filters": q_q3_two_filters,
         "source_pruned_scan": q_source_pruned_scan,
         "bf8_grouped_membership": q_bf8_grouped_membership,
@@ -691,6 +710,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem WHERE l_orderkey IN "
             "(SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F') "
             "GROUP BY l_returnflag ORDER BY l_returnflag"),
+        "bucketed_join_stats": (
+            "SELECT lang, COUNT(*) AS n_en_shared FROM documents "
+            "WHERE text IN (SELECT text FROM documents WHERE lang = 'en') "
+            "GROUP BY lang ORDER BY lang"),
         "source_pruned_scan": ("SELECT doc_id FROM documents WHERE text IN "
                                "(SELECT text FROM documents WHERE lang = 'en') "
                                "ORDER BY doc_id"),

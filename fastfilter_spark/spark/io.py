@@ -39,6 +39,37 @@ def read_corpus(spark: SparkSession, location: str,
     return spark.read.parquet(location)
 
 
+def write_bucketed(df: DataFrame, table: str, bucket_col: str,
+                   num_buckets: int = 64, sort_col: Optional[str] = None,
+                   mode: str = "overwrite") -> None:
+    """Bucketed parquet sink: pay the shuffle once at write time.
+
+    Rows are hash-clustered into ``num_buckets`` files by ``bucket_col``
+    (Spark's HashPartitioning), so every later join or aggregation on
+    that column between bucketed tables runs **without an Exchange** —
+    at 100 TB the dominant cost of a key-key join is the shuffle, and
+    bucketing amortizes it across every downstream query. Sorted
+    buckets additionally skip the sort of a sort-merge join.
+    (Analog of the reference's block counting-sort scatter: pre-cluster
+    by hash once, then every probe is local.)
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # with a non-persistent catalog (local in-memory metastore) the
+    # warehouse directory can outlive the table entry — clear it, or
+    # saveAsTable fails with LOCATION_ALREADY_EXISTS
+    loc = os.path.join(
+        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"), table)
+    if os.path.isdir(loc):
+        import shutil
+        shutil.rmtree(loc)
+    w = (df.write.format("parquet").mode(mode)
+         .bucketBy(num_buckets, bucket_col))
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
+
+
 def write_filter_sidecar(pf: PartitionedFilter, path: str) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq

@@ -31,6 +31,8 @@ def get_spark(app: str = "fastfilter_spark", cpus: int | None = None,
         .config("spark.driver.extraJavaOptions",
                 os.environ.get("SPARK_DRIVER_JAVA_OPTS", ""))
         .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/ffsk_warehouse"))
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .getOrCreate()
     )

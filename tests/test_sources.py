@@ -91,3 +91,39 @@ def test_contains_local_routed_parity(spark, source_env):
     via_spark = pf.with_contains(docs.select("key"), "key") \
                   .toPandas()["contained"].to_numpy(bool)
     assert (local == via_spark).all()
+
+
+def test_bucketed_sink_colocated_join(spark):
+    """write_bucketed pays the join shuffle once at write time: the
+    sort-merge join over two tables bucketed on the same key must plan
+    with ZERO Exchange, and the joined result must equal the plain
+    (shuffling) join."""
+    import io as _io
+    import re
+    from contextlib import redirect_stdout
+
+    from fastfilter_spark.spark import write_bucketed
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+                .withColumn("key", content_key("text"))
+    en = docs.where("lang = 'en'").select("key").distinct()
+    write_bucketed(docs.select("doc_id", "lang", "key"),
+                   "ffsk_test_docs_bkt", "key", 8)
+    write_bucketed(en, "ffsk_test_en_bkt", "key", 8)
+    a, b = spark.table("ffsk_test_docs_bkt"), spark.table("ffsk_test_en_bkt")
+    joined = a.hint("merge").join(b, "key")
+
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        joined.explain("formatted")
+    plan = buf.getvalue()
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") == 2
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0
+
+    expect = sorted(r.doc_id for r in
+                    docs.join(en, "key").select("doc_id").collect())
+    got = sorted(r.doc_id for r in joined.select("doc_id").collect())
+    assert got == expect
+    spark.sql("DROP TABLE IF EXISTS ffsk_test_docs_bkt")
+    spark.sql("DROP TABLE IF EXISTS ffsk_test_en_bkt")

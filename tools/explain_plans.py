@@ -117,6 +117,20 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
     checks.append(("source: comparison predicate pushed (no residual Filter)",
                    len(re.findall(r"\(\d+\) Filter", p7)) == 0))
 
+    # 8. bucketed sink + co-located join: the SortMergeJoin reads both
+    # bucketed tables directly — zero Exchange at or below the join
+    # (the shuffle was paid once at write time)
+    from fastfilter_spark.spark import write_bucketed
+    write_bucketed(probe.select("lang", "key"), "ffsk_plan_docs_bkt", "key", 8)
+    write_bucketed(en_keys.distinct(), "ffsk_plan_en_bkt", "key", 8)
+    bjoin = (spark.table("ffsk_plan_docs_bkt").hint("merge")
+             .join(spark.table("ffsk_plan_en_bkt"), "key"))
+    p8 = plan_of(bjoin)
+    checks.append(("bucketed join: SortMergeJoin over Bucketed: true scans",
+                   "SortMergeJoin" in p8 and p8.count("Bucketed: true") == 2))
+    checks.append(("bucketed join: ZERO Exchange anywhere in the join plan",
+                   len(re.findall(r"\(\d+\) Exchange", p8)) == 0))
+
     print(p2)
     print(p3[:3000])
     ok = True
