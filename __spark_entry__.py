@@ -117,6 +117,22 @@ def q_bf8_orders_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("l_returnflag"))
 
 
+def q_salted_join_hot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit skew-defusing join (SURVEY.md §2.2 joins; north_rule
+    'skew handled explicitly'): events (fact, skewed user_id) salted
+    across 8 shuffle partitions per key, dim (hot users: ≥60 events)
+    replicated per salt. Result is exact — identical to the plain join."""
+    from fastfilter_spark.spark import salted_join
+    ev = _events(spark, sf_dir)
+    hot = (ev.groupBy("user_id").agg(F.count("*").alias("n_ev"))
+           .where("n_ev >= 60").select("user_id"))
+    joined = salted_join(ev, hot, "user_id", salt_n=8)
+    return (joined.groupBy("event_type")
+            .agg(F.count("*").alias("n_hot_events"),
+                 F.round(F.sum("value"), 6).alias("sum_value"))
+            .orderBy("event_type"))
+
+
 def q_bucketed_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed sink + co-located join (SURVEY.md §2.2 scans/sinks,
     joins): both sides are written bucketed by key, paying the shuffle
@@ -652,6 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xor8_antijoin": q_xor8_antijoin,
         "bf8_orders_semijoin": q_bf8_orders_semijoin,
         "bucketed_join_stats": q_bucketed_join_stats,
+        "salted_join_hot_users": q_salted_join_hot_users,
         "q3_two_filters": q_q3_two_filters,
         "source_pruned_scan": q_source_pruned_scan,
         "bf8_grouped_membership": q_bf8_grouped_membership,
@@ -710,6 +727,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem WHERE l_orderkey IN "
             "(SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F') "
             "GROUP BY l_returnflag ORDER BY l_returnflag"),
+        "salted_join_hot_users": (
+            "SELECT event_type, COUNT(*) AS n_hot_events, "
+            "ROUND(SUM(value), 6) AS sum_value FROM events "
+            "WHERE user_id IN (SELECT user_id FROM events "
+            "GROUP BY user_id HAVING COUNT(*) >= 60) "
+            "GROUP BY event_type ORDER BY event_type"),
         "bucketed_join_stats": (
             "SELECT lang, COUNT(*) AS n_en_shared FROM documents "
             "WHERE text IN (SELECT text FROM documents WHERE lang = 'en') "

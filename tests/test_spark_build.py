@@ -248,3 +248,35 @@ def test_grouped_filters_cross_group_fpp_bounded(spark, corpus_df):
                         ["lang", "key"], "left_semi").count())
     n = probe.count()
     assert truth <= got <= truth + max(10, int(n * 3e-4))
+
+
+def test_salted_join_exactness_and_spread(spark):
+    """salted_join must equal the plain join, and a hot key's rows must
+    spread across multiple (key, salt) groups instead of one."""
+    from pyspark.sql import functions as F
+
+    from fastfilter_spark.spark.skew import salted_join
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    hot = (ev.groupBy("user_id").agg(F.count("*").alias("n"))
+           .where("n >= 10").select("user_id"))
+    plain = ev.join(hot, "user_id").groupBy("user_id") \
+              .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+    salted = salted_join(ev, hot, "user_id", salt_n=8).groupBy("user_id") \
+              .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+    a = {(r.user_id, r.n, round(r.s, 9)) for r in plain.collect()}
+    b = {(r.user_id, r.n, round(r.s, 9)) for r in salted.collect()}
+    assert a == b and a
+
+    # spread: the hottest key occupies >1 salt bucket
+    top = ev.groupBy("user_id").count().orderBy(F.desc("count")).first()
+    n_salts = (ev.where(F.col("user_id") == top.user_id)
+               .select(F.pmod(F.xxhash64(*[c for c in ev.columns
+                                           if c != "user_id"]), F.lit(8)))
+               .distinct().count())
+    assert n_salts > 1
+
+    # left join preserves unmatched fact rows exactly
+    lp = ev.join(hot, "user_id", "left").count()
+    ls = salted_join(ev, hot, "user_id", salt_n=8, how="left").count()
+    assert lp == ls == ev.count()
