@@ -133,6 +133,26 @@ def q_salted_join_hot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+def q_asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator as a DataFrame composition — Spark
+    lacks ASOF): each purchase event attaches the most recent preceding
+    click by the same user; per-user summary is exact (DuckDB ASOF LEFT
+    JOIN oracle). Right side deduped to (user, ts) — max value — so tie
+    resolution is deterministic on both engines."""
+    from fastfilter_spark.spark import asof_join
+    ev = _events(spark, sf_dir)
+    purchases = ev.where("event_type = 'purchase'") \
+                  .select("user_id", "ts", "value")
+    clicks = (ev.where("event_type = 'click'")
+              .groupBy("user_id", "ts").agg(F.max("value").alias("click_value")))
+    j = asof_join(purchases, clicks, "user_id", "ts")
+    return (j.groupBy("user_id")
+            .agg(F.count("*").alias("n_purchases"),
+                 F.count("click_value_asof").alias("n_with_prior_click"),
+                 F.round(F.sum("click_value_asof"), 6).alias("sum_prior_click"))
+            .orderBy("user_id"))
+
+
 def q_bucketed_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed sink + co-located join (SURVEY.md §2.2 scans/sinks,
     joins): both sides are written bucketed by key, paying the shuffle
@@ -669,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf8_orders_semijoin": q_bf8_orders_semijoin,
         "bucketed_join_stats": q_bucketed_join_stats,
         "salted_join_hot_users": q_salted_join_hot_users,
+        "asof_join_purchases": q_asof_join_purchases,
         "q3_two_filters": q_q3_two_filters,
         "source_pruned_scan": q_source_pruned_scan,
         "bf8_grouped_membership": q_bf8_grouped_membership,
@@ -727,6 +748,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem WHERE l_orderkey IN "
             "(SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F') "
             "GROUP BY l_returnflag ORDER BY l_returnflag"),
+        "asof_join_purchases": (
+            "WITH p AS (SELECT user_id, ts, value FROM events "
+            "WHERE event_type = 'purchase'), "
+            "c AS (SELECT user_id, ts, MAX(value) AS click_value FROM events "
+            "WHERE event_type = 'click' GROUP BY 1, 2) "
+            "SELECT p.user_id, COUNT(*) AS n_purchases, "
+            "COUNT(c.click_value) AS n_with_prior_click, "
+            "ROUND(SUM(c.click_value), 6) AS sum_prior_click "
+            "FROM p ASOF LEFT JOIN c "
+            "ON p.user_id = c.user_id AND p.ts >= c.ts "
+            "GROUP BY p.user_id ORDER BY p.user_id"),
         "salted_join_hot_users": (
             "SELECT event_type, COUNT(*) AS n_hot_events, "
             "ROUND(SUM(value), 6) AS sum_value FROM events "

@@ -280,3 +280,47 @@ def test_salted_join_exactness_and_spread(spark):
     lp = ev.join(hot, "user_id", "left").count()
     ls = salted_join(ev, hot, "user_id", salt_n=8, how="left").count()
     assert lp == ls == ev.count()
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: greatest right ts <= left ts per key; ties match;
+    unmatched left rows survive with nulls; tolerance nulls stale matches."""
+    from fastfilter_spark.spark.asof import asof_join
+
+    a = spark.createDataFrame(
+        [(1, 10, "A"), (1, 20, "B"), (2, 15, "C"), (3, 9, "D")],
+        "k int, ts int, lbl string")
+    b = spark.createDataFrame(
+        [(1, 5, "x"), (1, 18, "y"), (1, 20, "t"), (2, 99, "z")],
+        "k int, ts int, v string")
+    got = {(r.k, r.ts): (r.lbl, r.v_asof, r.ts_asof)
+           for r in asof_join(a, b, "k", "ts").collect()}
+    assert got == {(1, 10): ("A", "x", 5), (1, 20): ("B", "t", 20),
+                   (2, 15): ("C", None, None), (3, 9): ("D", None, None)}
+    tol = {(r.k, r.ts): r.v_asof
+           for r in asof_join(a, b, "k", "ts", tolerance=3).collect()}
+    assert tol == {(1, 10): None, (1, 20): "t", (2, 15): None, (3, 9): None}
+
+
+def test_asof_join_matches_exact_rewrite(spark):
+    """On real events data the composition must equal the naive
+    range-join + keep-latest rewrite."""
+    from fastfilter_spark.spark.asof import asof_join
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    left = ev.where("event_type = 'purchase'").select("user_id", "ts", "value")
+    right = (ev.where("event_type = 'view'")
+             .groupBy("user_id", "ts").agg(F.max("value").alias("rv")))
+    got = asof_join(left, right, "user_id", "ts") \
+        .select("user_id", "ts", "rv_asof")
+
+    from pyspark.sql import Window
+    r2 = right.withColumnRenamed("ts", "rts").withColumnRenamed(
+        "user_id", "r_user_id")
+    naive = left.join(
+        r2, (left.user_id == r2.r_user_id) & (r2.rts <= left.ts), "left")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc_nulls_last("rts"))
+    expect = (naive.withColumn("rn", F.row_number().over(w)).where("rn = 1")
+              .select("user_id", "ts", F.col("rv").alias("rv_asof")))
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
