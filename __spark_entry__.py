@@ -153,6 +153,27 @@ def q_asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("user_id"))
 
 
+def q_interval_join_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via bucket-explode (scalable rewrite of the inequality
+    join Spark would plan as BroadcastNestedLoop): clicks falling inside
+    any 30-min window after an error by the same user. Exact pair counts
+    (DuckDB inequality-join oracle)."""
+    from fastfilter_spark.spark import interval_join
+    ev = _events(spark, sf_dir)
+    # epoch seconds (session tz is UTC; matches DuckDB epoch() on the
+    # same naive timestamps)
+    epoch = F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1_000_000.0)
+    clicks = ev.where("event_type = 'click'") \
+               .select("user_id", epoch.alias("t"))
+    errs = (ev.where("event_type = 'error'")
+            .select("user_id", epoch.alias("lo"))
+            .withColumn("hi", F.col("lo") + 1800.0))
+    j = interval_join(clicks, errs, "user_id", "t", "lo", "hi",
+                      bucket_width=1800.0)
+    return (j.groupBy("user_id").agg(F.count("*").alias("n_pairs"))
+            .orderBy("user_id"))
+
+
 def q_bucketed_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed sink + co-located join (SURVEY.md §2.2 scans/sinks,
     joins): both sides are written bucketed by key, paying the shuffle
@@ -690,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join_stats": q_bucketed_join_stats,
         "salted_join_hot_users": q_salted_join_hot_users,
         "asof_join_purchases": q_asof_join_purchases,
+        "interval_join_error_windows": q_interval_join_error_windows,
         "q3_two_filters": q_q3_two_filters,
         "source_pruned_scan": q_source_pruned_scan,
         "bf8_grouped_membership": q_bf8_grouped_membership,
@@ -748,6 +770,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem WHERE l_orderkey IN "
             "(SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F') "
             "GROUP BY l_returnflag ORDER BY l_returnflag"),
+        "interval_join_error_windows": (
+            "WITH c AS (SELECT user_id, epoch(ts) AS t FROM events "
+            "WHERE event_type = 'click'), "
+            "e AS (SELECT user_id, epoch(ts) AS lo FROM events "
+            "WHERE event_type = 'error') "
+            "SELECT c.user_id, COUNT(*) AS n_pairs FROM c JOIN e "
+            "ON c.user_id = e.user_id AND c.t >= e.lo AND c.t <= e.lo + 1800 "
+            "GROUP BY c.user_id ORDER BY c.user_id"),
         "asof_join_purchases": (
             "WITH p AS (SELECT user_id, ts, value FROM events "
             "WHERE event_type = 'purchase'), "

@@ -4,6 +4,7 @@ from .io import (contains_via_sidecar, read_corpus, read_filter_sidecar,
                  write_bucketed, write_filter_sidecar)
 from .keys import content_key, keys_from_content, partition_id, pd_to_u64
 from .asof import asof_join
+from .rangejoin import interval_join
 from .session import get_spark
 from .skew import salted_join
 from .sketch_agg import cms_agg, cms_query, hll_agg, kll_agg, tdigest_agg, theta_agg
@@ -14,5 +15,5 @@ __all__ = [
     "GroupedFilters", "build_grouped_filters",
     "hll_agg", "cms_agg", "cms_query", "kll_agg", "tdigest_agg", "theta_agg",
     "read_corpus", "write_filter_sidecar", "read_filter_sidecar", "contains_via_sidecar",
-    "write_bucketed", "salted_join", "asof_join",
+    "write_bucketed", "salted_join", "asof_join", "interval_join",
 ]

@@ -324,3 +324,32 @@ def test_asof_join_matches_exact_rewrite(spark):
               .select("user_id", "ts", F.col("rv").alias("rv_asof")))
     assert got.exceptAll(expect).count() == 0
     assert expect.exceptAll(got).count() == 0
+
+
+def test_interval_join_matches_inequality_join(spark):
+    """Bucket-explode range join must equal the naive inequality join
+    (which Spark plans as a nested loop), including multi-overlap and
+    boundary inclusivity; left_semi must equal distinct point matches."""
+    from fastfilter_spark.spark.rangejoin import interval_join
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    epoch = F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1e6)
+    pts = ev.where("event_type = 'click'") \
+            .select("user_id", "event_id", epoch.alias("t"))
+    iv = (ev.where("event_type = 'error'")
+          .select("user_id", epoch.alias("lo"))
+          .withColumn("hi", F.col("lo") + 3600.0))
+    got = interval_join(pts, iv, "user_id", "t", "lo", "hi", 3600.0) \
+        .select("user_id", "event_id", "lo")
+
+    iv2 = iv.select(F.col("user_id").alias("u2"), "lo", "hi")
+    expect = (pts.join(iv2, (pts.user_id == iv2.u2)
+                       & (iv2.lo <= pts.t) & (pts.t <= iv2.hi))
+              .select("user_id", "event_id", "lo"))
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
+    assert got.count() > 0
+
+    semi = interval_join(pts, iv, "user_id", "t", "lo", "hi", 3600.0,
+                         how="left_semi")
+    assert semi.count() == expect.select("event_id").distinct().count()
