@@ -131,6 +131,20 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
     checks.append(("bucketed join: ZERO Exchange anywhere in the join plan",
                    len(re.findall(r"\(\d+\) Exchange", p8)) == 0))
 
+    # 9. hive-style partitioned sink → partition pruning: a lang filter
+    # must prune directories at plan time (PartitionFilters), not scan
+    # all partitions and filter rows
+    import tempfile as _tf
+    part_dir = _tf.mkdtemp(prefix="ffsk_part_") + "/docs_by_lang"
+    docs.write.mode("overwrite").partitionBy("lang").parquet(part_dir)
+    pq = (spark.read.parquet(part_dir)
+          .where(F.col("lang") == "en").select("doc_id"))
+    p9 = plan_of(pq)
+    m9 = re.search(r"PartitionFilters: \[([^\]]*)\]", p9)
+    checks.append(("partitioned sink: lang filter prunes partitions "
+                   "(PartitionFilters, not row Filter)",
+                   m9 is not None and "lang" in m9.group(1)))
+
     print(p2)
     print(p3[:3000])
     ok = True
