@@ -1,7 +1,7 @@
 from .build import PartitionedFilter, add_keys, build_partitioned_filter
 from .grouped import GroupedFilters, build_grouped_filters
-from .io import (contains_via_sidecar, read_corpus, read_filter_sidecar,
-                 write_bucketed, write_filter_sidecar)
+from .io import (build_filter_sidecar, contains_via_sidecar, read_corpus,
+                 read_filter_sidecar, write_bucketed, write_filter_sidecar)
 from .keys import content_key, keys_from_content, partition_id, pd_to_u64
 from .asof import asof_join
 from .rangejoin import interval_join
@@ -16,4 +16,5 @@ __all__ = [
     "hll_agg", "cms_agg", "cms_query", "kll_agg", "tdigest_agg", "theta_agg",
     "read_corpus", "write_filter_sidecar", "read_filter_sidecar", "contains_via_sidecar",
     "write_bucketed", "salted_join", "asof_join", "interval_join",
+    "build_filter_sidecar",
 ]

@@ -222,26 +222,8 @@ def build_partitioned_filter(
         todo = placed.where(
             ~partition_id("key", P, salt, routing).isin(done_pids))
 
-    if shuffle_mode == "packed":
-        def _pack(batches):
-            return workerside.pack_by_pid(batches, P)
-
-        def _build(tbl):
-            return workerside.build_from_chunks(
-                tbl, kind_name, base_rng_state, bloom_args)
-
-        packed = todo.mapInArrow(_pack, "pid int, chunk binary")
-        partials = packed.groupBy("pid").applyInArrow(_build, PARTIAL_SCHEMA)
-    elif shuffle_mode == "rows":
-        def _build_rows(batches):
-            return workerside.build_partitions_map(
-                batches, kind_name, base_rng_state, bloom_args)
-
-        partials = (todo.drop("route")
-                    .repartition(P, route_expr("key", salt))
-                    .mapInArrow(_build_rows, PARTIAL_SCHEMA))
-    else:
-        raise ValueError(f"unknown shuffle_mode {shuffle_mode!r}")
+    partials = partials_dataframe(todo, kind_name, P, salt, base_rng_state,
+                                  bloom_args, shuffle_mode)
 
     if partials_path:
         partials.write.mode("append").parquet(partials_path)
@@ -268,6 +250,37 @@ def build_partitioned_filter(
 
     metrics = all_rows.drop(columns=["blob"])
     return PartitionedFilter(kind_name, P, salt, blobs, metrics, routing)
+
+
+def partials_dataframe(placed: DataFrame, kind_name: str, P: int, salt: int,
+                       base_rng_state: int, bloom_args, shuffle_mode: str
+                       ) -> DataFrame:
+    """The partial-build DataFrame (PARTIAL_SCHEMA, one row per non-empty
+    pid). `placed` must carry columns (key, route). Shared by the
+    in-driver handle path (`build_partitioned_filter`) and the
+    driver-bypass sidecar path (`io.build_filter_sidecar`)."""
+    from .. import workerside
+    from .keys import route_expr
+
+    if shuffle_mode == "packed":
+        def _pack(batches):
+            return workerside.pack_by_pid(batches, P)
+
+        def _build(tbl):
+            return workerside.build_from_chunks(
+                tbl, kind_name, base_rng_state, bloom_args)
+
+        packed = placed.mapInArrow(_pack, "pid int, chunk binary")
+        return packed.groupBy("pid").applyInArrow(_build, PARTIAL_SCHEMA)
+    if shuffle_mode == "rows":
+        def _build_rows(batches):
+            return workerside.build_partitions_map(
+                batches, kind_name, base_rng_state, bloom_args)
+
+        return (placed.drop("route")
+                .repartition(P, route_expr("key", salt))
+                .mapInArrow(_build_rows, PARTIAL_SCHEMA))
+    raise ValueError(f"unknown shuffle_mode {shuffle_mode!r}")
 
 
 def _parquet_exists(path: str) -> bool:

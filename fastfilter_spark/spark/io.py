@@ -88,6 +88,67 @@ def write_filter_sidecar(pf: PartitionedFilter, path: str) -> None:
                    "n_keys": pf.n_keys}, fh)
 
 
+def build_filter_sidecar(keys_df: DataFrame, sidecar_path: str,
+                         key_col: str = "key", kind: str = "bf8",
+                         num_partitions: int = 256, salt: int = 0,
+                         base_rng_state: int = 0x726B2B9D438B9D4D,
+                         shuffle_mode: str = "packed") -> dict:
+    """Build a filter of ANY size without the driver ever holding a
+    blob: the per-partition partial filters are written straight from
+    the executors to ``sidecar_path/partials.parquet`` (a parquet
+    directory — `contains_via_sidecar`'s pyarrow dataset read and
+    `read_filter_sidecar` both accept it), and only the aggregate
+    metrics come back to the driver for the manifest.
+
+    This is the 10^12-key path: `build_partitioned_filter` collects all
+    P blobs driver-side for broadcast querying, which hits
+    spark.driver.maxResultSize around 10^9 keys (~1.1 GB of bf8 blobs);
+    here driver memory stays O(1) and querying routes probes to their
+    pid's blob (`contains_via_sidecar`). Per-pid RNG seeds depend only
+    on (base_rng_state, pid), so the blobs are byte-identical to the
+    in-driver path's. pids that received no keys have no row; the
+    routed query treats missing pids as definite non-membership —
+    identical semantics to the empty-filter blobs the in-driver path
+    synthesizes.
+
+    Returns the manifest dict (with n_keys and partition count).
+    """
+    from pyspark.sql import functions as F
+
+    from .build import FILTER_KINDS, partials_dataframe
+    from .keys import route_expr
+
+    if kind not in FILTER_KINDS:
+        raise ValueError(f"unknown filter kind {kind!r} (bloom: use "
+                         "build_partitioned_filter — its blobs are tiny)")
+    if shuffle_mode != "packed":
+        raise ValueError("sidecar build requires packed shuffle "
+                         "(xxhash_pmod routing — the routed query mirrors it)")
+    placed = (keys_df.select(F.col(key_col).alias("key"))
+              .where(F.col("key").isNotNull())
+              .withColumn("route", route_expr("key", salt)))
+    partials = partials_dataframe(placed, kind, num_partitions, salt,
+                                  base_rng_state, None, shuffle_mode)
+    os.makedirs(sidecar_path, exist_ok=True)
+    parts_dir = os.path.join(sidecar_path, "partials.parquet")
+    partials.write.mode("overwrite").parquet(parts_dir)
+
+    spark = keys_df.sparkSession
+    agg = (spark.read.parquet(parts_dir)
+           .agg(F.sum("n_keys").alias("n"),
+                F.count("*").alias("pids"),
+                F.sum(F.length("blob")).alias("blob_bytes"),
+                F.max("attempts").alias("max_attempts")).collect()[0])
+    manifest = {"kind": kind, "P": num_partitions, "salt": salt,
+                "routing": "xxhash_pmod",
+                "n_keys": int(agg.n or 0), "pids_built": int(agg.pids),
+                "blob_bytes": int(agg.blob_bytes or 0),
+                "max_attempts": int(agg.max_attempts or 0)}
+    with open(os.path.join(sidecar_path, "filter_manifest.json"), "w") as fh:
+        json.dump(manifest, fh)
+    return manifest
+
+
 def contains_via_sidecar(probes: DataFrame, sidecar_path: str,
                          key_col: str = "key") -> DataFrame:
     """Large-P membership query: shuffle probes to their pid and let

@@ -33,6 +33,10 @@ def get_spark(app: str = "fastfilter_spark", cpus: int | None = None,
         .config("spark.ui.enabled", "false")
         .config("spark.sql.warehouse.dir",
                 os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/ffsk_warehouse"))
+        # the in-driver filter handle collects P blobs (~1.1 GB at 1e9
+        # keys, bf8) — default 1g maxResultSize breaks first; the true
+        # 10^12 path is io.build_filter_sidecar (driver never holds blobs)
+        .config("spark.driver.maxResultSize", "8g")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .getOrCreate()
     )

@@ -353,3 +353,33 @@ def test_interval_join_matches_inequality_join(spark):
     semi = interval_join(pts, iv, "user_id", "t", "lo", "hi", 3600.0,
                          how="left_semi")
     assert semi.count() == expect.select("event_id").distinct().count()
+
+
+def test_build_filter_sidecar_driver_bypass(spark, corpus_df, tmp_path):
+    """The 10^12-key path: partials written executor-side, driver never
+    holds a blob. Blobs must be byte-identical to the in-driver build
+    (same per-pid RNG), the routed query must have zero FN, and missing
+    pids must read as definite non-membership."""
+    import pyarrow.parquet as pq
+
+    from fastfilter_spark.spark import (
+        build_filter_sidecar, contains_via_sidecar,
+    )
+
+    keys = keys_from_content(corpus_df, "content")
+    sc = str(tmp_path / "sc")
+    m = build_filter_sidecar(keys, sc, kind="bf8", num_partitions=8)
+    assert m["n_keys"] == keys.distinct().count()
+
+    assert contains_via_sidecar(keys, sc).where("NOT contained").count() == 0
+
+    pf = build_partitioned_filter(keys, kind="bf8", num_partitions=8)
+    tbl = pq.read_table(sc + "/partials.parquet",
+                        columns=["pid", "blob"]).to_pandas()
+    assert all(bytes(r.blob) == pf.blobs[int(r.pid)]
+               for r in tbl.itertuples())
+
+    probes = spark.range(0, 50_000).select(
+        F.xxhash64(F.col("id") * 77 + 13).alias("key"))
+    fp = contains_via_sidecar(probes, sc).where("contained").count()
+    assert fp / 50_000 < 2**-8 * 1.6 + 0.003

@@ -145,6 +145,34 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
                    "(PartitionFilters, not row Filter)",
                    m9 is not None and "lang" in m9.group(1)))
 
+    # 10. asof_join: exactly ONE exchange (on the key) — the union +
+    # cumulative-window composition must not add extra shuffles
+    from fastfilter_spark.spark import asof_join
+    ev_p = docs.select(F.col("doc_id").alias("uid"),
+                       F.col("n_chars").cast("double").alias("t"), "lang")
+    ev_r = docs.select(F.col("doc_id").alias("uid"),
+                       (F.col("n_chars") * 2).cast("double").alias("t"),
+                       F.col("source").alias("rv"))
+    p10 = plan_of(asof_join(ev_p, ev_r, "uid", "t"))
+    checks.append(("asof join: exactly one Exchange (key shuffle only)",
+                   len(re.findall(r"\(\d+\) Exchange", p10)) == 1))
+
+    # 11. salted_join: the shuffle key is (join key, salt), not the key
+    # alone — hot keys split across salt_n partitions. Disable broadcast
+    # for the check: salting matters precisely when the dim is too big
+    # to broadcast (a broadcast join has no skew problem to begin with).
+    from fastfilter_spark.spark import salted_join
+    dim = docs.select("lang").distinct()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p11 = plan_of(salted_join(docs, dim, "lang", salt_n=8))
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    m11 = re.search(r"hashpartitioning\(([^)]*)\)", p11)
+    checks.append(("salted join: shuffle on (key, salt)",
+                   m11 is not None and "lang" in m11.group(1)
+                   and "salt" in m11.group(1)))
+
     print(p2)
     print(p3[:3000])
     ok = True
