@@ -131,7 +131,17 @@ def build_filter_sidecar(keys_df: DataFrame, sidecar_path: str,
                                   base_rng_state, None, shuffle_mode)
     os.makedirs(sidecar_path, exist_ok=True)
     parts_dir = os.path.join(sidecar_path, "partials.parquet")
-    partials.write.mode("overwrite").parquet(parts_dir)
+    # few pid-range-sorted files (~64 pids each) with SMALL row groups
+    # and no compression: a routed probe task reads one ~4 MB row group
+    # per pid (a 1 MB blob inside a default 128 MB snappy row group made
+    # every pid load decompress the whole group — measured 0.26 M
+    # probes/s; filter blobs are high-entropy, compression buys nothing)
+    (partials.repartitionByRange(max(1, num_partitions // 64), "pid")
+     .sortWithinPartitions("pid")
+     .write.mode("overwrite")
+     .option("parquet.block.size", str(4 * 1024 * 1024))
+     .option("compression", "none")
+     .parquet(parts_dir))
 
     spark = keys_df.sparkSession
     agg = (spark.read.parquet(parts_dir)
@@ -150,11 +160,19 @@ def build_filter_sidecar(keys_df: DataFrame, sidecar_path: str,
 
 
 def contains_via_sidecar(probes: DataFrame, sidecar_path: str,
-                         key_col: str = "key") -> DataFrame:
+                         key_col: str = "key",
+                         num_tasks: Optional[int] = None) -> DataFrame:
     """Large-P membership query: shuffle probes to their pid and let
     each task read only its own blob from the sidecar (constant memory
     per worker; the broadcast path in ``with_contains`` ships all P
     blobs to every worker, which stops scaling past P≈64).
+
+    ``num_tasks`` decouples task count from P: repartitioning on the pid
+    expression into fewer tasks gives each task a handful of pids (the
+    kernel routes per-row and caches each pid's blob), so a P=1024
+    filter can be probed with e.g. 128 tasks instead of paying 1024
+    task launches + python worker round-trips. Default: min(P, 16 ×
+    defaultParallelism), capped so per-task blob memory stays small.
 
     Only valid for filters built with the default packed shuffle
     (routing = pmod(xxhash64(key, salt), P)).
@@ -169,11 +187,15 @@ def contains_via_sidecar(probes: DataFrame, sidecar_path: str,
     if m["routing"] != ROUTING_XXHASH_PMOD:
         raise ValueError("sidecar query requires xxhash_pmod routing")
     P, salt = m["P"], m["salt"]
+    if num_tasks is None:
+        par = probes.sparkSession.sparkContext.defaultParallelism
+        num_tasks = min(P, max(1, 16 * par))
 
-    # repartition on the pid expression: Spark places each pid wholly in
-    # one task (a task may hold a few pids — handled in the kernel).
+    # repartition on the pid expression: all rows of one pid land in one
+    # task; a task holds ~P/num_tasks pids (kernel routes per-row and
+    # caches blobs per pid)
     routed = probes.withColumn("__route", route_expr(key_col, salt)) \
-                   .repartition(P, partition_id(key_col, P, salt))
+                   .repartition(num_tasks, partition_id(key_col, P, salt))
 
     def _probe(batches):
         return workerside.contains_sidecar_route(

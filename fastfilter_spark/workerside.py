@@ -267,16 +267,20 @@ def contains_sidecar_route(batches, sidecar_path: str, P: int,
     at P=256). Emits the input rows + a `contained` column.
     """
     import os
-    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
 
     cache: Dict[int, object] = {}
     path = os.path.join(sidecar_path, "partials.parquet")
+    # list files + open footers ONCE per task — per-pid loads then prune
+    # to one row group via parquet stats (pq.read_table(filters=...) per
+    # pid re-listed the whole directory: O(files) metadata work per pid)
+    ds = pads.dataset(path, format="parquet")
 
     def _filter_for(pid: int):
         f = cache.get(pid)
         if f is None:
-            tbl = pq.read_table(path, columns=["pid", "blob"],
-                                filters=[("pid", "=", pid)])
+            tbl = ds.to_table(columns=["pid", "blob"],
+                              filter=pads.field("pid") == pid)
             f = (load_filter(tbl.column("blob")[0].as_py())
                  if tbl.num_rows else False)
             cache[pid] = f
