@@ -19,6 +19,7 @@ import json
 import os
 from typing import Optional
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
@@ -151,6 +152,7 @@ def build_filter_sidecar(keys_df: DataFrame, sidecar_path: str,
                 F.max("attempts").alias("max_attempts")).collect()[0])
     manifest = {"kind": kind, "P": num_partitions, "salt": salt,
                 "routing": "xxhash_pmod",
+                "base_rng_state": base_rng_state,
                 "n_keys": int(agg.n or 0), "pids_built": int(agg.pids),
                 "blob_bytes": int(agg.blob_bytes or 0),
                 "max_attempts": int(agg.max_attempts or 0)}
@@ -215,5 +217,16 @@ def read_filter_sidecar(path: str) -> PartitionedFilter:
     blobs: list = [b"" for _ in range(m["P"])]
     for _, r in rows.iterrows():
         blobs[int(r["pid"])] = bytes(r["blob"])
+    # executor-written sidecars omit zero-key pids; synthesize their
+    # empty filters (deterministic: per-pid RNG) so queries stay total
+    missing = [pid for pid in range(m["P"]) if not blobs[pid]]
+    if missing and not m["kind"].startswith("bloom"):
+        from .. import workerside
+        rng_base = m.get("base_rng_state", 0x726B2B9D438B9D4D)
+        builder = workerside._BUILDERS[m["kind"]]
+        for pid in missing:
+            empty = builder(np.empty(0, dtype=np.uint64),
+                            workerside.part_rng_state(rng_base, pid))
+            blobs[pid] = empty.to_bytes()
     return PartitionedFilter(m["kind"], m["P"], m["salt"], blobs,
                              rows.drop(columns=["blob"]), m["routing"])

@@ -383,3 +383,19 @@ def test_build_filter_sidecar_driver_bypass(spark, corpus_df, tmp_path):
         F.xxhash64(F.col("id") * 77 + 13).alias("key"))
     fp = contains_via_sidecar(probes, sc).where("contained").count()
     assert fp / 50_000 < 2**-8 * 1.6 + 0.003
+
+
+def test_sparse_sidecar_readback_total(spark, corpus_df, tmp_path):
+    """An executor-written sidecar omits zero-key pids; reading it back
+    into a driver handle must synthesize their empty filters so every
+    probe routes to a real blob."""
+    from fastfilter_spark.spark import build_filter_sidecar, read_filter_sidecar
+
+    keys = keys_from_content(corpus_df, "content")
+    sc = str(tmp_path / "sparse_sc")
+    P = 8192  # >> n_distinct, so some pids provably get no keys
+    m = build_filter_sidecar(keys, sc, kind="bf8", num_partitions=P)
+    assert m["pids_built"] < P  # genuinely sparse
+    pf = read_filter_sidecar(sc)
+    assert all(len(b) > 0 for b in pf.blobs)
+    assert pf.with_contains(keys, "key").where("NOT contained").count() == 0
