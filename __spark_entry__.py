@@ -117,6 +117,23 @@ def q_bf8_orders_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("l_returnflag"))
 
 
+def q_sidecar_routed_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-bypass build + routed query (the 10^12-key serve path):
+    partial filters written executor-side to a parquet sidecar, probes
+    shuffled to their pid, each task reading only its own blobs. Exact
+    by zero-FN: every member key must be contained."""
+    import tempfile
+
+    from fastfilter_spark.spark import build_filter_sidecar, contains_via_sidecar
+    keys = _doc_keys(spark, sf_dir).dropDuplicates(["key"]).cache()
+    sc = tempfile.mkdtemp(prefix="ffsk_q_sc_") + "/sidecar"
+    build_filter_sidecar(keys, sc, kind="bf8", num_partitions=16)
+    probed = contains_via_sidecar(keys, sc)
+    return probed.agg(
+        F.count("*").alias("n_probed"),
+        F.sum(F.when(F.col("contained"), 1).otherwise(0)).alias("n_contained"))
+
+
 def q_salted_join_hot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit skew-defusing join (SURVEY.md §2.2 joins; north_rule
     'skew handled explicitly'): events (fact, skewed user_id) salted
@@ -705,6 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xorplus8_membership": _membership("xorplus8"),
         "xorplus16_membership": _membership("xorplus16"),
         "bloom_membership": _membership("bloom"),
+        "sidecar_routed_membership": q_sidecar_routed_membership,
         "bf16_semijoin": q_bf16_semijoin,
         "xor8_antijoin": q_xor8_antijoin,
         "bf8_orders_semijoin": q_bf8_orders_semijoin,
@@ -770,6 +788,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem WHERE l_orderkey IN "
             "(SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F') "
             "GROUP BY l_returnflag ORDER BY l_returnflag"),
+        "sidecar_routed_membership": _MEMBERSHIP_ORACLE,
         "interval_join_error_windows": (
             "WITH c AS (SELECT user_id, epoch(ts) AS t FROM events "
             "WHERE event_type = 'click'), "
