@@ -88,6 +88,24 @@ def main() -> None:
     timed("contains_1e7", lambda: bf8.with_contains(big, "key")
           .where("contained").count())
     extra["contains_1e7_keys_per_sec"] = round(n_big / timings["contains_1e7"])
+
+    # driver-bypass scale path: executor-written sidecar + routed probe
+    # (the 10^9+/10^12 serve shape; driver memory O(1))
+    import shutil
+    import tempfile
+
+    from fastfilter_spark.spark import build_filter_sidecar, contains_via_sidecar
+    sc_dir = tempfile.mkdtemp(prefix="ffsk_bench_sc_") + "/sidecar"
+    timed("sidecar_build_1e7", lambda: build_filter_sidecar(
+        big, sc_dir, kind="bf8", num_partitions=4 * CPUS))
+    extra["sidecar_1e7_keys_per_sec"] = round(
+        n_big / timings["sidecar_build_1e7"])
+    n_in = timed("sidecar_probe_1e7", lambda: contains_via_sidecar(big, sc_dir)
+                 .where("contained").count())
+    extra["sidecar_probe_keys_per_sec"] = round(
+        n_big / timings["sidecar_probe_1e7"])
+    assert n_in >= n_big * 0.9
+    shutil.rmtree(os.path.dirname(sc_dir), ignore_errors=True)
     big.unpersist()
 
     # end-to-end patterns at the sf tier --------------------------------------
