@@ -117,6 +117,23 @@ def q_bf8_orders_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("l_returnflag"))
 
 
+def q_cuckoo_delete_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletable membership (cuckoo filter — the retraction surface the
+    static xor/fuse family lacks): build over all doc keys, DELETE the
+    EN keys, probe the survivors. Exact by zero-FN: every surviving key
+    stays contained; counts match the relational answer."""
+    from fastfilter_spark.spark import build_partitioned_filter, cuckoo_update
+    keys = _doc_keys(spark, sf_dir).dropDuplicates(["key"]).cache()
+    en = _doc_keys(spark, sf_dir, F.col("lang") == "en").dropDuplicates(["key"])
+    pf = build_partitioned_filter(keys, kind="cuckoo16", num_partitions=8)
+    pf2 = cuckoo_update(pf, delete_df=en)
+    survivors = keys.subtract(en)
+    probed = pf2.with_contains(survivors, "key")
+    return probed.agg(
+        F.count("*").alias("n_survivors"),
+        F.sum(F.when(F.col("contained"), 1).otherwise(0)).alias("n_contained"))
+
+
 def q_sidecar_routed_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-bypass build + routed query (the 10^12-key serve path):
     partial filters written executor-side to a parquet sidecar, probes
@@ -723,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xorplus16_membership": _membership("xorplus16"),
         "bloom_membership": _membership("bloom"),
         "sidecar_routed_membership": q_sidecar_routed_membership,
+        "cuckoo_delete_membership": q_cuckoo_delete_membership,
         "bf16_semijoin": q_bf16_semijoin,
         "xor8_antijoin": q_xor8_antijoin,
         "bf8_orders_semijoin": q_bf8_orders_semijoin,
@@ -789,6 +807,10 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F') "
             "GROUP BY l_returnflag ORDER BY l_returnflag"),
         "sidecar_routed_membership": _MEMBERSHIP_ORACLE,
+        "cuckoo_delete_membership": (
+            "SELECT COUNT(*) AS n_survivors, COUNT(*) AS n_contained FROM "
+            "(SELECT DISTINCT text FROM documents WHERE text NOT IN "
+            "(SELECT text FROM documents WHERE lang = 'en'))"),
         "interval_join_error_windows": (
             "WITH c AS (SELECT user_id, epoch(ts) AS t FROM events "
             "WHERE event_type = 'click'), "

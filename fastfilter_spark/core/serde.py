@@ -32,6 +32,7 @@ KIND_CMS = 6
 KIND_KLL = 7
 KIND_TDIGEST = 8
 KIND_THETA = 9
+KIND_CUCKOO = 10
 
 
 def pack(kind: int, params: Dict[str, Any], payload: bytes) -> bytes:

@@ -1,4 +1,5 @@
-from .build import PartitionedFilter, add_keys, build_partitioned_filter
+from .build import (PartitionedFilter, add_keys, build_partitioned_filter,
+                    cuckoo_update)
 from .grouped import GroupedFilters, build_grouped_filters
 from .io import (build_filter_sidecar, contains_via_sidecar, read_corpus,
                  read_filter_sidecar, write_bucketed, write_filter_sidecar)
@@ -16,5 +17,5 @@ __all__ = [
     "hll_agg", "cms_agg", "cms_query", "kll_agg", "tdigest_agg", "theta_agg",
     "read_corpus", "write_filter_sidecar", "read_filter_sidecar", "contains_via_sidecar",
     "write_bucketed", "salted_join", "asof_join", "interval_join",
-    "build_filter_sidecar",
+    "build_filter_sidecar", "cuckoo_update",
 ]

@@ -53,7 +53,8 @@ PARTIAL_SCHEMA = (
 
 # valid non-bloom kinds (builders live in fastfilter_spark.workerside so
 # executors never import pyspark-heavy modules)
-FILTER_KINDS = ("bf8", "bf16", "bf32", "xor8", "xor16", "xorplus8", "xorplus16")
+FILTER_KINDS = ("bf8", "bf16", "bf32", "xor8", "xor16", "xorplus8",
+                "xorplus16", "cuckoo8", "cuckoo16")
 
 
 @dataclass
@@ -250,6 +251,66 @@ def build_partitioned_filter(
 
     metrics = all_rows.drop(columns=["blob"])
     return PartitionedFilter(kind_name, P, salt, blobs, metrics, routing)
+
+
+def cuckoo_update(
+    pf: PartitionedFilter,
+    add_df: Optional[DataFrame] = None,
+    delete_df: Optional[DataFrame] = None,
+    key_col: str = "key",
+    max_batch: int = 50_000_000,
+) -> PartitionedFilter:
+    """Functional insert/delete on a partitioned cuckoo filter — the
+    mutation surface the static xor/fuse family lacks (retractions in a
+    streaming membership set; cf. SURVEY.md §2.2 Streaming).
+
+    Keys are routed to their pid with the bit-exact numpy replica of
+    the build placement, each touched blob is updated in isolation, and
+    a NEW PartitionedFilter is returned (blobs are immutable values —
+    same functional style as add_keys). Batches are collected to the
+    driver (deletes/increments are small relative to the build by
+    nature; ``max_batch`` guards misuse — bulk changes should rebuild).
+    Deleting a never-inserted key is rejected by contract (it can evict
+    a colliding entry's fingerprint): delete only what you added.
+    """
+    if not pf.kind.startswith("cuckoo"):
+        raise ValueError("cuckoo_update requires a cuckoo-kind filter")
+    if pf.routing != ROUTING_XXHASH_PMOD:
+        raise ValueError("cuckoo_update requires xxhash_pmod routing")
+    from .. import workerside
+    from ..core.cuckoo import CuckooFilter
+    from ..core.hashing import route_pid
+
+    def _collect(df: Optional[DataFrame]) -> np.ndarray:
+        if df is None:
+            return np.empty(0, dtype=np.uint64)
+        n = df.count()
+        if n > max_batch:
+            raise ValueError(f"batch of {n} keys: rebuild instead")
+        arr = np.array([r[0] for r in df.select(key_col).collect()],
+                       dtype=np.int64).view(np.uint64)
+        return np.unique(arr)
+
+    adds, dels = _collect(add_df), _collect(delete_df)
+    blobs = list(pf.blobs)
+    metrics = pf.metrics.set_index("pid")
+    for keys, op in ((adds, "add"), (dels, "delete")):
+        if not keys.size:
+            continue
+        pids = route_pid(keys, pf.salt, pf.num_partitions)
+        for pid in np.unique(pids):
+            f = CuckooFilter.from_bytes(blobs[int(pid)])
+            batch = keys[pids == pid]
+            if op == "add":
+                f.add(batch)
+                delta = len(batch)
+            else:
+                delta = -f.delete(batch)
+            blobs[int(pid)] = f.to_bytes()
+            if int(pid) in metrics.index:
+                metrics.loc[int(pid), "n_keys"] += delta
+    return PartitionedFilter(pf.kind, pf.num_partitions, pf.salt, blobs,
+                             metrics.reset_index(), pf.routing)
 
 
 def partials_dataframe(placed: DataFrame, kind_name: str, P: int, salt: int,

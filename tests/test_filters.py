@@ -138,3 +138,50 @@ def test_bloom_geometry_mismatch_rejected():
     b = BloomFilter.empty(100_000, 0.01)
     with pytest.raises(ValueError):
         a.merge(b)
+
+
+class TestCuckoo:
+    """Deletable membership (Fan et al. 2014) — the mutation surface the
+    static xor/fuse family lacks."""
+
+    def test_zero_fn_and_fpp(self):
+        import numpy as np
+
+        from fastfilter_spark.core.cuckoo import CuckooFilter
+        rng = np.random.default_rng(3)
+        keys = np.unique(rng.integers(0, 2**63, 200_000, dtype=np.uint64))
+        f = CuckooFilter.populate(keys, width=8, assume_unique=True)
+        assert f.contains(keys).all()
+        non = rng.integers(0, 2**63, 200_000, dtype=np.uint64)
+        non = non[~np.isin(non, keys)]
+        assert f.contains(non).mean() < 2 * 4 / 2**8 * 1.3  # 2b/2^w bound
+
+    def test_bits_per_entry_near_capacity(self):
+        import numpy as np
+
+        from fastfilter_spark.core.cuckoo import CuckooFilter
+        # n chosen at the 0.84 load target for a power-of-two bucket
+        # count: bits/entry ≈ w/α ≈ 9.5 (the honest capacity number;
+        # arbitrary n pays up to 2× from the pow2 rounding)
+        n = int(0.84 * 4 * 65536)
+        keys = np.unique(np.random.default_rng(5).integers(
+            0, 2**63, int(n * 1.02), dtype=np.uint64))[:n]
+        f = CuckooFilter.populate(keys, width=8, assume_unique=True)
+        assert f.m == 65536
+        assert f.bits_per_entry() < 9.8
+
+    def test_delete_exact_and_serde(self):
+        import numpy as np
+
+        from fastfilter_spark.core.cuckoo import CuckooFilter
+        rng = np.random.default_rng(9)
+        keys = np.unique(rng.integers(0, 2**63, 100_000, dtype=np.uint64))
+        f = CuckooFilter.populate(keys, width=16, assume_unique=True)
+        half = keys[:50_000]
+        assert f.delete(half) == 50_000
+        assert f.contains(keys[50_000:]).all()      # zero FN on survivors
+        assert f.contains(half).mean() < 0.01       # residual = collisions
+        g = CuckooFilter.from_bytes(f.to_bytes())
+        assert g.contains(keys[50_000:]).all()
+        g.add(half)                                 # re-insert round trip
+        assert g.contains(keys).all()

@@ -399,3 +399,26 @@ def test_sparse_sidecar_readback_total(spark, corpus_df, tmp_path):
     pf = read_filter_sidecar(sc)
     assert all(len(b) > 0 for b in pf.blobs)
     assert pf.with_contains(keys, "key").where("NOT contained").count() == 0
+
+
+def test_cuckoo_distributed_build_and_delete(spark, corpus_df):
+    """Deletable partitioned membership: distributed cuckoo build has
+    zero FN; cuckoo_update(delete) removes exactly the requested keys,
+    keeps every survivor (zero FN), and is functional (the original
+    handle is untouched)."""
+    from fastfilter_spark.spark import cuckoo_update
+
+    keys = keys_from_content(corpus_df, "content").distinct().cache()
+    evens = keys.where(F.col("key") % 2 == 0)
+    odds = keys.where(F.col("key") % 2 != 0)
+    pf = build_partitioned_filter(keys, kind="cuckoo16", num_partitions=8)
+    assert pf.with_contains(keys, "key").where("NOT contained").count() == 0
+
+    pf2 = cuckoo_update(pf, delete_df=evens)
+    assert pf2.with_contains(odds, "key").where("NOT contained").count() == 0
+    resid = pf2.with_contains(evens, "key").where("contained").count()
+    assert resid <= max(2, 0.01 * evens.count())   # collisions only @w16
+    # original untouched; add-back restores full membership
+    assert pf.with_contains(evens, "key").where("NOT contained").count() == 0
+    pf3 = cuckoo_update(pf2, add_df=evens)
+    assert pf3.with_contains(keys, "key").where("NOT contained").count() == 0
