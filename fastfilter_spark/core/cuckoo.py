@@ -97,6 +97,16 @@ class CuckooFilter:
 
     # -- construction -------------------------------------------------------
     @classmethod
+    def empty(cls, capacity: int, width: int = 8, rng_state: int = 1
+              ) -> "CuckooFilter":
+        """Pre-sized empty filter for incremental `add`/`delete` use
+        (streaming): cuckoo tables cannot grow in place (the alt-bucket
+        xor trick fixes m), so size for the expected key count up front."""
+        m = _geometry(max(1, capacity))
+        seed = int(SplitMix64(rng_state).next())
+        return cls(width, seed, np.zeros((m, _B), dtype=_DTYPES[width]), 0)
+
+    @classmethod
     def populate(cls, keys: np.ndarray, width: int = 8,
                  rng_state: int = 1, assume_unique: bool = False
                  ) -> "CuckooFilter":

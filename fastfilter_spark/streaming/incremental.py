@@ -206,3 +206,83 @@ def filter_rebuild_sink(stream_keys: DataFrame, work_dir: str,
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def cuckoo_mutation_sink(stream_ops: DataFrame, work_dir: str,
+                         key_col: str = "key", op_col: str = "op",
+                         width: int = 16, num_partitions: int = 8,
+                         salt: int = 0,
+                         capacity_per_partition: int = 200_000,
+                         base_rng_state: int = 0x726B2B9D438B9D4D,
+                         checkpoint_dir: str | None = None,
+                         trigger_available_now: bool = True):
+    """Streaming membership WITH retractions — the semantic the
+    rebuild-on-trigger sink cannot give (xor/fuse are static; deleting
+    a key there means a full rebuild without it). Each micro-batch
+    carries (key, op) rows with op > 0 = insert, op < 0 = delete; the
+    sink folds them into a partitioned cuckoo filter persisted as the
+    standard sidecar, readable between triggers by any query path.
+
+    Cuckoo tables cannot grow in place, so each partition's filter is
+    pre-sized for ``capacity_per_partition`` keys. Replay safety: the
+    applied-batch marker is published inside the sidecar swap, so a
+    crash between publish and marker cannot double-apply (the marker
+    travels with the state it describes).
+    """
+    import shutil
+
+    from .. import workerside
+    from ..core.cuckoo import CuckooFilter
+    from ..spark.build import PartitionedFilter, cuckoo_update
+    from ..spark.io import read_filter_sidecar, write_filter_sidecar
+
+    sidecar_dir = os.path.join(work_dir, "sidecar")
+    kind = f"cuckoo{width}"
+
+    def _fresh_pf() -> PartitionedFilter:
+        blobs = [CuckooFilter.empty(
+            capacity_per_partition, width,
+            workerside.part_rng_state(base_rng_state, pid)).to_bytes()
+            for pid in range(num_partitions)]
+        metrics = pd.DataFrame({
+            "pid": range(num_partitions),
+            "n_keys": [0] * num_partitions,
+        })
+        return PartitionedFilter(kind, num_partitions, salt, blobs, metrics)
+
+    def _applied() -> int:
+        p = os.path.join(sidecar_dir, "applied.json")
+        if os.path.exists(p):
+            with open(p) as fh:
+                return json.load(fh)["applied"]
+        return -1
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= _applied():
+            return  # replayed batch — marker travels with the sidecar
+        adds = batch_df.where(F.col(op_col) > 0) \
+                       .select(F.col(key_col).alias("key")).dropDuplicates()
+        dels = batch_df.where(F.col(op_col) < 0) \
+                       .select(F.col(key_col).alias("key")).dropDuplicates()
+        pf = (read_filter_sidecar(sidecar_dir)
+              if os.path.exists(os.path.join(sidecar_dir,
+                                             "filter_manifest.json"))
+              else _fresh_pf())
+        pf = cuckoo_update(pf,
+                           add_df=adds if not adds.isEmpty() else None,
+                           delete_df=dels if not dels.isEmpty() else None)
+        tmp = sidecar_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        write_filter_sidecar(pf, tmp)
+        with open(os.path.join(tmp, "applied.json"), "w") as fh:
+            json.dump({"applied": batch_id}, fh)
+        shutil.rmtree(sidecar_dir, ignore_errors=True)
+        os.rename(tmp, sidecar_dir)
+
+    writer = stream_ops.writeStream.foreachBatch(_fold) \
+                       .outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

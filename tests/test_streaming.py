@@ -105,3 +105,49 @@ def test_filter_rebuild_sink_byte_identical_to_batch(spark, events_stream_dir,
     assert probed.where("NOT contained").count() == 0
     # multiple micro-batches actually happened (incremental path ran)
     assert len(glob.glob(os.path.join(work, "keys", "batch=*"))) >= 2
+
+
+def test_cuckoo_mutation_sink_insert_and_delete(spark, tmp_path):
+    """Streaming membership with retractions: batch 1 inserts A∪B,
+    batch 2 deletes B and inserts C → final sidecar contains exactly
+    A∪C (zero FN) with B removed (only hash-collision residue)."""
+    import numpy as np
+
+    from fastfilter_spark.spark.io import read_filter_sidecar
+    from fastfilter_spark.streaming import cuckoo_mutation_sink
+
+    src = tmp_path / "ops_src"
+    src.mkdir()
+    A = list(range(1000, 2000))
+    B = list(range(5000, 5500))
+    C = list(range(9000, 9250))
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(
+        {"key": A + B, "op": [1] * (len(A) + len(B))})),
+        str(src / "b1.parquet"))
+
+    work = str(tmp_path / "work")
+    stream = (spark.readStream.schema("key long, op long")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    q = cuckoo_mutation_sink(stream, work, width=16, num_partitions=4,
+                             capacity_per_partition=4096,
+                             checkpoint_dir=str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(
+        {"key": B + C, "op": [-1] * len(B) + [1] * len(C)})),
+        str(src / "b2.parquet"))
+    stream2 = (spark.readStream.schema("key long, op long")
+               .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    q2 = cuckoo_mutation_sink(stream2, work, width=16, num_partitions=4,
+                              capacity_per_partition=4096,
+                              checkpoint_dir=str(tmp_path / "ck"))
+    q2.awaitTermination(120)
+
+    pf = read_filter_sidecar(work + "/sidecar")
+    present = np.array(A + C, dtype=np.uint64)
+    gone = np.array(B, dtype=np.uint64)
+    assert pf.contains_local(present).all()          # zero FN
+    assert pf.contains_local(gone).mean() < 0.01     # residue = collisions
