@@ -139,11 +139,12 @@ def q_sidecar_routed_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial filters written executor-side to a parquet sidecar, probes
     shuffled to their pid, each task reading only its own blobs. Exact
     by zero-FN: every member key must be contained."""
-    import tempfile
-
     from fastfilter_spark.spark import build_filter_sidecar, contains_via_sidecar
     keys = _doc_keys(spark, sf_dir).dropDuplicates(["key"]).cache()
-    sc = tempfile.mkdtemp(prefix="ffsk_q_sc_") + "/sidecar"
+    # fixed path, overwritten per run — a mkdtemp here would leak one
+    # sidecar per invocation (and must outlive this call: the returned
+    # DataFrame is evaluated lazily by the driver)
+    sc = "/tmp/ffsk_q_sidecar/sidecar"
     build_filter_sidecar(keys, sc, kind="bf8", num_partitions=16)
     probed = contains_via_sidecar(keys, sc)
     return probed.agg(

@@ -86,14 +86,25 @@ def _bulk_place(table: np.ndarray, counts: np.ndarray, buckets: np.ndarray,
     return placed
 
 
+_STASH_MAX = 8
+
+
 class CuckooFilter:
     def __init__(self, width: int, seed: int, table: np.ndarray,
-                 n_items: int):
+                 n_items: int, stash=None):
         self.width = width
         self.seed = seed
         self.table = table          # (m, 4) of uint8/16; 0 = empty
         self.m = table.shape[0]
         self.n_items = n_items
+        # stash of homeless (bucket, fp) pairs — a failed kick chain
+        # would otherwise DROP the evicted resident's fingerprint,
+        # turning a previously-inserted key into a false negative. A
+        # tiny stash makes that outcome impossible until the stash
+        # itself fills (_STASH_MAX), at which point add() raises with
+        # the table UNCHANGED in effect (the homeless entry is stashed
+        # first, then the error propagates).
+        self.stash: list = list(stash) if stash else []  # [(bucket, fp)]
 
     # -- construction -------------------------------------------------------
     @classmethod
@@ -140,6 +151,21 @@ class CuckooFilter:
         return True
 
     def _kick_insert(self, i: int, f: int, rng: SplitMix64) -> bool:
+        # Kicking is only safe while the stash has room: a failed chain
+        # ends holding some PREVIOUSLY INSERTED key's fingerprint, and
+        # the stash is where it survives (dropping it would be a false
+        # negative). With a full stash, try both buckets non-evictively
+        # and otherwise reject the NEW key — residents stay intact.
+        if len(self.stash) >= _STASH_MAX:
+            for b in (i, int(_alt_bucket(np.asarray([i]),
+                                         np.asarray([f], dtype=U64),
+                                         self.m)[0])):
+                row = self.table[b]
+                empty = np.flatnonzero(row == 0)
+                if empty.size:
+                    row[empty[0]] = f
+                    return True
+            return False
         for _ in range(_MAX_KICKS):
             row = self.table[i]
             empty = np.flatnonzero(row == 0)
@@ -151,7 +177,19 @@ class CuckooFilter:
             f, row[s] = int(row[s]), f
             i = int(_alt_bucket(np.asarray([i]), np.asarray([f], dtype=U64),
                                 self.m)[0])
-        return False
+        # chain exhausted: stash the carried (previously inserted)
+        # fingerprint; contains/delete consult the stash.
+        self.stash.append((int(i), int(f)))
+        return True
+
+    def _stash_contains(self, fp: np.ndarray, i1: np.ndarray,
+                        i2: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(fp), dtype=bool)
+        for b, f in self.stash:
+            # a stashed (b, f) answers for keys whose fp == f and whose
+            # candidate buckets include b (i2 = i1 ^ h(fp) is symmetric)
+            out |= (fp == f) & ((i1 == b) | (i2 == b))
+        return out
 
     # -- query / mutate ------------------------------------------------------
     def contains(self, keys: np.ndarray) -> np.ndarray:
@@ -160,7 +198,10 @@ class CuckooFilter:
         fpc = fp.astype(self.table.dtype)
         hit1 = (self.table[i1] == fpc[:, None]).any(axis=1)
         hit2 = (self.table[i2] == fpc[:, None]).any(axis=1)
-        return hit1 | hit2
+        out = hit1 | hit2
+        if self.stash:
+            out |= self._stash_contains(fp, i1, i2)
+        return out
 
     def add(self, keys: np.ndarray) -> None:
         keys = np.unique(np.asarray(keys, dtype=U64))
@@ -180,6 +221,14 @@ class CuckooFilter:
         removed = 0
         for j in range(len(keys)):
             f = self.table.dtype.type(fp[j])
+            # stash first: a stashed copy is as real as a table copy
+            hit_stash = next((t for t in self.stash
+                              if t[1] == int(f)
+                              and t[0] in (int(i1[j]), int(i2[j]))), None)
+            if hit_stash is not None:
+                self.stash.remove(hit_stash)
+                removed += 1
+                continue
             for i in (int(i1[j]), int(i2[j])):
                 row = self.table[i]
                 hits = np.flatnonzero(row == f)
@@ -204,7 +253,7 @@ class CuckooFilter:
 
     def to_bytes(self) -> bytes:
         params = {"w": self.width, "m": self.m, "seed": self.seed,
-                  "n": self.n_items}
+                  "n": self.n_items, "stash": self.stash}
         return serde.pack(serde.KIND_CUCKOO, params, self.table.tobytes())
 
     @classmethod
@@ -214,4 +263,5 @@ class CuckooFilter:
             raise ValueError("not a cuckoo blob")
         table = np.frombuffer(payload, dtype=_DTYPES[p["w"]]) \
             .reshape(p["m"], _B).copy()
-        return cls(p["w"], p["seed"], table, p["n"])
+        stash = [tuple(t) for t in p.get("stash", [])]
+        return cls(p["w"], p["seed"], table, p["n"], stash=stash)

@@ -242,15 +242,32 @@ def build_partitioned_filter(
     # an empty filter of the right kind so routing stays total.
     for pid in range(P):
         if not blobs[pid]:
-            builder = (workerside.bloom_builder(*bloom_args)
-                       if kind_name == "bloom"
-                       else workerside._BUILDERS[kind_name])
-            empty = builder(np.empty(0, dtype=U64),
-                            workerside.part_rng_state(base_rng_state, pid))
-            blobs[pid] = empty.to_bytes()
+            blobs[pid] = _empty_blob(
+                kind_name, all_rows["n_keys"].sum(), P,
+                workerside.part_rng_state(base_rng_state, pid), bloom_args)
 
     metrics = all_rows.drop(columns=["blob"])
     return PartitionedFilter(kind_name, P, salt, blobs, metrics, routing)
+
+
+def _empty_blob(kind: str, n_total: int, P: int, rng_state: int,
+                bloom_args=None) -> bytes:
+    """Deterministic empty-filter blob for a pid that received no keys.
+
+    Cuckoo kinds get an average-pid-sized table (a cuckoo table cannot
+    grow in place, so a 1-bucket empty blob would make cuckoo_update's
+    incremental add fail on exactly the pids with the most free
+    capacity); the static kinds build their natural empty shape.
+    """
+    from .. import workerside
+    if kind.startswith("cuckoo"):
+        from ..core.cuckoo import CuckooFilter
+        cap = max(16, int(np.ceil(1.2 * n_total / max(1, P))))
+        return CuckooFilter.empty(cap, int(kind[len("cuckoo"):]),
+                                  rng_state).to_bytes()
+    builder = (workerside.bloom_builder(*bloom_args) if kind == "bloom"
+               else workerside._BUILDERS[kind])
+    return builder(np.empty(0, dtype=U64), rng_state).to_bytes()
 
 
 def cuckoo_update(
@@ -307,10 +324,11 @@ def cuckoo_update(
             else:
                 delta = -f.delete(batch)
             blobs[int(pid)] = f.to_bytes()
-            if int(pid) in metrics.index:
-                metrics.loc[int(pid), "n_keys"] += delta
+            if int(pid) not in metrics.index:  # pid had zero keys at build
+                metrics.loc[int(pid)] = {c: 0 for c in metrics.columns}
+            metrics.loc[int(pid), "n_keys"] += delta
     return PartitionedFilter(pf.kind, pf.num_partitions, pf.salt, blobs,
-                             metrics.reset_index(), pf.routing)
+                             metrics.sort_index().reset_index(), pf.routing)
 
 
 def partials_dataframe(placed: DataFrame, kind_name: str, P: int, salt: int,

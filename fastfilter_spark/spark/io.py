@@ -55,15 +55,17 @@ def write_bucketed(df: DataFrame, table: str, bucket_col: str,
     by hash once, then every probe is local.)
     """
     spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    # with a non-persistent catalog (local in-memory metastore) the
-    # warehouse directory can outlive the table entry — clear it, or
-    # saveAsTable fails with LOCATION_ALREADY_EXISTS
-    loc = os.path.join(
-        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"), table)
-    if os.path.isdir(loc):
-        import shutil
-        shutil.rmtree(loc)
+    if mode == "overwrite":
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        # with a non-persistent catalog (local in-memory metastore) the
+        # warehouse directory can outlive the table entry — clear it, or
+        # saveAsTable fails with LOCATION_ALREADY_EXISTS
+        loc = os.path.join(
+            spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
+            table)
+        if os.path.isdir(loc):
+            import shutil
+            shutil.rmtree(loc)
     w = (df.write.format("parquet").mode(mode)
          .bucketBy(num_buckets, bucket_col))
     if sort_col is not None:
@@ -222,11 +224,12 @@ def read_filter_sidecar(path: str) -> PartitionedFilter:
     missing = [pid for pid in range(m["P"]) if not blobs[pid]]
     if missing and not m["kind"].startswith("bloom"):
         from .. import workerside
+        from .build import _empty_blob
         rng_base = m.get("base_rng_state", 0x726B2B9D438B9D4D)
-        builder = workerside._BUILDERS[m["kind"]]
+        n_total = m.get("n_keys", int(rows["n_keys"].sum()))
         for pid in missing:
-            empty = builder(np.empty(0, dtype=np.uint64),
-                            workerside.part_rng_state(rng_base, pid))
-            blobs[pid] = empty.to_bytes()
+            blobs[pid] = _empty_blob(
+                m["kind"], n_total, m["P"],
+                workerside.part_rng_state(rng_base, pid))
     return PartitionedFilter(m["kind"], m["P"], m["salt"], blobs,
                              rows.drop(columns=["blob"]), m["routing"])

@@ -51,9 +51,14 @@ def content_key_arrow(col: str | Column) -> Column:
         import hashlib
         sha = hashlib.sha256
         out = np.empty(len(s), dtype=np.uint64)
-        for i, v in enumerate(s.astype(str, copy=False)):
-            out[i] = int.from_bytes(sha(v.encode()).digest()[:8], "big")
-        return pd.Series(out.view(np.int64))
+        null = s.isna().to_numpy()
+        for i, v in enumerate(s):
+            if not null[i]:
+                out[i] = int.from_bytes(sha(str(v).encode()).digest()[:8],
+                                        "big")
+        res = pd.array(out.view(np.int64), dtype="Int64")
+        res[null] = pd.NA          # JVM sha2(null) is null — keep parity
+        return pd.Series(res)
 
     return _sha_key(c.cast("string"))
 

@@ -250,6 +250,17 @@ def cuckoo_mutation_sink(stream_ops: DataFrame, work_dir: str,
         })
         return PartitionedFilter(kind, num_partitions, salt, blobs, metrics)
 
+    def _recover() -> None:
+        """Heal the one non-atomic window: a crash between removing the
+        old sidecar and renaming the finished tmp leaves only tmp on
+        disk. tmp is complete by construction (it is written, marked,
+        THEN the old dir is removed), so adopt it."""
+        tmp = sidecar_dir + ".tmp"
+        if (not os.path.exists(os.path.join(sidecar_dir, "applied.json"))
+                and os.path.exists(os.path.join(tmp, "applied.json"))):
+            shutil.rmtree(sidecar_dir, ignore_errors=True)
+            os.rename(tmp, sidecar_dir)
+
     def _applied() -> int:
         p = os.path.join(sidecar_dir, "applied.json")
         if os.path.exists(p):
@@ -258,6 +269,7 @@ def cuckoo_mutation_sink(stream_ops: DataFrame, work_dir: str,
         return -1
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        _recover()
         if batch_id <= _applied():
             return  # replayed batch — marker travels with the sidecar
         adds = batch_df.where(F.col(op_col) > 0) \

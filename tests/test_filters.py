@@ -185,3 +185,26 @@ class TestCuckoo:
         assert g.contains(keys[50_000:]).all()
         g.add(half)                                 # re-insert round trip
         assert g.contains(keys).all()
+
+    def test_add_overflow_never_loses_members(self):
+        """A failed/overflowing add must never turn a previously-added
+        key into a false negative (kick chains stash the evicted
+        fingerprint instead of dropping it)."""
+        import numpy as np
+
+        from fastfilter_spark.core.cuckoo import CuckooFilter
+        f = CuckooFilter.empty(256, width=8, rng_state=3)
+        rng = np.random.default_rng(11)
+        added = []
+        try:
+            for _ in range(40):
+                batch = np.unique(rng.integers(0, 2**63, 32, dtype=np.uint64))
+                f.add(batch)
+                added.append(batch)
+        except RuntimeError:
+            pass
+        assert added, "expected at least one successful batch"
+        keys = np.concatenate(added)
+        assert f.contains(keys).all()
+        g = CuckooFilter.from_bytes(f.to_bytes())   # stash survives serde
+        assert g.contains(keys).all()
