@@ -714,10 +714,25 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing, oracle-exact: the fake media payload is
+    sha256(str(id)) bytes ×16 (512 B), the stub decode tiles it to a
+    64×64 image, and the 8-block pooled feature therefore collapses to
+    mean(digest bytes) in every dimension — all float32 steps are exact
+    (integer sums < 2^24, power-of-two divisors), so DuckDB recomputes
+    feat_mean bit-identically from sha256(CAST(id AS VARCHAR)).
+    Scalar columns only (the driver canonicalizer can't sort arrays)."""
     from fastfilter_spark.pipeline import extract_features, make_fake_media
     docs = _docs(spark, sf_dir)
     media = make_fake_media(docs, "doc_id")
-    return extract_features(media, feat_dim=8).orderBy("media_id")
+    feats = extract_features(media, feat_dim=8)
+    return (feats.select(
+        "media_id", "kind",
+        F.size("feat").cast("int").alias("n_dims"),
+        F.round(F.aggregate("feat", F.lit(0.0),
+                            lambda acc, x: acc + x.cast("double"))
+                / F.size("feat"), 6).alias("feat_mean"),
+        "decode_ok")
+        .orderBy("media_id"))
 
 
 # ---------------------------------------------------------------------------
@@ -949,6 +964,19 @@ def oracle_sql() -> dict[str, str]:
             "AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
             "CAST(b.embedding AS DOUBLE[])) >= 0.35 "
             "ORDER BY id_a, id_b"),
+        "multimodal_features": (
+            # Recompute the stub pipeline: payload = sha256(str(id))×16,
+            # tiled to 64×64, 8-block pooled mean ⇒ every feature dim ==
+            # mean of the 32 digest bytes (exact in float32; see query).
+            "WITH b AS (SELECT doc_id, sha256(CAST(doc_id AS VARCHAR)) AS hx "
+            "FROM documents) "
+            "SELECT doc_id AS media_id, 'image' AS kind, "
+            "CAST(8 AS INTEGER) AS n_dims, "
+            "ROUND(list_sum(list_transform(range(0,32), i -> "
+            "(strpos('0123456789abcdef', substr(hx, CAST(2*i+1 AS INTEGER), 1))-1)*16 "
+            "+ strpos('0123456789abcdef', substr(hx, CAST(2*i+2 AS INTEGER), 1))-1"
+            ")) / 32.0, 6) AS feat_mean, "
+            "TRUE AS decode_ok FROM b ORDER BY media_id"),
         "ann_cosine_topk": (
             "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
             "CAST(row_number() OVER (PARTITION BY q.vec_id "

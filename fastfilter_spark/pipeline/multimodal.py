@@ -11,7 +11,6 @@ processed per call (bounded memory regardless of blob size skew).
 from __future__ import annotations
 
 import hashlib
-import struct
 from typing import Iterator
 
 import numpy as np
@@ -31,9 +30,12 @@ def make_fake_media(df: DataFrame, id_col: str, kind: str = "image",
     """Deterministic fake media blobs (seeded by id) for plumbing tests."""
     @F.pandas_udf("binary")
     def _blob(ids: pd.Series) -> pd.Series:
+        # Seed = sha256 of the DECIMAL-STRING id (not packed bytes): any
+        # engine with sha256(VARCHAR) — e.g. the DuckDB oracle — can
+        # recompute the stub pipeline end-to-end.
         out = []
         for i in ids:
-            h = hashlib.sha256(struct.pack("<q", int(i))).digest()
+            h = hashlib.sha256(str(int(i)).encode()).digest()
             out.append(h * 16)  # 512-byte deterministic payload
         return pd.Series(out)
 

@@ -12,6 +12,11 @@ DataFrame ops where semantics allow):
    preceding* right payload forward via last(..., ignorenulls=True);
 3. keep left rows.
 
+The payload travels as ONE struct column (never per-column fills):
+a right row whose payload column is NULL must still win the as-of
+match and attach that NULL — filling each column independently would
+mix fields from different right rows.
+
 Cost: one shuffle on the key (same as any join) + one in-partition
 sort — no row explosion, no Python. Ties (r.ts == l.ts) match, like
 DuckDB's ``ASOF LEFT JOIN ... ON l.ts >= r.ts``.
@@ -23,8 +28,10 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 _TAG = "__ffsk_is_left"
+_PAY = "__ffsk_payload"
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: str, ts: str,
@@ -47,17 +54,24 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, ts: str,
     payload = [c + suffix for c in right_cols] + [ts + suffix]
     left_only = [c for c in left.columns if c not in (on, ts)]
 
+    # All right payload fields travel together in one struct: the struct
+    # itself is non-null for every right row, so last(ignorenulls=True)
+    # picks the nearest preceding right ROW even when some of its payload
+    # fields are NULL (per-column fills would splice older rows in).
+    pay_type = T.StructType(
+        [T.StructField(c + suffix, right.schema[c].dataType)
+         for c in right_cols]
+        + [T.StructField(ts + suffix, right.schema[ts].dataType)])
     l = left.select(
         on, ts, F.lit(True).alias(_TAG), *left_only,
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c + suffix)
-          for c in right_cols],
-        F.lit(None).cast(right.schema[ts].dataType).alias(ts + suffix))
+        F.lit(None).cast(pay_type).alias(_PAY))
     r = right.select(
         on, ts, F.lit(False).alias(_TAG),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left_only],
-        *[F.col(c).alias(c + suffix) for c in right_cols],
-        F.col(ts).alias(ts + suffix))
+        F.struct(
+            *[F.col(c).alias(c + suffix) for c in right_cols],
+            F.col(ts).alias(ts + suffix)).cast(pay_type).alias(_PAY))
 
     # right rows sort BEFORE left rows at equal ts (False < True), so a
     # tie matches; the window is cumulative within the key.
@@ -65,8 +79,10 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, ts: str,
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     filled = l.unionByName(r).select(
         on, ts, _TAG, *left_only,
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload])
-    out = filled.where(F.col(_TAG)).drop(_TAG)
+        F.last(_PAY, ignorenulls=True).over(w).alias(_PAY))
+    out = (filled.where(F.col(_TAG))
+           .select(on, ts, *left_only,
+                   *[F.col(f"{_PAY}.{c}").alias(c) for c in payload]))
 
     if tolerance is not None:
         stale = F.col(ts) - F.col(ts + suffix) > F.lit(tolerance)

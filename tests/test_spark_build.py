@@ -302,6 +302,22 @@ def test_asof_join_semantics(spark):
     assert tol == {(1, 10): None, (1, 20): "t", (2, 15): None, (3, 9): None}
 
 
+def test_asof_join_null_payload(spark):
+    """A matched right row with a NULL payload column must attach that
+    NULL — not splice the column from an OLDER right row (all payload
+    columns must come from the SAME matched row)."""
+    from fastfilter_spark.spark.asof import asof_join
+
+    a = spark.createDataFrame([(1, 30)], "k int, ts int")
+    b = spark.createDataFrame([(1, 10, "old"), (1, 20, None)],
+                              "k int, ts int, v string")
+    rows = asof_join(a, b, "k", "ts").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # DuckDB ASOF semantics: match is ts=20, whose v is NULL.
+    assert (r.ts_asof, r.v_asof) == (20, None)
+
+
 def test_asof_join_matches_exact_rewrite(spark):
     """On real events data the composition must equal the naive
     range-join + keep-latest rewrite."""
