@@ -14,8 +14,11 @@ exact* even though a probabilistic structure does the heavy lifting:
   boolean asserting the sketch met its published error bound — the
   deterministic hash makes the boolean reproducible.
 
-Non-SQL-expressible ops (LSH candidates, simhash, fingerprints,
-lang-id) have no oracle entry → the driver records rows-only checks.
+Hash-valued ops (LSH candidates, simhash, fingerprints) whose raw
+outputs SQL cannot recompute are restructured as self-verifying
+invariant rows (recall on planted duplicates, soundness bounds,
+algebraic properties) whose expected values the oracle derives from
+the corpus alone — every query has an oracle entry.
 """
 
 from __future__ import annotations
@@ -679,18 +682,56 @@ def q_streaming_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame
 # rows-only (non-SQL-expressible) ------------------------------------------------
 
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs at threshold 0.8 with 64 hashes / 32
+    bands (r=2): a qualifying pair (J ≥ 0.8) misses every band with
+    probability ≤ (1-0.64)³² ≈ 6e-15 — and the hashes are deterministic,
+    so the emitted set equals the EXACT set of rep-pairs with shingle
+    Jaccard ≥ 0.8, which DuckDB recomputes independently with list ops
+    (shared-shingle prefilter; J > 0 requires a shared shingle)."""
     from fastfilter_spark.pipeline import minhash_dedup
     docs = _docs(spark, sf_dir)
-    return minhash_dedup(docs, "text", "doc_id", threshold=0.2,
-                         num_hashes=32, bands=16, shingle_k=3) \
-        .orderBy("id_a", "id_b")
+    return (minhash_dedup(docs, "text", "doc_id", threshold=0.8,
+                          num_hashes=64, bands=32, shingle_k=3)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+            .orderBy("id_a", "id_b"))
 
 
 def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash recall/soundness invariants, oracle-checkable: plants an
+    exact copy of every doc_id < 100 under id+100000; identical token
+    streams hash to identical 128-bit simhashes, so every planted pair
+    MUST be emitted with hamming 0 (shares all 4 bands). Emits counts
+    the oracle derives from the corpus alone, plus a soundness flag
+    (every emitted pair within the Hamming bound)."""
     from fastfilter_spark.pipeline import simhash_candidates
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = docs.where("doc_id < 100").select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text")
+    pairs = simhash_candidates(docs.union(planted), "text", "doc_id",
+                               max_hamming=3).cache()
+    expected = docs.where("doc_id < 100").select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 100000).alias("id_b"))
+    n_planted = expected.count()
+    found_h0 = (pairs.where("hamming = 0")
+                .join(F.broadcast(expected), ["id_a", "id_b"], "left_semi")
+                .count())
+    n_pairs = pairs.count()
+    n_sound = pairs.where("hamming <= 3").count()
+    return spark.createDataFrame(
+        [(int(n_planted), int(found_h0), bool(n_sound == n_pairs))],
+        "n_planted long, n_found_h0 long, sound boolean")
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact blocked n-gram Jaccard (block = lang): fully relational, so
+    the oracle recomputes it verbatim with DuckDB list functions."""
+    from fastfilter_spark.pipeline import ngram_jaccard_pairs
     docs = _docs(spark, sf_dir)
-    return simhash_candidates(docs, "text", "doc_id", max_hamming=10) \
-        .orderBy("id_a", "id_b")
+    return (ngram_jaccard_pairs(docs, "text", "doc_id", block_col="lang",
+                                threshold=0.5, shingle_k=3)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+            .orderBy("id_a", "id_b"))
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -701,16 +742,45 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint operator invariants, oracle-checkable: the fingerprint
+    value is hash-valued (not SQL-recomputable), so the query verifies
+    its defining properties on every doc_id < 100 — (a) invariance under
+    leading/trailing whitespace (tokenizer trims), (b) min-hash
+    monotonicity: fingerprinting doc+' '+doc (a shingle superset) can
+    only lower the min — and emits counts the oracle derives from the
+    corpus alone."""
     from fastfilter_spark.pipeline import doc_fingerprint
-    docs = _docs(spark, sf_dir)
-    return docs.select("doc_id", doc_fingerprint("text").alias("fingerprint")) \
-               .orderBy("doc_id")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    pl = docs.where("doc_id < 100").select(
+        doc_fingerprint("text").alias("fp"),
+        doc_fingerprint(
+            F.concat(F.lit("  "), F.col("text"), F.lit(" "))).alias("fp_ws"),
+        doc_fingerprint(
+            F.concat(F.col("text"), F.lit(" "), F.col("text"))).alias("fp_dbl"))
+    n_docs = docs.count()
+    return (pl.agg(
+        F.lit(n_docs).cast("long").alias("n_docs"),
+        F.count("*").alias("n_planted"),
+        F.sum(F.when(F.col("fp_ws") == F.col("fp"), 1).otherwise(0))
+         .cast("long").alias("n_ws_invariant"),
+        F.sum(F.when(F.col("fp_dbl") <= F.col("fp"), 1).otherwise(0))
+         .cast("long").alias("n_concat_monotone")))
 
 
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fastfilter_spark.pipeline import lsh_topk
+    """Hyperplane-LSH ANN invariant (same pattern as ivf_ann_topk):
+    recall@3 of the bucketed path vs exact brute force over every
+    vector, flagged against a deterministic bound (fixed seed + data)."""
+    from fastfilter_spark.pipeline import brute_force_topk, lsh_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return lsh_topk(emb, k=3, n_bits=16, bands=8).orderBy("query_id", "rank")
+    approx = lsh_topk(emb, k=3, n_bits=16, bands=8) \
+        .select("query_id", "neighbor_id")
+    exact = brute_force_topk(emb, emb, k=3).select("query_id", "neighbor_id")
+    nq = emb.count()
+    hits = approx.join(exact, ["query_id", "neighbor_id"], "left_semi").count()
+    return spark.createDataFrame(
+        [(int(nq), bool(hits / (3.0 * nq) >= 0.4))],
+        "n_vecs long, lsh_recall_ok boolean")
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -787,9 +857,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
         "embedding_near_dups": q_embedding_near_dups,
-        # rows-only (no SQL oracle): LSH/simhash/fingerprint/lang-id/media
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_candidates": q_simhash_candidates,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
         "lsh_ann_topk": q_lsh_ann_topk,
@@ -798,6 +868,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _TOKENS_SQL = r"list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"
+
+# distinct 3-word shingle strings, matching pipeline.text.shingles(k=3):
+# windows 1..max(n_tokens-2, 1); short docs yield one truncated shingle
+_SHINGLES3_SQL = (
+    f"list_distinct(list_transform("
+    f"range(1, greatest(len({_TOKENS_SQL}) - 2, 1) + 1), "
+    f"i -> array_to_string(list_slice({_TOKENS_SQL}, i, i + 2), ' ')))")
+
+
+def _lang_id_oracle() -> str:
+    """DuckDB re-implementation of pipeline.text.lang_id, generated from
+    the same marker table: non-overlapping regex counts over the padded
+    lowercased text, first-max tie-break in marker-table order, 'unknown'
+    when all scores are 0, 'zh' override when CJK share > 0.05."""
+    from fastfilter_spark.pipeline.text import _LANG_MARKERS
+    langs = list(_LANG_MARKERS)  # insertion order == pandas idxmax order
+    score = {
+        lang: " + ".join(
+            "len(regexp_extract_all(t, '{}'))".format(
+                m.replace(" ", r"\s"))
+            for m in markers)
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    scores_sql = ", ".join(f"({score[l]}) AS {l}" for l in langs)
+    # first max in `langs` order: lang_i wins iff >= every later lang
+    cases = []
+    for i, l in enumerate(langs[:-1]):
+        cond = " AND ".join(f"{l} >= {r}" for r in langs[i + 1:])
+        cases.append(f"WHEN {cond} THEN '{l}'")
+    case_sql = " ".join(cases)
+    maxall = f"greatest({', '.join(langs)})"
+    return (
+        "WITH t AS (SELECT doc_id, ' ' || lower(text) || ' ' AS t "
+        "FROM documents), "
+        f"s AS (SELECT doc_id, {scores_sql}, "
+        "len(regexp_extract_all(t, '[一-鿿]')) AS cjk, "
+        "greatest(length(t), 1) AS total FROM t) "
+        "SELECT doc_id, CASE WHEN cjk * 1.0 / total > 0.05 THEN 'zh' "
+        f"WHEN {maxall} = 0 THEN 'unknown' "
+        f"{case_sql} ELSE '{langs[-1]}' END AS lang_pred "
+        "FROM s ORDER BY doc_id")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -964,6 +1075,41 @@ def oracle_sql() -> dict[str, str]:
             "AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
             "CAST(b.embedding AS DOUBLE[])) >= 0.35 "
             "ORDER BY id_a, id_b"),
+        "lang_id": _lang_id_oracle(),
+        "minhash_near_dups": (
+            # exact rep-pair shingle Jaccard ≥ 0.8; the shared-shingle
+            # prefilter is lossless (J > 0 ⇒ ≥1 shared shingle)
+            "WITH reps AS (SELECT MIN(doc_id) AS doc_id, text FROM documents "
+            "GROUP BY text), "
+            f"sh AS (SELECT doc_id, {_SHINGLES3_SQL} AS sh FROM reps), "
+            "e AS (SELECT doc_id, unnest(sh) AS s FROM sh), "
+            "p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+            "FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id), "
+            "j AS (SELECT id_a, id_b, len(list_intersect(x.sh, y.sh)) * 1.0 "
+            "/ greatest(len(list_distinct(x.sh || y.sh)), 1) AS jaccard "
+            "FROM p JOIN sh x ON id_a = x.doc_id JOIN sh y ON id_b = y.doc_id) "
+            "SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard FROM j "
+            "WHERE jaccard >= 0.8 ORDER BY id_a, id_b"),
+        "ngram_jaccard_pairs": (
+            f"WITH sh AS (SELECT doc_id, lang, {_SHINGLES3_SQL} AS sh "
+            "FROM documents), "
+            "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "len(list_intersect(a.sh, b.sh)) * 1.0 "
+            "/ greatest(len(list_distinct(a.sh || b.sh)), 1) AS jaccard "
+            "FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id) "
+            "SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard FROM p "
+            "WHERE jaccard >= 0.5 ORDER BY id_a, id_b"),
+        "simhash_candidates": (
+            "SELECT COUNT(*) AS n_planted, COUNT(*) AS n_found_h0, "
+            "TRUE AS sound FROM documents WHERE doc_id < 100"),
+        "lsh_ann_topk": (
+            "SELECT COUNT(*) AS n_vecs, TRUE AS lsh_recall_ok "
+            "FROM embeddings"),
+        "doc_fingerprints": (
+            "SELECT (SELECT COUNT(*) FROM documents) AS n_docs, "
+            "COUNT(*) AS n_planted, COUNT(*) AS n_ws_invariant, "
+            "COUNT(*) AS n_concat_monotone "
+            "FROM documents WHERE doc_id < 100"),
         "multimodal_features": (
             # Recompute the stub pipeline: payload = sha256(str(id))×16,
             # tiled to 64×64, 8-block pooled mean ⇒ every feature dim ==

@@ -108,6 +108,19 @@ def main() -> None:
     shutil.rmtree(os.path.dirname(sc_dir), ignore_errors=True)
     big.unpersist()
 
+    # 10^8 tier — the BASELINE.md sampled tier, captured per-round in
+    # BENCH_r* (VERDICT r1 #6). rows shuffle mode + P=8·CPUS (measured
+    # fastest single-box config); BENCH_SKIP_1E8=1 opts out on slow hosts.
+    if not os.environ.get("BENCH_SKIP_1E8"):
+        n_huge = 100 * N_KEYS
+        huge = synth_keys(spark, n_huge).cache()
+        huge.count()
+        timed("build_bf8_1e8", lambda: build_partitioned_filter(
+            huge, kind="bf8", num_partitions=8 * CPUS, shuffle_mode="rows"))
+        extra["bf8_1e8_keys_per_sec"] = round(
+            n_huge / timings["build_bf8_1e8"])
+        huge.unpersist()
+
     # end-to-end patterns at the sf tier --------------------------------------
     import __spark_entry__ as entry
 

@@ -101,9 +101,9 @@ class CuckooFilter:
         # would otherwise DROP the evicted resident's fingerprint,
         # turning a previously-inserted key into a false negative. A
         # tiny stash makes that outcome impossible until the stash
-        # itself fills (_STASH_MAX), at which point add() raises with
-        # the table UNCHANGED in effect (the homeless entry is stashed
-        # first, then the error propagates).
+        # itself fills (_STASH_MAX), at which point add() fails; add()
+        # snapshots table+stash up front and restores them on failure,
+        # so a failed batch leaves no phantom fingerprints behind.
         self.stash: list = list(stash) if stash else []  # [(bucket, fp)]
 
     # -- construction -------------------------------------------------------
@@ -204,8 +204,18 @@ class CuckooFilter:
         return out
 
     def add(self, keys: np.ndarray) -> None:
+        """Insert a batch, ATOMICALLY: _insert_all may place part of the
+        batch before a stash-full failure, so table+stash are snapshotted
+        up front and restored on failure — a caller that catches and
+        retries on a bigger filter inherits no phantom fingerprints.
+        Multiset semantics: re-adding a present key stores another
+        fingerprint copy (one delete() removes one copy)."""
         keys = np.unique(np.asarray(keys, dtype=U64))
+        snap_table = self.table.copy()
+        snap_stash = list(self.stash)
         if not self._insert_all(keys):
+            self.table = snap_table
+            self.stash = snap_stash
             raise RuntimeError("cuckoo filter full (add)")
         self.n_items += len(keys)
 

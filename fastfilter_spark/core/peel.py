@@ -15,12 +15,21 @@ parallel-peeling result), so the per-key work stays vectorized numpy
 instead of a per-key Python loop — this is what makes a pure-Python
 implementation fast enough to saturate an executor core.
 
-Implementation notes (profiled at n=1e6):
+Implementation notes (profiled at n=1e6 and n=1e7):
 * slot positions h0/h1/h2 are computed ONCE per attempt; every round
-  *gathers* them by key index instead of recomputing the hash mix
-  (tracking xor-of-indices per slot instead of xor-of-hashes);
-* per-slot state is cnt:int32 + ixor:uint32 — half the memory traffic
-  of hash-xor tracking, which matters at 32 concurrent builders per box;
+  *gathers* them by key index instead of recomputing the hash mix;
+* per-slot state is ONE packed uint64 (degree<<40 | sum-of-key-idx),
+  built by a single weighted bincount — one random touch per incidence;
+* binary fuse peels in two regimes — a few avalanche rounds covering
+  ~35% of keys, then ~2000 small "wavefront" rounds (~0.03% each, a
+  structural property of the segmented layout, NOT O(log n) like a
+  uniform 3-hypergraph) — so removal is hybrid: dense O(L) bincount
+  for big rounds, scatter-subtract + unique-touched for small ones
+  (measured: ufunc.at on millions of positions and unique() on small
+  tails are each the wrong tool for the other regime);
+* sorting keys by h0 to localize slot access was tried and MEASURED
+  SLOWER end-to-end on this host (argsort cost + no loop win) — the
+  wavefront's slot set is already spread across all segments;
 * a single errstate block wraps the whole attempt (numpy's per-call
   seterr was ~10% of build time).
 
@@ -85,20 +94,23 @@ def peel_and_assign(
         flat_pos = pos3.reshape(-1)
 
         # single packed per-slot state: (degree << 40) | sum_of_key_idx.
-        # Removing key i from slot s is then ONE scatter:
-        #   state[s] -= (1 << 40) + i
+        # Removing key i from slot s is then a subtraction of
+        #   (1 << 40) + i
         # and a slot is singleton iff state>>40 == 1, with the remaining
-        # key's index in the low 40 bits. Index sums fit: deg ≤ 250
-        # (checked), n < 2^31 → sum < 2^39 < 2^40, exact in the float64
-        # bincount weights (< 2^53).
-        deg = np.bincount(flat_pos, minlength=array_length)
-        if deg.max(initial=0) > 250:
+        # key's index in the low 40 bits. Built with ONE weighted
+        # bincount: weight per (slot, key) incidence = (1<<40) + key_idx,
+        # so the per-slot float64 sum IS state. Exactness: with every
+        # slot degree ≤ 250 each sum ≤ 250·(2^40 + 2^31) < 2^53 — exact;
+        # a degenerate hash that pushes a sum past 2^53 yields a float
+        # still ≥ 2^52, so state>>40 ≫ 250 and the degree check fires
+        # (seed rotation) either way.
+        w3 = np.tile(np.arange(n, dtype=np.float64) + float(1 << 40), 3)
+        state = np.bincount(flat_pos, weights=w3,
+                            minlength=array_length).astype(np.uint64)
+        del w3
+        if (state >> U64(40)).max(initial=U64(0)) > 250:
             # absurd slot degree (adversarial hash) → seed rotation
             return False, 0, np.zeros(array_length, dtype=bool)
-        idx3 = np.tile(np.arange(n, dtype=np.int64), 3)
-        isum = np.bincount(flat_pos, weights=idx3, minlength=array_length)
-        state = (deg.astype(np.uint64) << U64(40)) + isum.astype(np.uint64)
-        del deg, isum, idx3
         ONE = U64(1) << U64(40)
         LOWMASK = ONE - U64(1)
 
@@ -127,12 +139,29 @@ def peel_and_assign(
             rounds.append((sp, sp + k))
             sp += k
 
+            # remove the peeled keys from all their slots. Two regimes
+            # (profiled at n=1e7: binary fuse peels ~35% of keys in a
+            # handful of avalanche rounds, the rest in ~2000 small
+            # wavefront rounds of ~0.03% each):
+            # * avalanche rounds: one dense weighted bincount over the
+            #   whole slot array — O(L) beats sorting millions of
+            #   positions; per-slot sums stay < 2^53 (≤ 250 removals ×
+            #   (2^40 + n)) → exact. Every singleton's occupant is
+            #   peeled this round, so count==1 after subtraction means
+            #   NEWLY single — a full rescan is correct.
+            # * wavefront rounds: scatter-subtract at the (few) touched
+            #   positions (ufunc.at handles repeated slots) and rescan
+            #   only those.
             rm_pos = np.concatenate([s0, s1, s2])
-            rm_val = np.tile(target, 3)
-            np.subtract.at(state, rm_pos, rm_val)
-
-            touched = np.unique(rm_pos)
-            singles = touched[state[touched] >> U64(40) == U64(1)]
+            if rm_pos.size > array_length >> 4:
+                dec = np.bincount(rm_pos, weights=np.tile(
+                    target.astype(np.float64), 3), minlength=array_length)
+                state -= dec.astype(np.uint64)
+                singles = np.flatnonzero(state >> U64(40) == U64(1))
+            else:
+                np.subtract.at(state, rm_pos, np.tile(target, 3))
+                touched = np.unique(rm_pos)
+                singles = touched[state[touched] >> U64(40) == U64(1)]
 
         if sp != n:
             return False, len(rounds), np.zeros(array_length, dtype=bool)
@@ -140,11 +169,11 @@ def peel_and_assign(
         # ---- reverse-round fingerprint assignment ------------------------
         occupied = np.zeros(array_length, dtype=bool)
         fdtype = fingerprints.dtype
+        fall = (hashes ^ (hashes >> U64(32))).astype(fdtype)  # one pass
         for start, end in reversed(rounds):
             u = stack_idx[start:end]
             found_pos = stack_found[start:end]
-            hs = hashes[u]
-            fval = (hs ^ (hs >> U64(32))).astype(fdtype)
+            fval = fall[u]
             acc = (fval
                    ^ fingerprints[pos3[0, u]]
                    ^ fingerprints[pos3[1, u]]

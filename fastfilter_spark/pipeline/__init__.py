@@ -3,9 +3,9 @@ from .ann import (
     ivf_topk, lsh_topk, train_ivf_centroids,
 )
 from .dedup import (
-    exact_dedup, distinct_by_content, jaccard_verify, minhash_dedup,
-    minhash_lsh_candidates, minhash_signatures, ngram_jaccard_pairs,
-    simhash, simhash_candidates,
+    exact_dedup, distinct_by_content, jaccard_verify, lsh_bucket_stats,
+    minhash_dedup, minhash_lsh_candidates, minhash_signatures,
+    ngram_jaccard_pairs, simhash, simhash128, simhash_candidates,
 )
 from .multimodal import extract_features, frame_sample, make_fake_media
 from .text import (

@@ -193,15 +193,15 @@ def train_ivf_centroids(corpus: DataFrame, vec_col: str = "embedding",
                         id_col: str = "vec_id", n_cells: int = 16,
                         train_limit: int = 4096, kmeans_iters: int = 15,
                         seed: int = 42) -> np.ndarray:
-    """Train the coarse quantizer on a deterministic hash-sampled subset
-    of at most ``train_limit`` vectors (never a full collect — at 100 TB
-    the sample is a tiny fraction picked by key hash, not by position)."""
-    n = corpus.count()
-    # deterministic 1-in-m hash sample sized to ~2x train_limit, then cap
-    m = max(1, n // max(1, train_limit))
-    sample = corpus.where(
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(m)) == 0) if m > 1 else corpus
-    rows = sample.select(vec_col).limit(train_limit).collect()
+    """Train the coarse quantizer on a deterministic pseudo-random
+    sample: the ``train_limit`` smallest-xxhash64(id) rows. One
+    TakeOrderedAndProject pass (per-partition top-k, driver merges k
+    rows) — no full count() scan before training, and the sample is
+    picked by key hash, never by position."""
+    rows = (corpus
+            .select(vec_col, F.xxhash64(F.col(id_col)).alias("__h"))
+            .orderBy("__h").limit(train_limit)
+            .select(vec_col).collect())
     mat = np.vstack([np.asarray(r[0], dtype=np.float64) for r in rows])
     return _spherical_kmeans(_unit(mat), n_cells, kmeans_iters, seed)
 

@@ -33,18 +33,30 @@ from .text import shingles, tokens
 # exact dedup
 # ---------------------------------------------------------------------------
 
-def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Group identical contents; returns (rep_id, n_copies, member_ids).
+def exact_dedup(df: DataFrame, text_col: str, id_col: str,
+                member_ids_cap: int = 0) -> DataFrame:
+    """Group identical contents; returns (rep_id, n_copies[, member_ids]).
 
     One hash shuffle on a 64-bit key + confirm on full text (collision
-    safety) — the standard exact-dedup shape at any scale.
+    safety) — the standard exact-dedup shape at any scale. Hot-key safe
+    by default: real crawl corpora have million-copy clusters (empty
+    files, licenses), so the default output is two scalars per group —
+    never a collect_list. Pass ``member_ids_cap=k`` to also attach the k
+    smallest member ids (rank-capped BEFORE collecting, so a task holds
+    at most k ids per group).
     """
     keyed = df.withColumn("__k", F.xxhash64(F.col(text_col)))
-    return (keyed.groupBy("__k", text_col)
-            .agg(F.min(id_col).alias("rep_id"),
-                 F.count("*").alias("n_copies"),
-                 F.sort_array(F.collect_list(id_col)).alias("member_ids"))
-            .drop("__k", text_col))
+    agg = (keyed.groupBy("__k", text_col)
+           .agg(F.min(id_col).alias("rep_id"),
+                F.count("*").alias("n_copies")))
+    if member_ids_cap > 0:
+        w = Window.partitionBy("__k", text_col).orderBy(F.col(id_col))
+        topk = (keyed.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") <= member_ids_cap)
+                .groupBy("__k", text_col)
+                .agg(F.sort_array(F.collect_list(id_col)).alias("member_ids")))
+        agg = agg.join(topk, ["__k", text_col])
+    return agg.drop("__k", text_col)
 
 
 def distinct_by_content(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -79,13 +91,51 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
         "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
 
 
+def _cap_buckets(exploded: DataFrame, max_bucket: Optional[int]) -> DataFrame:
+    """Drop LSH buckets larger than ``max_bucket`` before the self-join.
+
+    The within-bucket self-join is Θ(Σ m_i²); one hyper-dup bucket of m
+    members (every exact-dup cluster shares EVERY band) turns that into
+    m² pair rows — 10¹² from a single million-copy cluster. The cap
+    bounds per-bucket work at max_bucket²; dedupe exact copies first
+    (``distinct_by_content``) so the cap only ever drops pathological
+    buckets, and count the dropped rows via ``lsh_bucket_stats`` when a
+    drop metric is needed. The count window shuffles on the same
+    (band, bh) key the join needs, so it adds no extra exchange of the
+    big relation.
+    """
+    if max_bucket is None:
+        return exploded
+    w = Window.partitionBy("band", "bh")
+    return (exploded.withColumn("__bn", F.count("*").over(w))
+            .where(F.col("__bn") <= max_bucket).drop("__bn"))
+
+
+def lsh_bucket_stats(exploded: DataFrame,
+                     max_bucket: Optional[int] = None) -> DataFrame:
+    """(n_buckets, max_bucket_size, n_rows_dropped) for a (band, bh)
+    exploded relation — the logged drop metric for capped candidate
+    generation."""
+    per = exploded.groupBy("band", "bh").agg(F.count("*").alias("m"))
+    dropped = (F.sum(F.when(F.col("m") > max_bucket, F.col("m"))
+                     .otherwise(F.lit(0)))
+               if max_bucket is not None else F.lit(0))
+    return per.agg(F.count("*").alias("n_buckets"),
+                   F.max("m").alias("max_bucket_size"),
+                   dropped.cast("long").alias("n_rows_dropped"))
+
+
 def minhash_lsh_candidates(df: DataFrame, text_col: str, id_col: str,
                            num_hashes: int = 64, bands: int = 16,
-                           shingle_k: int = 5) -> DataFrame:
+                           shingle_k: int = 5,
+                           max_bucket: Optional[int] = None) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b, n_bands_hit).
 
     r = num_hashes/bands rows per band → candidate threshold ≈
     (1/bands)^(1/r). With 64/16 → r=4, s* ≈ 0.5.
+
+    ``max_bucket`` caps the within-bucket self-join (see _cap_buckets);
+    at corpus scale always run exact dedup first and set a cap.
     """
     rows = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
@@ -97,8 +147,7 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str, id_col: str,
     ])
     exploded = (sig.select("id", F.explode(band_cols).alias("b"))
                 .select("id", "b.band", "b.bh"))
-    # within-bucket self-join; bucket sizes are bounded in practice, and
-    # the shuffle key (band, bh) spreads uniformly
+    exploded = _cap_buckets(exploded, max_bucket)
     left = exploded.alias("l")
     right = exploded.alias("r")
     pairs = (left.join(right, ["band", "bh"])
@@ -129,11 +178,23 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str,
 
 def minhash_dedup(df: DataFrame, text_col: str, id_col: str,
                   threshold: float = 0.7, num_hashes: int = 64,
-                  bands: int = 16, shingle_k: int = 5) -> DataFrame:
-    """End-to-end near-dup pairs: LSH candidates → exact Jaccard verify."""
-    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands,
-                                   shingle_k)
-    return jaccard_verify(df, cands, text_col, id_col, threshold, shingle_k)
+                  bands: int = 16, shingle_k: int = 5,
+                  dedup_first: bool = True,
+                  max_bucket: Optional[int] = None) -> DataFrame:
+    """End-to-end near-dup pairs: LSH candidates → exact Jaccard verify.
+
+    ``dedup_first`` (default) collapses exact-duplicate contents to
+    their min-id representative BEFORE LSH — an m-copy cluster would
+    otherwise share every band and emit m²·bands candidate rows. Pairs
+    are therefore between representatives; recover the full clusters by
+    composing with ``exact_dedup`` (copies of a rep near-dup everything
+    their rep does). ``dedup_first=False`` restores raw all-rows pairs
+    for small corpora.
+    """
+    base = distinct_by_content(df, text_col, id_col) if dedup_first else df
+    cands = minhash_lsh_candidates(base, text_col, id_col, num_hashes, bands,
+                                   shingle_k, max_bucket)
+    return jaccard_verify(base, cands, text_col, id_col, threshold, shingle_k)
 
 
 # ---------------------------------------------------------------------------
@@ -192,26 +253,52 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                      _simhash64(th).alias("simhash"))
 
 
+def simhash128(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, sim_lo, sim_hi): a 128-bit SimHash as two independent 64-bit
+    halves (token hashes under different xxhash64 seeds)."""
+    th0 = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
+    th1 = F.transform(tokens(text_col), lambda t: F.xxhash64(t, F.lit(1)))
+    return df.select(F.col(id_col).alias("id"),
+                     _simhash64(th0).alias("sim_lo"),
+                     _simhash64(th1).alias("sim_hi"))
+
+
 def simhash_candidates(df: DataFrame, text_col: str, id_col: str,
-                       max_hamming: int = 3) -> DataFrame:
-    """Near-dup candidate pairs: block on 4×16-bit simhash bands (any
-    pair within Hamming distance ≤3 of a 64-bit hash shares ≥1 exact
-    16-bit band), then verify Hamming distance JVM-side via bit_count."""
-    sh = simhash(df, text_col, id_col)
-    bands = F.array(*[
-        F.struct(F.lit(b).alias("band"),
-                 F.shiftrightunsigned(F.col("simhash"), 16 * b)
-                 .bitwiseAND(F.lit(0xFFFF)).alias("bh"))
-        for b in range(4)
-    ])
-    e = sh.select("id", "simhash", F.explode(bands).alias("b")) \
-          .select("id", "simhash", "b.band", "b.bh")
+                       max_hamming: int = 3,
+                       max_bucket: Optional[int] = None) -> DataFrame:
+    """Near-dup candidate pairs over a 128-bit SimHash, blocked on
+    4×32-bit bands: any pair within Hamming distance ≤3 (of 128) shares
+    ≥1 exact 32-bit band (pigeonhole), then Hamming is verified JVM-side
+    via bit_count. 32-bit bands give up to 2³² buckets per band — the
+    within-bucket self-join stays Θ(n²/2³²) per band at corpus scale
+    (the old 16-bit bands capped at 65 536 buckets → Θ(n²/65k), a
+    scale-killer at 10⁹ docs). max_hamming > 3 still works but recall
+    beyond 3 is best-effort. ``max_bucket`` additionally caps bucket
+    size (see _cap_buckets); dedupe exact copies first.
+    """
+    sh = simhash128(df, text_col, id_col)
+    m32 = F.lit(0xFFFFFFFF)
+    bands = F.array(
+        F.struct(F.lit(0).alias("band"),
+                 F.col("sim_lo").bitwiseAND(m32).alias("bh")),
+        F.struct(F.lit(1).alias("band"),
+                 F.shiftrightunsigned(F.col("sim_lo"), 32).alias("bh")),
+        F.struct(F.lit(2).alias("band"),
+                 F.col("sim_hi").bitwiseAND(m32).alias("bh")),
+        F.struct(F.lit(3).alias("band"),
+                 F.shiftrightunsigned(F.col("sim_hi"), 32).alias("bh")),
+    )
+    e = sh.select("id", "sim_lo", "sim_hi", F.explode(bands).alias("b")) \
+          .select("id", "sim_lo", "sim_hi", "b.band", "b.bh")
+    e = _cap_buckets(e, max_bucket)
     l, r = e.alias("l"), e.alias("r")
+    hamming = (
+        F.bit_count(F.col("l.sim_lo").bitwiseXOR(F.col("r.sim_lo")))
+        + F.bit_count(F.col("l.sim_hi").bitwiseXOR(F.col("r.sim_hi"))))
     pairs = (l.join(r, ["band", "bh"])
              .where(F.col("l.id") < F.col("r.id"))
              .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-                     F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
-                     .alias("hamming"))
+                     hamming.alias("hamming"))
              .dropDuplicates(["id_a", "id_b"])
              .where(F.col("hamming") <= max_hamming))
     return pairs

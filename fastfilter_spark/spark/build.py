@@ -289,6 +289,13 @@ def cuckoo_update(
     nature; ``max_batch`` guards misuse — bulk changes should rebuild).
     Deleting a never-inserted key is rejected by contract (it can evict
     a colliding entry's fingerprint): delete only what you added.
+    MULTISET semantics (cuckoo-filter standard): adding an
+    already-present key stores another fingerprint copy — add twice,
+    delete once ⇒ still contained — and the n_keys metric counts copies
+    (delta = batch size), not distinct membership. Deduplicate upstream
+    (``dropDuplicates`` against the membership set) if set semantics are
+    needed. NULL keys are dropped before collection, matching the build
+    path's isNotNull filter.
     """
     if not pf.kind.startswith("cuckoo"):
         raise ValueError("cuckoo_update requires a cuckoo-kind filter")
@@ -301,6 +308,7 @@ def cuckoo_update(
     def _collect(df: Optional[DataFrame]) -> np.ndarray:
         if df is None:
             return np.empty(0, dtype=np.uint64)
+        df = df.where(F.col(key_col).isNotNull())
         n = df.count()
         if n > max_batch:
             raise ValueError(f"batch of {n} keys: rebuild instead")

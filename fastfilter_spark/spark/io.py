@@ -56,13 +56,27 @@ def write_bucketed(df: DataFrame, table: str, bucket_col: str,
     """
     spark = df.sparkSession
     if mode == "overwrite":
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
         # with a non-persistent catalog (local in-memory metastore) the
         # warehouse directory can outlive the table entry — clear it, or
-        # saveAsTable fails with LOCATION_ALREADY_EXISTS
-        loc = os.path.join(
-            spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
-            table)
+        # saveAsTable fails with LOCATION_ALREADY_EXISTS. Resolve the
+        # REAL location from the catalog BEFORE dropping (a string-joined
+        # warehouse_dir/<table> is wrong for db-qualified names or tables
+        # created under another warehouse dir); fall back to the default
+        # db-aware layout only when the table isn't in the catalog.
+        loc = None
+        try:
+            rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+            loc = next((r.data_type for r in rows
+                        if r.col_name == "Location"), None)
+        except Exception:
+            pass
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        if loc is None:
+            wh = spark.conf.get("spark.sql.warehouse.dir")
+            parts = table.split(".")
+            loc = (os.path.join(wh, parts[0] + ".db", parts[1])
+                   if len(parts) == 2 else os.path.join(wh, parts[0]))
+        loc = loc.removeprefix("file:")
         if os.path.isdir(loc):
             import shutil
             shutil.rmtree(loc)

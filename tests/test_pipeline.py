@@ -35,7 +35,8 @@ def test_exact_dedup_counts(spark, dup_corpus):
 
 def test_minhash_finds_exact_dupes(spark, dup_corpus):
     df, pdf = dup_corpus
-    pairs = minhash_dedup(df, "content", "doc_id", threshold=0.9).toPandas()
+    pairs = minhash_dedup(df, "content", "doc_id", threshold=0.9,
+                          dedup_first=False).toPandas()
     # every exact-duplicate pair has Jaccard 1.0 and identical signatures
     # → must be found (LSH recall = 1 for identical docs)
     dup_groups = pdf.groupby("content")["doc_id"].apply(list)
@@ -74,6 +75,56 @@ def test_ngram_jaccard_exact(spark, dup_corpus):
     assert len(rows) >= n_expected
     for r in rows:
         assert r.jaccard >= 0.999
+
+
+def test_hot_cluster_dedup_scale_safety(spark):
+    """A 10^4-copy duplicate cluster (the empty-file/license shape real
+    corpora have) must not produce O(cluster^2) candidate pairs or an
+    unbounded member list (VERDICT r1 #3/#4)."""
+    from fastfilter_spark.pipeline import (
+        lsh_bucket_stats, minhash_lsh_candidates, simhash_candidates,
+    )
+    n = 10_000
+    pdf = pd.DataFrame({
+        "doc_id": range(n + 50),
+        "content": ["same license text " * 5] * n
+                   + [f"unique doc number {i} words " * 4 for i in range(50)],
+    })
+    df = spark.createDataFrame(pdf)
+
+    # exact_dedup default output is two scalars per group — no
+    # collect_list for a hot key to OOM on
+    g = exact_dedup(df, "content", "doc_id")
+    assert "member_ids" not in g.columns
+    hot = g.where(f"n_copies = {n}").collect()
+    assert len(hot) == 1 and hot[0].rep_id == 0
+
+    # capped member list: k smallest ids even for the hot group
+    g2 = exact_dedup(df, "content", "doc_id", member_ids_cap=5)
+    hot2 = g2.where(f"n_copies = {n}").collect()[0]
+    assert hot2.member_ids == [0, 1, 2, 3, 4]
+
+    # dedup-first (minhash_dedup default): the cluster enters LSH as ONE
+    # representative, so candidates are O(reps^2) at worst, not ~5*10^7
+    reps = distinct_by_content(df, "content", "doc_id")
+    n_cands = minhash_lsh_candidates(reps, "content", "doc_id").count()
+    assert n_cands < 2_000
+
+    # bucket cap alone also defuses the blow-up: the cluster's buckets
+    # (size 10^4) are dropped, everything else survives
+    capped = minhash_lsh_candidates(df, "content", "doc_id",
+                                    num_hashes=16, bands=8, max_bucket=100)
+    assert capped.count() < 2_000
+    sim_capped = simhash_candidates(df, "content", "doc_id",
+                                    max_hamming=3, max_bucket=100)
+    assert sim_capped.count() < 2_000
+
+    # the drop metric reports what the cap removed
+    e = spark.createDataFrame(
+        [(i, 0, 7) for i in range(10)] + [(99, 1, 9)],
+        "id long, band int, bh long")
+    st = lsh_bucket_stats(e, max_bucket=5).collect()[0]
+    assert (st.n_buckets, st.max_bucket_size, st.n_rows_dropped) == (2, 10, 10)
 
 
 def test_text_analysis_features(spark):
