@@ -115,8 +115,17 @@ def main() -> None:
         n_huge = 100 * N_KEYS
         huge = synth_keys(spark, n_huge).cache()
         huge.count()
-        timed("build_bf8_1e8", lambda: build_partitioned_filter(
-            huge, kind="bf8", num_partitions=8 * CPUS, shuffle_mode="rows"))
+        # min of 2 reps: the sandbox host throttles in multi-second
+        # windows (3-10x swings documented in BENCH/BASELINE.md), and a
+        # single 25-85 s sample of the headline tier is a coin flip.
+        reps = []
+        for _ in range(2):
+            t0 = time.time()
+            build_partitioned_filter(huge, kind="bf8",
+                                     num_partitions=8 * CPUS,
+                                     shuffle_mode="rows")
+            reps.append(time.time() - t0)
+        timings["build_bf8_1e8"] = round(min(reps), 3)
         extra["bf8_1e8_keys_per_sec"] = round(
             n_huge / timings["build_bf8_1e8"])
         huge.unpersist()
