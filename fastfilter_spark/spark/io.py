@@ -109,7 +109,9 @@ def build_filter_sidecar(keys_df: DataFrame, sidecar_path: str,
                          key_col: str = "key", kind: str = "bf8",
                          num_partitions: int = 256, salt: int = 0,
                          base_rng_state: int = 0x726B2B9D438B9D4D,
-                         shuffle_mode: str = "packed") -> dict:
+                         shuffle_mode: str = "packed",
+                         batches: int = 1, resume: bool = False,
+                         _stop_after: Optional[int] = None) -> Optional[dict]:
     """Build a filter of ANY size without the driver ever holding a
     blob: the per-partition partial filters are written straight from
     the executors to ``sidecar_path/partials.parquet`` (a parquet
@@ -128,9 +130,23 @@ def build_filter_sidecar(keys_df: DataFrame, sidecar_path: str,
     identical semantics to the empty-filter blobs the in-driver path
     synthesizes.
 
+    Resumability (north_rule: resumable from per-partition checkpoints):
+    with ``batches > 1`` the pid space is built in that many
+    independently-committed write jobs (each scans the input but
+    shuffles only its pid range — the standard recompute-vs-checkpoint
+    trade: a driver crash loses at most one batch instead of the whole
+    build). ``resume=True`` reads the pids already committed to the
+    sidecar and skips them; per-pid RNG seeds depend only on
+    (base_rng_state, pid), so a resumed build is byte-identical to a
+    one-shot build. The manifest is written LAST and is required by the
+    readers — an interrupted build is never mistaken for a complete one.
+    ``_stop_after`` (test hook) aborts after that many batches to
+    simulate a driver crash; no manifest is written and None returned.
+
     Returns the manifest dict (with n_keys and partition count).
     """
     from pyspark.sql import functions as F
+    from pyspark.errors import AnalysisException
 
     from .build import FILTER_KINDS, partials_dataframe
     from .keys import route_expr
@@ -141,26 +157,53 @@ def build_filter_sidecar(keys_df: DataFrame, sidecar_path: str,
     if shuffle_mode != "packed":
         raise ValueError("sidecar build requires packed shuffle "
                          "(xxhash_pmod routing — the routed query mirrors it)")
+    spark = keys_df.sparkSession
+    P = num_partitions
     placed = (keys_df.select(F.col(key_col).alias("key"))
               .where(F.col("key").isNotNull())
               .withColumn("route", route_expr("key", salt)))
-    partials = partials_dataframe(placed, kind, num_partitions, salt,
-                                  base_rng_state, None, shuffle_mode)
     os.makedirs(sidecar_path, exist_ok=True)
     parts_dir = os.path.join(sidecar_path, "partials.parquet")
-    # few pid-range-sorted files (~64 pids each) with SMALL row groups
-    # and no compression: a routed probe task reads one ~4 MB row group
-    # per pid (a 1 MB blob inside a default 128 MB snappy row group made
-    # every pid load decompress the whole group — measured 0.26 M
-    # probes/s; filter blobs are high-entropy, compression buys nothing)
-    (partials.repartitionByRange(max(1, num_partitions // 64), "pid")
-     .sortWithinPartitions("pid")
-     .write.mode("overwrite")
-     .option("parquet.block.size", str(4 * 1024 * 1024))
-     .option("compression", "none")
-     .parquet(parts_dir))
 
-    spark = keys_df.sparkSession
+    done_pids: set = set()
+    if resume:
+        try:
+            done_pids = {r.pid for r in spark.read.parquet(parts_dir)
+                         .select("pid").distinct().collect()}
+        except AnalysisException:
+            done_pids = set()  # nothing committed yet
+    elif os.path.isdir(parts_dir):
+        import shutil
+        shutil.rmtree(parts_dir)  # fresh build: drop stale partials
+
+    pid_col = F.pmod(F.col("route"), F.lit(P))
+    bounds = [round(b * P / batches) for b in range(batches + 1)]
+    for b in range(batches):
+        if _stop_after is not None and b >= _stop_after:
+            return None  # simulated crash: no manifest, readers reject
+        lo, hi = bounds[b], bounds[b + 1]
+        if lo == hi:
+            continue
+        todo = [p for p in range(lo, hi) if p not in done_pids]
+        if not todo:
+            continue
+        sub = placed.where(pid_col.between(lo, hi - 1))
+        if len(todo) < hi - lo:
+            sub = sub.where(~pid_col.isin(sorted(done_pids & set(range(lo, hi)))))
+        partials = partials_dataframe(sub, kind, P, salt,
+                                      base_rng_state, None, shuffle_mode)
+        # few pid-range-sorted files (~64 pids each) with SMALL row
+        # groups and no compression: a routed probe task reads one ~4 MB
+        # row group per pid (a 1 MB blob inside a default 128 MB snappy
+        # row group made every pid load decompress the whole group —
+        # measured 0.26 M probes/s; filter blobs are high-entropy,
+        # compression buys nothing)
+        (partials.repartitionByRange(max(1, (hi - lo) // 64), "pid")
+         .sortWithinPartitions("pid")
+         .write.mode("append")
+         .option("parquet.block.size", str(4 * 1024 * 1024))
+         .option("compression", "none")
+         .parquet(parts_dir))
     agg = (spark.read.parquet(parts_dir)
            .agg(F.sum("n_keys").alias("n"),
                 F.count("*").alias("pids"),

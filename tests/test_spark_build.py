@@ -417,6 +417,62 @@ def test_sparse_sidecar_readback_total(spark, corpus_df, tmp_path):
     assert pf.with_contains(keys, "key").where("NOT contained").count() == 0
 
 
+def test_sidecar_batched_resume(spark, corpus_df, tmp_path):
+    """north_rule resumability on the 10^12 path: a batched sidecar
+    build killed mid-way (simulated via _stop_after) must leave no
+    manifest (readers reject the incomplete build), and resume=True must
+    complete only the missing pid ranges, ending byte-identical to a
+    one-shot build."""
+    import pyarrow.parquet as pq
+
+    from fastfilter_spark.spark import build_filter_sidecar, contains_via_sidecar
+
+    keys = keys_from_content(corpus_df, "content")
+    one_shot = str(tmp_path / "sc_oneshot")
+    build_filter_sidecar(keys, one_shot, kind="bf8", num_partitions=16)
+
+    # batched build equals one-shot byte-for-byte
+    batched = str(tmp_path / "sc_batched")
+    m = build_filter_sidecar(keys, batched, kind="bf8", num_partitions=16,
+                             batches=4)
+    ref = pq.read_table(one_shot + "/partials.parquet",
+                        columns=["pid", "blob"]).to_pandas() \
+        .sort_values("pid").reset_index(drop=True)
+    got = pq.read_table(batched + "/partials.parquet",
+                        columns=["pid", "blob"]).to_pandas() \
+        .sort_values("pid").reset_index(drop=True)
+    assert list(ref.pid) == list(got.pid)
+    assert all(bytes(a) == bytes(b) for a, b in zip(ref.blob, got.blob))
+
+    # crash after 2 of 4 batches: no manifest, partial pids committed
+    crashed = str(tmp_path / "sc_crashed")
+    out = build_filter_sidecar(keys, crashed, kind="bf8", num_partitions=16,
+                               batches=4, _stop_after=2)
+    assert out is None
+    import os
+    assert not os.path.exists(crashed + "/filter_manifest.json")
+    n_partial = len(pq.read_table(crashed + "/partials.parquet",
+                                  columns=["pid"]))
+    assert 0 < n_partial < len(ref)
+
+    # resume completes the missing ranges; byte-identical to one-shot
+    m2 = build_filter_sidecar(keys, crashed, kind="bf8", num_partitions=16,
+                              batches=4, resume=True)
+    assert m2["n_keys"] == m["n_keys"]
+    res = pq.read_table(crashed + "/partials.parquet",
+                        columns=["pid", "blob"]).to_pandas() \
+        .sort_values("pid").reset_index(drop=True)
+    assert list(res.pid) == list(ref.pid)
+    assert all(bytes(a) == bytes(b) for a, b in zip(ref.blob, res.blob))
+    assert contains_via_sidecar(keys, crashed) \
+        .where("NOT contained").count() == 0
+
+    # resuming a COMPLETE build is an idempotent no-op
+    m3 = build_filter_sidecar(keys, crashed, kind="bf8", num_partitions=16,
+                              batches=4, resume=True)
+    assert m3 == m2
+
+
 def test_cuckoo_distributed_build_and_delete(spark, corpus_df):
     """Deletable partitioned membership: distributed cuckoo build has
     zero FN; cuckoo_update(delete) removes exactly the requested keys,
