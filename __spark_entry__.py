@@ -805,6 +805,22 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("media_id"))
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (JVM-side explode of the sampled
+    frame index sequence): fake videos get a deterministic per-id frame
+    count (id % 7 + 1), every 2nd frame is sampled, and the payload
+    length is structural (sha256 digest × 16 = 512 B) — all of which
+    the oracle recomputes from the corpus alone."""
+    from fastfilter_spark.pipeline import frame_sample, make_fake_media
+    docs = _docs(spark, sf_dir).where("doc_id < 100")
+    media = make_fake_media(docs, "doc_id", kind="video")
+    return (frame_sample(media, every_n=2)
+            .select("media_id", "kind",
+                    F.col("frame_idx").cast("int").alias("frame_idx"),
+                    F.length("payload").cast("int").alias("payload_bytes"))
+            .orderBy("media_id", "frame_idx"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -864,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "lsh_ann_topk": q_lsh_ann_topk,
         "multimodal_features": q_multimodal_features,
+        "frame_sample": q_frame_sample,
     }
 
 
@@ -1105,6 +1122,12 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann_topk": (
             "SELECT COUNT(*) AS n_vecs, TRUE AS lsh_recall_ok "
             "FROM embeddings"),
+        "frame_sample": (
+            "SELECT doc_id AS media_id, 'video' AS kind, "
+            "CAST(unnest(range(0, (doc_id % 7) + 1, 2)) AS INTEGER) "
+            "AS frame_idx, CAST(512 AS INTEGER) AS payload_bytes "
+            "FROM documents WHERE doc_id < 100 "
+            "ORDER BY media_id, frame_idx"),
         "doc_fingerprints": (
             "SELECT (SELECT COUNT(*) FROM documents) AS n_docs, "
             "COUNT(*) AS n_planted, COUNT(*) AS n_ws_invariant, "

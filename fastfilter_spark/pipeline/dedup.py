@@ -106,6 +106,13 @@ def _cap_buckets(exploded: DataFrame, max_bucket: Optional[int]) -> DataFrame:
     """
     if max_bucket is None:
         return exploded
+    # The count-window partitions on the SAME (band, bh) key the
+    # downstream self-join shuffles on, so at scale (sort-merge join)
+    # the window's exchange is reused as the join-side exchange — the
+    # cap is shuffle-free (plan-audited, tools/explain_plans.py
+    # check 12). Under a broadcast join plan (small data, AQE) the
+    # window pays one exchange of the slim (id, band, bh) relation —
+    # irrelevant at the scale where the cap matters.
     w = Window.partitionBy("band", "bh")
     return (exploded.withColumn("__bn", F.count("*").over(w))
             .where(F.col("__bn") <= max_bucket).drop("__bn"))

@@ -44,7 +44,10 @@ def make_fake_media(df: DataFrame, id_col: str, kind: str = "image",
         F.lit(kind).alias("kind"),
         _blob(F.col(id_col)).alias("payload"),
         F.lit(width).alias("width"), F.lit(height).alias("height"),
-        F.lit(1).alias("n_frames"))
+        # deterministic per-id frame count (1..7) so video sampling
+        # plumbing has real variation to chew on
+        (F.col(id_col).cast("long") % 7 + 1).cast("int").alias("n_frames")
+        if kind == "video" else F.lit(1).alias("n_frames"))
 
 
 def _decode_image_stub(payload: bytes, width: int, height: int) -> np.ndarray:

@@ -173,6 +173,28 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
                    m11 is not None and "lang" in m11.group(1)
                    and "salt" in m11.group(1)))
 
+    # 12. capped LSH candidates AT SCALE (sort-merge self-join; broadcast
+    # disabled like check 11 — a broadcast join is the small-data plan):
+    # the bucket-size-cap window partitions on the SAME (band, bh) key
+    # the self-join shuffles on, so the window's exchange is REUSED as
+    # the join-side exchange — the cap adds no Exchange beyond what the
+    # uncapped SMJ plan already pays per side.
+    from fastfilter_spark.pipeline import minhash_lsh_candidates
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p12u = plan_of(minhash_lsh_candidates(docs, "text", "doc_id",
+                                              num_hashes=16, bands=8))
+        p12c = plan_of(minhash_lsh_candidates(docs, "text", "doc_id",
+                                              num_hashes=16, bands=8,
+                                              max_bucket=64))
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    n_ex_u = len(re.findall(r"\(\d+\) Exchange", p12u))
+    n_ex_c = len(re.findall(r"\(\d+\) Exchange", p12c))
+    checks.append(("capped LSH (SMJ shape): bucket cap adds no extra "
+                   f"Exchange ({n_ex_u} uncapped vs {n_ex_c} capped)",
+                   n_ex_c <= n_ex_u))
+
     print(p2)
     print(p3[:3000])
     ok = True
