@@ -805,6 +805,89 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("media_id"))
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup-at-ingest replayed with availableNow over the
+    documents parquet: the sink must hold exactly one row per distinct
+    content (count == COUNT(DISTINCT text), no duplicate survives)."""
+    import os
+    import tempfile
+    import uuid as _uuid
+    from fastfilter_spark.spark import content_key
+    from fastfilter_spark.streaming import dedup_stream
+    docs_batch = _docs(spark, sf_dir)
+    stream_dir = tempfile.mkdtemp(prefix="ffsk_sdedup_")
+    os.symlink(f"{sf_dir}/documents.parquet",
+               os.path.join(stream_dir, "documents.parquet"))
+    stream = (spark.readStream.schema(docs_batch.schema).parquet(stream_dir)
+              .withColumn("key", content_key("text")))
+    out = dedup_stream(stream, "key").select("key", "text")
+    qname = "sdedup_" + _uuid.uuid4().hex[:8]
+    q = (out.writeStream.format("memory").queryName(qname)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.sql(
+        f"SELECT COUNT(*) AS n_unique, "
+        f"COUNT(*) = COUNT(DISTINCT text) AS no_dup_survives FROM {qname}")
+
+
+def q_mg_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters over document tokens: the exact top-20
+    tokens (oracle-recomputable) each flagged with the deterministic MG
+    two-sided bound — mg_est ≤ exact ≤ mg_est + deficit — plus the
+    presence guarantee for every token with freq > n/(k+1)."""
+    import pandas as pd
+    from fastfilter_spark.pipeline import tokens
+    from fastfilter_spark.sketches import MisraGries
+    from fastfilter_spark.spark import mg_agg, pd_to_u64
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(F.explode(tokens("text")).alias("token"))
+    keyed = toks.select("token", F.xxhash64("token").alias("key"))
+    row = mg_agg(keyed, [], "key", k=64).collect()[0]
+    bc = spark.sparkContext.broadcast(bytes(row.sketch))
+    deficit, n_total = int(row.deficit), int(row.n_total)
+
+    @F.pandas_udf("long")
+    def _mg_est(key: pd.Series) -> pd.Series:
+        mg = MisraGries.from_bytes(bc.value)
+        return pd.Series(mg.query(pd_to_u64(key)))
+
+    exact = keyed.groupBy("token", "key").agg(F.count("*").alias("exact_cnt"))
+    est = exact.withColumn("mg_est", _mg_est("key"))
+    w = Window.orderBy(F.col("exact_cnt").desc(), F.col("token").asc())
+    guaranteed = F.col("exact_cnt") > F.lit(n_total / 65.0)
+    return (est.withColumn("rn", F.row_number().over(w)).where("rn <= 20")
+            .select("token", "exact_cnt",
+                    ((F.col("mg_est") <= F.col("exact_cnt"))
+                     & (F.col("exact_cnt") <= F.col("mg_est") + deficit)
+                     & (~guaranteed | (F.col("mg_est") > 0))).alias("mg_ok"))
+            .orderBy(F.col("exact_cnt").desc(), F.col("token").asc()))
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash split (train/val/test 80/10/10) invariants:
+    disjoint + exhaustive (counts sum to n), split sizes within 5σ
+    binomial bounds, membership identical across repartitionings (the
+    property df.sample lacks), and leak-safety (same content key ⇒
+    same split). Expected values derive from the corpus alone."""
+    from fastfilter_spark.spark import content_key, hash_split
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", content_key("text").alias("key"))
+    tr, va, te = hash_split(docs, "key", (0.8, 0.1, 0.1))
+    n = docs.count()
+    n_tr, n_va, n_te = tr.count(), va.count(), te.count()
+    sigma = (n * 0.8 * 0.2) ** 0.5
+    frac_ok = (abs(n_tr - 0.8 * n) < 5 * sigma
+               and abs(n_va - 0.1 * n) < 5 * sigma
+               and abs(n_te - 0.1 * n) < 5 * sigma)
+    # identical membership when the input partitioning changes
+    tr2 = hash_split(docs.repartition(13), "key", (0.8, 0.1, 0.1))[0]
+    stable = (tr.select("doc_id").exceptAll(tr2.select("doc_id")).count() == 0
+              and tr2.select("doc_id").exceptAll(tr.select("doc_id")).count() == 0)
+    return spark.createDataFrame(
+        [(int(n), bool(n_tr + n_va + n_te == n), bool(frac_ok), bool(stable))],
+        "n_docs long, exhaustive boolean, frac_ok boolean, stable boolean")
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing (JVM-side explode of the sampled
     frame index sequence): fake videos get a deterministic per-id frame
@@ -881,6 +964,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": q_lsh_ann_topk,
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
+        "mg_top_terms": q_mg_top_terms,
+        "hash_split": q_hash_split,
+        "streaming_dedup": q_streaming_dedup,
     }
 
 
@@ -1128,6 +1214,17 @@ def oracle_sql() -> dict[str, str]:
             "AS frame_idx, CAST(512 AS INTEGER) AS payload_bytes "
             "FROM documents WHERE doc_id < 100 "
             "ORDER BY media_id, frame_idx"),
+        "mg_top_terms": (
+            f"WITH t AS (SELECT unnest({_TOKENS_SQL}) AS token "
+            "FROM documents) "
+            "SELECT token, COUNT(*) AS exact_cnt, TRUE AS mg_ok FROM t "
+            "GROUP BY token ORDER BY exact_cnt DESC, token ASC LIMIT 20"),
+        "hash_split": (
+            "SELECT COUNT(*) AS n_docs, TRUE AS exhaustive, "
+            "TRUE AS frac_ok, TRUE AS stable FROM documents"),
+        "streaming_dedup": (
+            "SELECT COUNT(DISTINCT text) AS n_unique, "
+            "TRUE AS no_dup_survives FROM documents"),
         "doc_fingerprints": (
             "SELECT (SELECT COUNT(*) FROM documents) AS n_docs, "
             "COUNT(*) AS n_planted, COUNT(*) AS n_ws_invariant, "

@@ -127,12 +127,14 @@ def peel_and_assign(
             # key index (int sort, cheap)
             u = np.unique(cand)
             # find each key's singleton slot: the one (lowest j wins)
-            # whose state says "1 occupant, and it is u"
-            s0, s1, s2 = pos3[0, u], pos3[1, u], pos3[2, u]
+            # whose state says "1 occupant, and it is u". One (3, k)
+            # fancy-gather instead of three 1-D ones — the ~2000-round
+            # wavefront tail is dispatch-bound, so call count matters.
+            pos_u = pos3[:, u]
             target = ONE + u.astype(np.uint64)
-            m0 = state[s0] == target
-            m1 = state[s1] == target
-            found = np.where(m0, s0, np.where(m1, s1, s2))
+            m = state[pos_u] == target[None, :]
+            found = np.where(m[0], pos_u[0], np.where(m[1], pos_u[1],
+                                                      pos_u[2]))
             k = u.size
             stack_idx[sp:sp + k] = u
             stack_found[sp:sp + k] = found
@@ -152,7 +154,7 @@ def peel_and_assign(
             # * wavefront rounds: scatter-subtract at the (few) touched
             #   positions (ufunc.at handles repeated slots) and rescan
             #   only those.
-            rm_pos = np.concatenate([s0, s1, s2])
+            rm_pos = pos_u.reshape(-1)
             if rm_pos.size > array_length >> 4:
                 dec = np.bincount(rm_pos, weights=np.tile(
                     target.astype(np.float64), 3), minlength=array_length)
@@ -173,11 +175,8 @@ def peel_and_assign(
         for start, end in reversed(rounds):
             u = stack_idx[start:end]
             found_pos = stack_found[start:end]
-            fval = fall[u]
-            acc = (fval
-                   ^ fingerprints[pos3[0, u]]
-                   ^ fingerprints[pos3[1, u]]
-                   ^ fingerprints[pos3[2, u]])
+            fp_u = fingerprints[pos3[:, u]]          # one (3, k) gather
+            acc = fall[u] ^ fp_u[0] ^ fp_u[1] ^ fp_u[2]
             # fingerprints[found_pos] is still 0 here, so it contributed
             # nothing to acc; writing acc satisfies f == fp[h0]^fp[h1]^fp[h2].
             fingerprints[found_pos] = acc

@@ -33,6 +33,7 @@ KIND_KLL = 7
 KIND_TDIGEST = 8
 KIND_THETA = 9
 KIND_CUCKOO = 10
+KIND_MG = 11
 
 
 def pack(kind: int, params: Dict[str, Any], payload: bytes) -> bytes:

@@ -8,7 +8,9 @@ from .asof import asof_join
 from .rangejoin import interval_join
 from .session import get_spark
 from .skew import salted_join
-from .sketch_agg import cms_agg, cms_query, hll_agg, kll_agg, tdigest_agg, theta_agg
+from .sampling import hash_sample, hash_sample_pred, hash_split
+from .sketch_agg import (cms_agg, cms_query, hll_agg, kll_agg, mg_agg,
+                         tdigest_agg, theta_agg)
 
 __all__ = [
     "get_spark", "content_key", "keys_from_content", "partition_id",

@@ -1,0 +1,78 @@
+"""Deterministic hash-based sampling — the reproducible-at-scale
+alternative to ``DataFrame.sample``.
+
+``df.sample(fraction, seed)`` draws per-partition from a seeded RNG
+keyed by partition index: the SAME rows sample differently after a
+repartition, an AQE coalesce, or a cluster resize — which silently
+breaks train/eval splits and incremental pipelines. Hash sampling
+decides per ROW from a stable key column::
+
+    keep  ⇔  xxhash64(key, salt) mod DENOM < fraction · DENOM
+
+so membership is a pure function of (key, salt, fraction): independent
+of partitioning, executor count, and run order; re-running yields the
+identical sample; and samples are NESTED (fraction 0.1 ⊆ fraction 0.2
+at the same salt — grow a training subset without resampling). All
+JVM-side Catalyst expressions — no Python, no shuffle, pushdown-safe.
+
+Disjoint deterministic splits (train/val/test) come from
+``hash_split``: bucket = pmod(xxhash64(key, salt), Σweights) binned by
+cumulative weights.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# denominator for the fraction threshold: big enough that fraction
+# resolution (1e-6) dwarfs rounding, small enough that the threshold
+# comparison stays in exact int64 arithmetic
+_DENOM = 1_000_000
+
+
+def hash_sample_pred(key_col, fraction: float, salt: int = 0) -> Column:
+    """Boolean Column: row is in the deterministic ``fraction`` sample."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    bucket = F.pmod(F.xxhash64(c, F.lit(salt)), F.lit(_DENOM))
+    return bucket < F.lit(int(round(fraction * _DENOM)))
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float,
+                salt: int = 0) -> DataFrame:
+    """Keep a deterministic, partitioning-independent ``fraction`` of
+    rows by key hash. Nested: the fraction-f sample is a subset of any
+    larger-fraction sample at the same salt."""
+    return df.where(hash_sample_pred(key_col, fraction, salt))
+
+
+def hash_split(df: DataFrame, key_col: str, weights: Sequence[float],
+               salt: int = 0) -> list[DataFrame]:
+    """Disjoint, exhaustive, deterministic splits (e.g. train/val/test
+    at (0.8, 0.1, 0.1)). Every row lands in exactly one split, decided
+    by key hash — stable across partitioning, runs and cluster sizes.
+    Rows with equal keys land in the same split (leak-safe: duplicate
+    contents cannot straddle train and test)."""
+    if not weights or any(w < 0 for w in weights):
+        raise ValueError("weights must be non-negative and non-empty")
+    total = float(sum(weights))
+    if total <= 0:
+        raise ValueError("weights must sum to > 0")
+    c = F.col(key_col)
+    bucket = F.pmod(F.xxhash64(c, F.lit(salt)), F.lit(_DENOM))
+    cuts = []
+    acc = 0.0
+    for w in weights:
+        acc += w / total
+        cuts.append(int(round(acc * _DENOM)))
+    cuts[-1] = _DENOM  # exhaustive despite float rounding
+    out = []
+    lo = 0
+    for hi in cuts:
+        out.append(df.where((bucket >= F.lit(lo)) & (bucket < F.lit(hi))))
+        lo = hi
+    return out

@@ -26,7 +26,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..core.hashing import U64
-from ..sketches import CountMinSketch, HyperLogLog, KLLSketch, TDigest, ThetaSketch
+from ..sketches import (
+    CountMinSketch, HyperLogLog, KLLSketch, MisraGries, TDigest, ThetaSketch,
+)
 from .keys import pd_to_u64
 
 _GROUP_TYPES = {"string": "string", "bigint": "bigint", "int": "int",
@@ -186,6 +188,26 @@ def theta_agg(df: DataFrame, groups: Sequence[str], key_col: str,
         merge=lambda a, b: a.union(b),
         finalize_schema="n_est double, sketch binary",
         finalize=lambda sk: {"n_est": float(sk.estimate()),
+                             "sketch": sk.to_bytes()},
+    )
+
+
+def mg_agg(df: DataFrame, groups: Sequence[str], key_col: str,
+           k: int = 64) -> DataFrame:
+    """Misra-Gries heavy-hitters summary per group → (…groups,
+    n_total long, deficit long, sketch binary). Deterministic bound:
+    for every key, mg.query(x) ≤ f(x) ≤ mg.query(x) + deficit, and any
+    key with f(x) > n_total/(k+1) is guaranteed present."""
+    return _two_phase(
+        df, groups, key_col,
+        make_sketch=lambda: MisraGries(k),
+        fold=lambda sk, s: sk.add(pd_to_u64(s)),
+        to_blob=lambda sk: sk.to_bytes(),
+        from_blob=MisraGries.from_bytes,
+        merge=lambda a, b: a.merge(b),
+        finalize_schema="n_total long, deficit long, sketch binary",
+        finalize=lambda sk: {"n_total": int(sk.n_total),
+                             "deficit": int(sk.deficit),
                              "sketch": sk.to_bytes()},
     )
 

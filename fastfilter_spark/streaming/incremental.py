@@ -298,3 +298,24 @@ def cuckoo_mutation_sink(stream_ops: DataFrame, work_dir: str,
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def dedup_stream(stream: DataFrame, key_col: str,
+                 event_time_col: str | None = None,
+                 watermark: str | None = None) -> DataFrame:
+    """Streaming exact dedup (dedup-at-ingest): emit each key's FIRST
+    row, drop every later duplicate across micro-batches.
+
+    Plain ``dropDuplicates`` keeps unbounded state (all keys ever seen)
+    — correct, and fine when the distinct-key working set fits the
+    state store (RocksDB-backed at scale). Pass ``event_time_col`` +
+    ``watermark`` to bound the state instead:
+    ``dropDuplicatesWithinWatermark`` expires seen-keys older than the
+    watermark — the standard shape for time-windowed ingest dedup at
+    10^12 scale, where "duplicate" means "re-delivered within the
+    lateness horizon" (at-least-once sources) rather than "ever seen".
+    """
+    if event_time_col is not None and watermark is not None:
+        return (stream.withWatermark(event_time_col, watermark)
+                .dropDuplicatesWithinWatermark([key_col]))
+    return stream.dropDuplicates([key_col])

@@ -80,3 +80,23 @@ def test_sketch_agg_on_corpus_keys(spark, corpus_path):
              .agg(F.countDistinct("content").alias("c")).collect()}
     for lang, ex in exact.items():
         assert abs(ours[lang] - ex) / ex < 0.05
+
+
+def test_mg_agg_heavy_hitters(spark, events):
+    """Misra-Gries over Spark: deterministic two-sided bound vs exact
+    per-key counts, guaranteed presence of every f > n/(k+1) key."""
+    from fastfilter_spark.sketches import MisraGries
+    from fastfilter_spark.spark import mg_agg
+
+    keyed = events.select(F.xxhash64("event_type").alias("key"))
+    row = mg_agg(keyed, [], "key", k=16).collect()[0]
+    mg = MisraGries.from_bytes(bytes(row.sketch))
+    exact = {r.key: r.c for r in keyed.groupBy("key")
+             .agg(F.count("*").alias("c")).collect()}
+    n = sum(exact.values())
+    assert row.n_total == n and mg.deficit == row.deficit
+    est = mg.query(np.array(list(exact), dtype=np.int64).view(np.uint64))
+    for (x, f), c in zip(exact.items(), est):
+        assert c <= f <= c + row.deficit
+        if f > n / 17:
+            assert c > 0

@@ -170,3 +170,63 @@ def test_theta_serde():
     t = ThetaSketch(256).add(np.arange(10_000, dtype=np.uint64))
     t2 = ThetaSketch.from_bytes(t.to_bytes())
     assert t2.estimate() == t.estimate() and t2.theta == t.theta
+
+
+def test_misragries_bounds_and_guarantee():
+    from fastfilter_spark.sketches import MisraGries
+
+    rng = np.random.default_rng(5)
+    # zipf-ish stream: key i appears ~ n/(i+1) times
+    keys = np.repeat(np.arange(200, dtype=np.uint64),
+                     (20000 / np.arange(1, 201)).astype(int))
+    rng.shuffle(keys)
+    n = len(keys)
+    k = 32
+    mg = MisraGries(k)
+    for chunk in np.array_split(keys, 7):      # batched adds
+        mg.add(chunk)
+    assert mg.n_total == n
+    assert mg.deficit <= n // (k + 1)
+    assert len(mg.keys) <= k
+
+    true = {int(v): int(c) for v, c in
+            zip(*np.unique(keys, return_counts=True))}
+    est = mg.query(np.array(sorted(true), dtype=np.uint64))
+    for (x, f), c in zip(sorted(true.items()), est):
+        assert c <= f <= c + mg.deficit          # two-sided bound
+        if f > n / (k + 1):
+            assert c > 0                         # guaranteed presence
+
+
+def test_misragries_merge_any_order_keeps_bounds():
+    from fastfilter_spark.sketches import MisraGries
+
+    rng = np.random.default_rng(11)
+    keys = rng.integers(0, 50, 30_000, dtype=np.int64).view(np.uint64)
+    parts = np.array_split(keys, 4)
+    sks = [MisraGries(24).add(p) for p in parts]
+    m_lr = sks[0].merge(sks[1]).merge(sks[2]).merge(sks[3])
+    m_tree = sks[0].merge(sks[1]).merge(sks[2].merge(sks[3]))
+    n = len(keys)
+    true = {int(v): int(c) for v, c in zip(*np.unique(keys, return_counts=True))}
+    for m in (m_lr, m_tree):
+        assert m.n_total == n
+        assert m.deficit <= 2 * n // 25 + 4      # deficits add, each <= n_i/(k+1)
+        qs = m.query(np.array(sorted(true), dtype=np.uint64))
+        for (x, f), c in zip(sorted(true.items()), qs):
+            assert c <= f <= c + m.deficit
+
+
+def test_misragries_serde_and_heavy_hitters():
+    from fastfilter_spark.sketches import MisraGries
+
+    keys = np.array([1] * 500 + [2] * 300 + list(range(100, 300)),
+                    dtype=np.uint64)
+    mg = MisraGries(16).add(keys)
+    rt = MisraGries.from_bytes(mg.to_bytes())
+    assert np.array_equal(rt.keys, mg.keys)
+    assert np.array_equal(rt.counts, mg.counts)
+    assert (rt.k, rt.n_total, rt.deficit) == (mg.k, mg.n_total, mg.deficit)
+    hh_keys, hh_counts = mg.heavy_hitters(0.2)
+    assert 1 in hh_keys and 2 in hh_keys        # 500/1000, 300/1000
+    assert list(hh_counts) == sorted(hh_counts, reverse=True)

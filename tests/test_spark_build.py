@@ -494,3 +494,30 @@ def test_cuckoo_distributed_build_and_delete(spark, corpus_df):
     assert pf.with_contains(evens, "key").where("NOT contained").count() == 0
     pf3 = cuckoo_update(pf2, add_df=evens)
     assert pf3.with_contains(keys, "key").where("NOT contained").count() == 0
+
+
+def test_hash_sample_deterministic_and_nested(spark):
+    """hash_sample: identical membership across partitionings (what
+    df.sample cannot promise), nested fractions, binomial-accurate
+    rate; hash_split: disjoint + exhaustive + leak-safe on equal keys."""
+    from fastfilter_spark.spark import hash_sample, hash_split
+
+    df = spark.range(0, 20_000).select(F.col("id").alias("k"))
+    a = set(r.k for r in hash_sample(df.repartition(1), "k", 0.2).collect())
+    b = set(r.k for r in hash_sample(df.repartition(16), "k", 0.2).collect())
+    assert a == b                                   # partitioning-independent
+    small = set(r.k for r in hash_sample(df, "k", 0.05).collect())
+    assert small <= a                               # nested at same salt
+    assert abs(len(a) - 4000) < 4 * (20_000 * 0.2 * 0.8) ** 0.5
+
+    tr, va, te = hash_split(df, "k", (0.8, 0.1, 0.1))
+    st, sv, se = (set(r.k for r in d.collect()) for d in (tr, va, te))
+    assert st | sv | se == set(range(20_000))       # exhaustive
+    assert not (st & sv) and not (st & se) and not (sv & se)  # disjoint
+    assert abs(len(st) - 16_000) < 4 * (20_000 * 0.8 * 0.2) ** 0.5
+
+    # duplicate keys land in the same split (no train/test leak)
+    dup = spark.createDataFrame([(7,), (7,), (7,)], "k long")
+    parts = hash_split(dup, "k", (0.5, 0.5))
+    counts = [p.count() for p in parts]
+    assert sorted(counts) == [0, 3]

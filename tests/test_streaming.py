@@ -151,3 +151,49 @@ def test_cuckoo_mutation_sink_insert_and_delete(spark, tmp_path):
     gone = np.array(B, dtype=np.uint64)
     assert pf.contains_local(present).all()          # zero FN
     assert pf.contains_local(gone).mean() < 0.01     # residue = collisions
+
+
+def test_dedup_stream_across_microbatches(spark, tmp_path):
+    """dedup_stream must drop duplicates ACROSS micro-batches (state
+    survives the trigger): 3 files with overlapping keys → exactly one
+    emitted row per distinct key, first-seen wins."""
+    import uuid
+
+    from fastfilter_spark.streaming import dedup_stream
+
+    src = str(tmp_path / "dsrc")
+    # file i carries keys [10*i .. 10*i + 14] → overlap between files
+    for i in range(3):
+        spark.createDataFrame(
+            [(10 * i + j, f"batch{i}") for j in range(15)],
+            "key long, origin string").coalesce(1).write.mode(
+            "append").parquet(src)
+    batch = spark.read.parquet(src)
+    n_distinct = batch.select("key").distinct().count()
+
+    stream = (spark.readStream.schema(batch.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    qname = "dd_" + uuid.uuid4().hex[:8]
+    q = (dedup_stream(stream, "key").writeStream.format("memory")
+         .queryName(qname).outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql(f"SELECT key, origin FROM {qname}")
+    assert got.count() == n_distinct
+    assert got.select("key").distinct().count() == n_distinct
+
+    # watermark-bounded variant compiles to the state-expiring operator
+    ts_stream = (spark.readStream.schema(batch.schema)
+                 .option("maxFilesPerTrigger", 1).parquet(src)
+                 .withColumn("ts", F.current_timestamp()))
+    wm = dedup_stream(ts_stream, "key", event_time_col="ts",
+                      watermark="10 minutes")
+    qn2 = "ddw_" + uuid.uuid4().hex[:8]
+    q2 = (wm.writeStream.format("memory").queryName(qn2)
+          .outputMode("append")
+          .option("checkpointLocation", str(tmp_path / "ck2"))
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    assert spark.sql(f"SELECT COUNT(*) c FROM {qn2}").collect()[0].c \
+        == n_distinct
