@@ -805,6 +805,31 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("media_id"))
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language TF-IDF top-5 terms: explode → two-level aggregation
+    (term freq per (lang, token); language-frequency per token) → join
+    → per-group window top-k. Score is the RATIONAL tf·(L+1)/(df+1)
+    (+,-,·,/ are IEEE-exact and engine-identical; ln is libm-dependent
+    and would flake the value-hash), so the oracle matches bit-for-bit."""
+    from fastfilter_spark.pipeline import tokens
+    docs = _docs(spark, sf_dir)
+    lt = docs.select("lang", F.explode(tokens("text")).alias("token"))
+    tf = lt.groupBy("lang", "token").agg(F.count("*").alias("tf"))
+    df_ = lt.select("lang", "token").distinct() \
+            .groupBy("token").agg(F.count("*").alias("df"))
+    n_langs = docs.select("lang").distinct().count()
+    scored = (tf.join(df_, "token")
+              .withColumn("score",
+                          F.round(F.col("tf") * (n_langs + 1.0)
+                                  / (F.col("df") + 1.0), 6)))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("score").desc(), F.col("token").asc())
+    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where("rank <= 5")
+            .select("lang", "rank", "token", "tf", "score")
+            .orderBy("lang", "rank"))
+
+
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup-at-ingest replayed with availableNow over the
     documents parquet: the sink must hold exactly one row per distinct
@@ -967,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mg_top_terms": q_mg_top_terms,
         "hash_split": q_hash_split,
         "streaming_dedup": q_streaming_dedup,
+        "tfidf_top_terms": q_tfidf_top_terms,
     }
 
 
@@ -1225,6 +1251,21 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup": (
             "SELECT COUNT(DISTINCT text) AS n_unique, "
             "TRUE AS no_dup_survives FROM documents"),
+        "tfidf_top_terms": (
+            f"WITH lt AS (SELECT lang, unnest({_TOKENS_SQL}) AS token "
+            "FROM documents), "
+            "tf AS (SELECT lang, token, COUNT(*) AS tf FROM lt "
+            "GROUP BY lang, token), "
+            "df AS (SELECT token, COUNT(*) AS df FROM "
+            "(SELECT DISTINCT lang, token FROM lt) GROUP BY token), "
+            "nl AS (SELECT COUNT(DISTINCT lang) AS n FROM documents), "
+            "s AS (SELECT lang, tf.token, tf, "
+            "ROUND(tf * ((SELECT n FROM nl) + 1.0) / (df + 1.0), 6) AS score "
+            "FROM tf JOIN df ON tf.token = df.token) "
+            "SELECT lang, CAST(row_number() OVER w AS INTEGER) AS rank, "
+            "token, tf, score FROM s "
+            "WINDOW w AS (PARTITION BY lang ORDER BY score DESC, token ASC) "
+            "QUALIFY rank <= 5 ORDER BY lang, rank"),
         "doc_fingerprints": (
             "SELECT (SELECT COUNT(*) FROM documents) AS n_docs, "
             "COUNT(*) AS n_planted, COUNT(*) AS n_ws_invariant, "
