@@ -115,11 +115,12 @@ def main() -> None:
         n_huge = 100 * N_KEYS
         huge = synth_keys(spark, n_huge).cache()
         huge.count()
-        # min of 2 reps: the sandbox host throttles in multi-second
+        # min of 3 reps: the sandbox host throttles in multi-second
         # windows (3-10x swings documented in BENCH/BASELINE.md), and a
-        # single 25-85 s sample of the headline tier is a coin flip.
+        # single 19-85 s sample of the headline tier is a coin flip
+        # (measured same-code spread; best observed 18.9 s = 5.30 M/s).
         reps = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             build_partitioned_filter(huge, kind="bf8",
                                      num_partitions=8 * CPUS,

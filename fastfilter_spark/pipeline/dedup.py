@@ -7,11 +7,15 @@ Four tiers, each with a different cost/recall point:
   entire signature/banding pipeline is Catalyst expressions (xxhash64
   inside array transforms — no Python), candidates verified with exact
   shingle Jaccard (array_intersect/array_union, also JVM-side).
-  Scale shape: explode(bands) → shuffle by (band, hash) → within-bucket
-  self-join; no O(n²) stage ever materializes.
-* simhash      — 64-bit SimHash over token hashes (vectorized numpy in
-  a pandas UDF: per-batch matrix of bit contributions), near-dup
-  candidates via 4×16-bit band blocking, Hamming-verified.
+  Scale shape: exact-dedup to representatives first (minhash_dedup
+  default) → explode(bands) → shuffle by (band, hash) → bucket-size
+  cap → within-bucket self-join; no O(n²) stage ever materializes,
+  even against million-copy duplicate clusters.
+* simhash      — 128-bit SimHash (two independently-seeded 64-bit
+  halves; vectorized numpy in a pandas UDF: per-batch matrix of bit
+  contributions), near-dup candidates via 4×32-bit band blocking
+  (pigeonhole recall for Hamming ≤ 3, 2³² buckets per band),
+  Hamming-verified, bucket-size cap available.
 * embedding    — cosine near-dup via random-hyperplane LSH blocking +
   exact cosine verify (see ann.py for the generic kNN path).
 """
