@@ -650,7 +650,7 @@ def q_streaming_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame
     schema = ev_batch.schema
     # the streaming file source wants a directory — symlink the parquet
     stream_dir = tempfile.mkdtemp(prefix="ffsk_stream_")
-    os.symlink(f"{sf_dir}/events.parquet",
+    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"),
                os.path.join(stream_dir, "events.parquet"))
     stream = (spark.readStream.schema(schema)
               .parquet(stream_dir)
@@ -703,11 +703,12 @@ def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     MUST be emitted with hamming 0 (shares all 4 bands). Emits counts
     the oracle derives from the corpus alone, plus a soundness flag
     (every emitted pair within the Hamming bound)."""
-    from fastfilter_spark.pipeline import simhash_candidates
+    from fastfilter_spark.pipeline import simhash128, simhash_candidates
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     planted = docs.where("doc_id < 100").select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text")
-    pairs = simhash_candidates(docs.union(planted), "text", "doc_id",
+    all_docs = docs.union(planted)
+    pairs = simhash_candidates(all_docs, "text", "doc_id",
                                max_hamming=3).cache()
     expected = docs.where("doc_id < 100").select(
         F.col("doc_id").alias("id_a"),
@@ -716,8 +717,22 @@ def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     found_h0 = (pairs.where("hamming = 0")
                 .join(F.broadcast(expected), ["id_a", "id_b"], "left_semi")
                 .count())
+    # soundness via an INDEPENDENT recomputation (a recount of the
+    # already-filtered relation would be vacuously true): join emitted
+    # pairs back to fresh 128-bit simhashes and re-derive Hamming
+    sh = simhash128(all_docs, "text", "doc_id")
+    a = sh.select(F.col("id").alias("id_a"), F.col("sim_lo").alias("alo"),
+                  F.col("sim_hi").alias("ahi"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sim_lo").alias("blo"),
+                  F.col("sim_hi").alias("bhi"))
+    reham = (F.bit_count(F.col("alo").bitwiseXOR(F.col("blo")))
+             + F.bit_count(F.col("ahi").bitwiseXOR(F.col("bhi"))))
+    checked = (pairs.join(a, "id_a").join(b, "id_b")
+               .withColumn("reham", reham))
     n_pairs = pairs.count()
-    n_sound = pairs.where("hamming <= 3").count()
+    n_sound = checked.where(
+        (F.col("reham") <= 3) & (F.col("reham") == F.col("hamming"))).count()
+    pairs.unpersist()
     return spark.createDataFrame(
         [(int(n_planted), int(found_h0), bool(n_sound == n_pairs))],
         "n_planted long, n_found_h0 long, sound boolean")
@@ -751,7 +766,13 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus alone."""
     from fastfilter_spark.pipeline import doc_fingerprint
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    pl = docs.where("doc_id < 100").select(
+    from fastfilter_spark.pipeline import token_count
+    # ≥5 tokens (the shingle width): for shorter docs the doubled text's
+    # windows all span the seam, the superset argument fails, and the
+    # monotonicity invariant is genuinely unsound — exclude them in BOTH
+    # engines rather than rely on the current corpus having none.
+    pl = docs.where((F.col("doc_id") < 100)
+                    & (token_count("text") >= 5)).select(
         doc_fingerprint("text").alias("fp"),
         doc_fingerprint(
             F.concat(F.lit("  "), F.col("text"), F.lit(" "))).alias("fp_ws"),
@@ -837,22 +858,32 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
     import uuid as _uuid
+    import shutil
     from fastfilter_spark.spark import content_key
     from fastfilter_spark.streaming import dedup_stream
     docs_batch = _docs(spark, sf_dir)
     stream_dir = tempfile.mkdtemp(prefix="ffsk_sdedup_")
-    os.symlink(f"{sf_dir}/documents.parquet",
+    # abspath: a relative sf_dir would make the link dangle (it resolves
+    # against the tempdir, not the caller's cwd)
+    os.symlink(os.path.abspath(f"{sf_dir}/documents.parquet"),
                os.path.join(stream_dir, "documents.parquet"))
-    stream = (spark.readStream.schema(docs_batch.schema).parquet(stream_dir)
-              .withColumn("key", content_key("text")))
-    out = dedup_stream(stream, "key").select("key", "text")
-    qname = "sdedup_" + _uuid.uuid4().hex[:8]
-    q = (out.writeStream.format("memory").queryName(qname)
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(300)
-    return spark.sql(
-        f"SELECT COUNT(*) AS n_unique, "
-        f"COUNT(*) = COUNT(DISTINCT text) AS no_dup_survives FROM {qname}")
+    try:
+        stream = (spark.readStream.schema(docs_batch.schema)
+                  .parquet(stream_dir)
+                  .withColumn("key", content_key("text")))
+        out = dedup_stream(stream, "key").select("key", "text")
+        qname = "sdedup_" + _uuid.uuid4().hex[:8]
+        q = (out.writeStream.format("memory").queryName(qname)
+             .outputMode("append").trigger(availableNow=True).start())
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming_dedup did not finish in 300 s")
+        return spark.sql(
+            f"SELECT COUNT(*) AS n_unique, "
+            f"COUNT(*) = COUNT(DISTINCT text) AS no_dup_survives "
+            f"FROM {qname}")
+    finally:
+        shutil.rmtree(stream_dir, ignore_errors=True)
 
 
 def q_mg_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1270,7 +1301,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT (SELECT COUNT(*) FROM documents) AS n_docs, "
             "COUNT(*) AS n_planted, COUNT(*) AS n_ws_invariant, "
             "COUNT(*) AS n_concat_monotone "
-            "FROM documents WHERE doc_id < 100"),
+            f"FROM documents WHERE doc_id < 100 AND len({_TOKENS_SQL}) >= 5"),
         "multimodal_features": (
             # Recompute the stub pipeline: payload = sha256(str(id))×16,
             # tiled to 64×64, 8-block pooled mean ⇒ every feature dim ==

@@ -105,9 +105,16 @@ def peel_and_assign(
         # still ≥ 2^52, so state>>40 ≫ 250 and the degree check fires
         # (seed rotation) either way.
         w3 = np.tile(np.arange(n, dtype=np.float64) + float(1 << 40), 3)
-        state = np.bincount(flat_pos, weights=w3,
-                            minlength=array_length).astype(np.uint64)
+        wsum = np.bincount(flat_pos, weights=w3, minlength=array_length)
         del w3
+        # guard BEFORE the uint64 cast: a float sum ≥ 2^64 would WRAP in
+        # the cast and could sneak past the degree check below. Any such
+        # slot needs degree ≥ ~2^24 — legit builds top out near
+        # 250·(2^40 + n) < 2^49, so 2^62 is a safe adversarial cutoff.
+        if wsum.max(initial=0.0) >= float(1 << 62):
+            return False, 0, np.zeros(array_length, dtype=bool)
+        state = wsum.astype(np.uint64)
+        del wsum
         if (state >> U64(40)).max(initial=U64(0)) > 250:
             # absurd slot degree (adversarial hash) → seed rotation
             return False, 0, np.zeros(array_length, dtype=bool)

@@ -20,4 +20,5 @@ __all__ = [
     "read_corpus", "write_filter_sidecar", "read_filter_sidecar", "contains_via_sidecar",
     "write_bucketed", "salted_join", "asof_join", "interval_join",
     "build_filter_sidecar", "cuckoo_update",
+    "mg_agg", "hash_sample", "hash_sample_pred", "hash_split",
 ]

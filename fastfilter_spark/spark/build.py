@@ -289,13 +289,17 @@ def cuckoo_update(
     nature; ``max_batch`` guards misuse — bulk changes should rebuild).
     Deleting a never-inserted key is rejected by contract (it can evict
     a colliding entry's fingerprint): delete only what you added.
-    MULTISET semantics (cuckoo-filter standard): adding an
-    already-present key stores another fingerprint copy — add twice,
-    delete once ⇒ still contained — and the n_keys metric counts copies
-    (delta = batch size), not distinct membership. Deduplicate upstream
-    (``dropDuplicates`` against the membership set) if set semantics are
-    needed. NULL keys are dropped before collection, matching the build
-    path's isNotNull filter.
+    Semantics — per-batch set, cross-batch multiset: WITHIN one batch
+    duplicate keys collapse (the batch is deduplicated before insert,
+    so the n_keys delta is the batch's DISTINCT count), but re-adding a
+    key in a LATER batch stores another fingerprint copy — add in two
+    batches, delete once ⇒ still contained, and one delete removes one
+    copy. Never delete more times than you added across batches: a
+    surplus delete can strip a colliding entry's fingerprint and create
+    a false negative on an unrelated member (the cuckoo-filter
+    contract). Deduplicate against the membership set upstream if pure
+    set semantics are needed. NULL keys are dropped before collection,
+    matching the build path's isNotNull filter.
     """
     if not pf.kind.startswith("cuckoo"):
         raise ValueError("cuckoo_update requires a cuckoo-kind filter")

@@ -71,15 +71,24 @@ def write_bucketed(df: DataFrame, table: str, bucket_col: str,
         except Exception:
             pass
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+        cands = [loc] if loc is not None else []
         if loc is None:
+            # table absent from the catalog (fresh in-memory metastore):
+            # clear every default layout the files could live under —
+            # <wh>/<tbl> for the default db, <wh>/<db>.db/<tbl> otherwise
+            # (use the LAST two name parts: "cat.db.tbl" ends db.tbl)
             wh = spark.conf.get("spark.sql.warehouse.dir")
             parts = table.split(".")
-            loc = (os.path.join(wh, parts[0] + ".db", parts[1])
-                   if len(parts) == 2 else os.path.join(wh, parts[0]))
-        loc = loc.removeprefix("file:")
-        if os.path.isdir(loc):
-            import shutil
-            shutil.rmtree(loc)
+            tbl = parts[-1]
+            db = parts[-2] if len(parts) >= 2 else "default"
+            if db == "default":
+                cands.append(os.path.join(wh, tbl))
+            cands.append(os.path.join(wh, db + ".db", tbl))
+        for c in cands:
+            c = c.removeprefix("file:")
+            if os.path.isdir(c):
+                import shutil
+                shutil.rmtree(c)
     w = (df.write.format("parquet").mode(mode)
          .bucketBy(num_buckets, bucket_col))
     if sort_col is not None:

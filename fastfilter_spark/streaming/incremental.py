@@ -315,7 +315,13 @@ def dedup_stream(stream: DataFrame, key_col: str,
     10^12 scale, where "duplicate" means "re-delivered within the
     lateness horizon" (at-least-once sources) rather than "ever seen".
     """
-    if event_time_col is not None and watermark is not None:
+    if (event_time_col is None) != (watermark is None):
+        # fail fast: a silent fallback to unbounded state here is an
+        # OOM days into a long-running ingest job
+        raise ValueError("dedup_stream: pass BOTH event_time_col and "
+                         "watermark (bounded state) or NEITHER "
+                         "(unbounded dropDuplicates state)")
+    if event_time_col is not None:
         return (stream.withWatermark(event_time_col, watermark)
                 .dropDuplicatesWithinWatermark([key_col]))
     return stream.dropDuplicates([key_col])
