@@ -105,18 +105,32 @@ class PartitionedFilter:
 
     # -- merge ---------------------------------------------------------------
     def merge_bloom(self, other: "PartitionedFilter") -> "PartitionedFilter":
-        """Algebraic OR-merge (Bloom only): same P, salt, geometry."""
+        """Algebraic OR-merge (Bloom only): same P, salt, geometry AND
+        routing — a packed-built (xxhash_pmod) and a rows-built
+        (spark_hash) filter place the same key in DIFFERENT pids, so
+        OR-merging them would lose other's keys (false negatives)."""
         if not self.kind.startswith("bloom") or not other.kind.startswith("bloom"):
             raise ValueError("blob-level merge is only algebraic for Bloom; "
                              "use union-keys-and-rebuild for xor/fuse kinds")
         if (self.num_partitions, self.salt) != (other.num_partitions, other.salt):
             raise ValueError("partitioning mismatch")
+        if self.routing != other.routing:
+            raise ValueError("routing mismatch: keys were placed by "
+                             "different pid functions — rebuild instead")
         blobs = [
             BloomFilter.from_bytes(a).merge(BloomFilter.from_bytes(b)).to_bytes()
             for a, b in zip(self.blobs, other.blobs)
         ]
+        # per-pid n_keys adds (an upper bound when key sets overlap —
+        # documented Bloom-merge semantics); other metric columns stay
+        # self's (same geometry on both sides)
+        merged = self.metrics.copy()
+        o = other.metrics.set_index("pid")["n_keys"]
+        merged["n_keys"] = (merged.set_index("pid")["n_keys"]
+                            .add(o, fill_value=0).reindex(merged["pid"])
+                            .to_numpy())
         return PartitionedFilter(self.kind, self.num_partitions, self.salt,
-                                 blobs, self.metrics, self.routing)
+                                 blobs, merged, self.routing)
 
     def to_global_bloom(self) -> BloomFilter:
         """Collapse Bloom partials to one filter (tree OR)."""
@@ -312,11 +326,15 @@ def cuckoo_update(
     def _collect(df: Optional[DataFrame]) -> np.ndarray:
         if df is None:
             return np.empty(0, dtype=np.uint64)
-        df = df.where(F.col(key_col).isNotNull())
-        n = df.count()
-        if n > max_batch:
-            raise ValueError(f"batch of {n} keys: rebuild instead")
-        arr = np.array([r[0] for r in df.select(key_col).collect()],
+        # ONE job with a bounded collect: limit(max_batch+1) both guards
+        # driver memory and avoids the count()-then-collect() double
+        # scan (which also races on non-deterministic sources)
+        rows = (df.where(F.col(key_col).isNotNull())
+                .select(key_col).limit(max_batch + 1).collect())
+        if len(rows) > max_batch:
+            raise ValueError(f"batch exceeds {max_batch} keys: "
+                             "rebuild instead")
+        arr = np.array([r[0] for r in rows],
                        dtype=np.int64).view(np.uint64)
         return np.unique(arr)
 
@@ -337,7 +355,10 @@ def cuckoo_update(
                 delta = -f.delete(batch)
             blobs[int(pid)] = f.to_bytes()
             if int(pid) not in metrics.index:  # pid had zero keys at build
-                metrics.loc[int(pid)] = {c: 0 for c in metrics.columns}
+                seed_row = {c: 0 for c in metrics.columns}
+                if "kind" in seed_row:   # keep the string column string
+                    seed_row["kind"] = pf.kind
+                metrics.loc[int(pid)] = seed_row
             metrics.loc[int(pid), "n_keys"] += delta
     return PartitionedFilter(pf.kind, pf.num_partitions, pf.salt, blobs,
                              metrics.sort_index().reset_index(), pf.routing)
@@ -419,9 +440,12 @@ def add_keys(
 
     bloom_args = None
     if pf.kind == "bloom":
-        # reuse geometry of an existing blob so OR-merge stays valid
+        # reuse the EXACT geometry (m, k, seed) of an existing blob so
+        # OR-merge with untouched blobs stays valid — re-deriving an
+        # (n_expected, fpp) pair reconstructs the same m but a
+        # different k whenever the original fpp wasn't the default
         b0 = BloomFilter.from_bytes(pf.blobs[0])
-        bloom_args = (max(16, int(b0.m_bits / 9.6)), 0.01)
+        bloom_args = ("exact", b0.m_bits, b0.k, b0.seed)
 
     def _build(tbl):
         return workerside.build_partition_arrow(
@@ -448,9 +472,15 @@ def _rewrite_checkpoint(pf: PartitionedFilter, checkpoint_dir: str,
     import pyarrow.parquet as pq
     os.makedirs(os.path.join(checkpoint_dir, "partials"), exist_ok=True)
     manifest_path = os.path.join(checkpoint_dir, "manifest.json")
+    # identical key set to build_partitioned_filter's manifest — a
+    # missing shuffle_mode key would fail the next build's manifest
+    # comparison and break resume after incremental ingest
+    shuffle_mode = ("packed" if pf.routing == ROUTING_XXHASH_PMOD
+                    else "rows")
     with open(manifest_path, "w") as fh:
         json.dump({"kind": pf.kind, "P": pf.num_partitions, "salt": pf.salt,
-                   "base_rng_state": base_rng_state}, fh)
+                   "base_rng_state": base_rng_state,
+                   "shuffle_mode": shuffle_mode}, fh)
     tbl = pf.metrics.copy()
     tbl["blob"] = [pf.blobs[int(p)] for p in tbl["pid"]]
     for f in os.listdir(os.path.join(checkpoint_dir, "partials")):

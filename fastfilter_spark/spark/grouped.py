@@ -32,6 +32,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 GROUP_SEP = "\x1f"
+GROUP_ESC = "\x1e"
+
+
+def _esc_py(v: str) -> str:
+    """Escape a group value so GROUP_SEP inside values cannot alias two
+    distinct multi-column groups onto one gkey (mirrors _gkey_expr)."""
+    return v.replace(GROUP_ESC, GROUP_ESC + GROUP_ESC) \
+            .replace(GROUP_SEP, GROUP_ESC + GROUP_SEP)
 
 _GROUPED_SCHEMA = (
     "gkey string, kind string, blob binary, n_keys long, keys_ingested long, "
@@ -40,8 +48,13 @@ _GROUPED_SCHEMA = (
 
 
 def _gkey_expr(group_cols: Sequence[str]):
-    return F.concat_ws(GROUP_SEP,
-                       *[F.col(c).cast("string") for c in group_cols])
+    # escape GROUP_ESC then GROUP_SEP per value (same scheme as _esc_py)
+    # so ('a\x1fb','c') and ('a','b\x1fc') cannot collide on one gkey
+    def esc(c):
+        s = F.col(c).cast("string")
+        s = F.replace(s, F.lit(GROUP_ESC), F.lit(GROUP_ESC + GROUP_ESC))
+        return F.replace(s, F.lit(GROUP_SEP), F.lit(GROUP_ESC + GROUP_SEP))
+    return F.concat_ws(GROUP_SEP, *[esc(c) for c in group_cols])
 
 
 @dataclass
@@ -57,7 +70,10 @@ class GroupedFilters:
     def with_contains(self, df: DataFrame, key_col: str,
                       out_col: str = "contained") -> DataFrame:
         """contained := key ∈ filter[group cols of the row]. Rows whose
-        group had no filter at build time get False (empty set)."""
+        group had no filter at build time get False (empty set) — and
+        so do rows with a NULL group value (the build excludes NULL
+        groups; without this guard concat_ws would silently alias a
+        NULL group onto the empty-string group's filter)."""
         spark = df.sparkSession
         from .. import workerside
         bc = spark.sparkContext.broadcast((self.token, self.blob_map))
@@ -66,14 +82,20 @@ class GroupedFilters:
         def _contains(key: pd.Series, gkey: pd.Series) -> pd.Series:
             return workerside.contains_grouped_kernel(bc.value, key, gkey)
 
+        all_non_null = F.lit(True)
+        for c in self.group_cols:
+            all_non_null = all_non_null & F.col(c).isNotNull()
         return df.withColumn(
-            out_col, _contains(F.col(key_col), _gkey_expr(self.group_cols)))
+            out_col,
+            F.when(all_non_null,
+                   _contains(F.col(key_col), _gkey_expr(self.group_cols)))
+             .otherwise(F.lit(False)))
 
     def filter_for(self, *values):
         """Load one group's filter driver-side (export / unit probes)."""
         from .. import workerside
         return workerside.load_filter(
-            self.blob_map[GROUP_SEP.join(str(v) for v in values)])
+            self.blob_map[GROUP_SEP.join(_esc_py(str(v)) for v in values)])
 
     @property
     def n_groups(self) -> int:

@@ -2,9 +2,13 @@
 
 Everything a pandas UDF closure references gets its defining module
 imported inside every Python worker process. This module therefore
-imports ONLY numpy/pandas + the pure-numpy core (no pyspark), so the
-32-worker first-use import cost stays milliseconds, not seconds —
-measured 6s+ of the cold `contains` path before this split.
+imports ONLY numpy/pandas/pyarrow + the pure-numpy core at module
+level — no pyspark, so the 32-worker first-use import cost stays
+milliseconds, not seconds (measured 6s+ of the cold `contains` path
+before this split). One documented exception: build_partitions_map
+does a FUNCTION-LEVEL `from pyspark import TaskContext`, which
+resolves against the already-loaded worker runtime at call time and
+costs nothing at import time.
 """
 
 from __future__ import annotations
@@ -60,7 +64,21 @@ def part_rng_state(base: int, pid: int) -> int:
     return int(murmur64(x)[0])
 
 
-def bloom_builder(n_expected_per_part: int, fpp: float):
+def bloom_builder(*args):
+    """bloom_args is either (n_expected_per_part, fpp) — geometry derived
+    — or ("exact", m_bits, k, seed) — geometry copied verbatim from an
+    existing blob so incremental rebuilds stay OR-merge-compatible."""
+    if args and args[0] == "exact":
+        _, m_bits, k, seed = args
+
+        def build(keys: np.ndarray, rng_state: int) -> BloomFilter:
+            bf = BloomFilter(m_bits, k, seed,
+                             np.zeros(m_bits // 64, dtype=U64), 0)
+            bf.add(keys)
+            return bf
+        return build
+    n_expected_per_part, fpp = args
+
     def build(keys: np.ndarray, rng_state: int) -> BloomFilter:
         bf = BloomFilter.empty(n_expected_per_part, fpp)
         bf.add(keys)
@@ -291,7 +309,17 @@ def contains_sidecar_route(batches, sidecar_path: str, P: int,
         return f
 
     for b in batches:
-        keys = b.column(key_name).to_numpy(zero_copy_only=False).view(np.uint64)
+        kcol = b.column(key_name)
+        # NULL-safe: to_numpy on an int64 column WITH nulls yields
+        # float64 (+NaN), and .view(uint64) would then reinterpret
+        # float bit patterns — corrupting EVERY key in the batch (false
+        # negatives). fill_null keeps the column int64; null rows are
+        # masked to contained=False afterwards.
+        null_mask = (kcol.is_null().to_numpy(zero_copy_only=False)
+                     if kcol.null_count else None)
+        if null_mask is not None:
+            kcol = kcol.fill_null(0)
+        keys = kcol.to_numpy(zero_copy_only=False).view(np.uint64)
         route = b.column(route_name).to_numpy(zero_copy_only=False)
         pids = np.mod(route, P)
         out = np.zeros(len(keys), dtype=bool)
@@ -300,6 +328,8 @@ def contains_sidecar_route(batches, sidecar_path: str, P: int,
             if filt is not False:
                 m = pids == pid
                 out[m] = filt.contains(keys[m])
+        if null_mask is not None:
+            out[null_mask] = False
         yield pa.RecordBatch.from_arrays(
             list(b.columns) + [pa.array(out, pa.bool_())],
             names=b.schema.names + ["contained"])
@@ -327,4 +357,10 @@ def contains_kernel(bc_value, key: pd.Series, pid: pd.Series) -> pd.Series:
         if hi > lo:
             idx = order[lo:hi]
             out[idx] = filters[p].contains(keys[idx])
+    # NULL keys (pd_to_u64 maps them to 0) are NOT members: key 0 can
+    # be a legitimate member or false-positive of some blob, and the
+    # build path drops NULLs — SQL-consistent answer is False
+    na = key.isna().to_numpy()
+    if na.any():
+        out[na] = False
     return pd.Series(out)

@@ -521,3 +521,106 @@ def test_hash_sample_deterministic_and_nested(spark):
     parts = hash_split(dup, "k", (0.5, 0.5))
     counts = [p.count() for p in parts]
     assert sorted(counts) == [0, 3]
+
+
+def test_null_key_probes_are_not_members(spark, corpus_df, tmp_path):
+    """NULL keys must answer contained=False on BOTH probe paths — and
+    must not corrupt the other keys in their Arrow batch (a null int64
+    column round-trips via float64, and viewing THAT as uint64 garbles
+    every key in the batch)."""
+    from fastfilter_spark.spark import build_filter_sidecar, contains_via_sidecar
+
+    keys = keys_from_content(corpus_df, "content")
+    probes = keys.unionByName(
+        spark.createDataFrame([(None,)], "key long")).repartition(2)
+
+    pf = build_partitioned_filter(keys, kind="bf8", num_partitions=8)
+    got = pf.with_contains(probes, "key")
+    assert got.where("key IS NULL AND contained").count() == 0
+    assert got.where("key IS NOT NULL AND NOT contained").count() == 0
+
+    sc = str(tmp_path / "null_sc")
+    build_filter_sidecar(keys, sc, kind="bf8", num_partitions=8)
+    got2 = contains_via_sidecar(probes, sc)
+    assert got2.where("key IS NULL AND contained").count() == 0
+    assert got2.where("key IS NOT NULL AND NOT contained").count() == 0
+
+
+def test_merge_bloom_guards_and_metrics(spark, corpus_df):
+    """merge_bloom must reject mismatched routing (keys placed by
+    different pid functions -> OR-merge would drop keys) and must sum
+    per-pid n_keys in the merged metrics."""
+    import pytest as _pytest
+    keys = keys_from_content(corpus_df, "content").distinct().cache()
+    a = keys.where(F.col("key") % 2 == 0)
+    b = keys.where(F.col("key") % 2 != 0)
+    n = keys.count()
+    pf_a = build_partitioned_filter(a, kind="bloom", num_partitions=4,
+                                    bloom_n_expected=n)
+    pf_b = build_partitioned_filter(b, kind="bloom", num_partitions=4,
+                                    bloom_n_expected=n)
+    merged = pf_a.merge_bloom(pf_b)
+    assert merged.with_contains(keys, "key").where("NOT contained").count() == 0
+    assert merged.n_keys == pf_a.n_keys + pf_b.n_keys
+
+    pf_rows = build_partitioned_filter(b, kind="bloom", num_partitions=4,
+                                       bloom_n_expected=n,
+                                       shuffle_mode="rows")
+    with _pytest.raises(ValueError, match="routing mismatch"):
+        pf_a.merge_bloom(pf_rows)
+
+
+def test_add_keys_bloom_preserves_geometry(spark, corpus_df, tmp_path):
+    """Incremental bloom rebuilds must copy the EXACT (m, k, seed) of
+    existing blobs — deriving (n, fpp) reconstructs a different k at
+    non-default fpp, breaking OR-merge and inflating FPP. Also: the
+    rewritten checkpoint manifest must still satisfy a later
+    checkpointed build (same key set incl. shuffle_mode)."""
+    from fastfilter_spark.core.bloom import BloomFilter
+    from fastfilter_spark.spark import add_keys
+
+    keys = keys_from_content(corpus_df, "content").distinct().cache()
+    half_a = keys.where(F.col("key") % 2 == 0)
+    half_b = keys.where(F.col("key") % 2 != 0)
+    n = keys.count()
+    ck = str(tmp_path / "ck_bloom")
+    pf = build_partitioned_filter(half_a, kind="bloom", num_partitions=4,
+                                  bloom_n_expected=n, bloom_fpp=0.001,
+                                  checkpoint_dir=ck)
+    g0 = BloomFilter.from_bytes(pf.blobs[0])
+    pf2 = add_keys(pf, half_a, half_b, checkpoint_dir=ck)
+    for blob in pf2.blobs:
+        g = BloomFilter.from_bytes(blob)
+        assert (g.m_bits, g.k, g.seed) == (g0.m_bits, g0.k, g0.seed)
+    assert pf2.with_contains(keys, "key").where("NOT contained").count() == 0
+    # to_global_bloom mixes rebuilt and original blobs — must not raise
+    pf2.to_global_bloom()
+    # resume path still accepts the rewritten manifest
+    pf3 = build_partitioned_filter(half_a, kind="bloom", num_partitions=4,
+                                   bloom_n_expected=n, bloom_fpp=0.001,
+                                   checkpoint_dir=ck)
+    assert pf3.num_partitions == 4
+
+
+def test_grouped_filters_null_and_separator_safety(spark):
+    """A NULL group value must answer False (not alias the ''-group's
+    filter), and group values containing the separator must not merge
+    distinct groups."""
+    from fastfilter_spark.spark import build_grouped_filters
+
+    df = spark.createDataFrame(
+        [("", "x", 1), ("a\x1fb", "c", 2), ("a", "b\x1fc", 3)],
+        "g1 string, g2 string, key long")
+    gf = build_grouped_filters(df, ["g1", "g2"])
+    assert gf.n_groups == 3  # separator values did not alias groups
+
+    probe = spark.createDataFrame(
+        [(None, "x", 1), ("", "x", 1), ("a\x1fb", "c", 3)],
+        "g1 string, g2 string, key long")
+    rows = {(r.g1, r.g2): r.contained
+            for r in gf.with_contains(probe, "key").collect()}
+    assert rows[(None, "x")] is False        # NULL group: empty set
+    assert rows[("", "x")] is True           # ''-group keeps its own key
+    assert rows[("a\x1fb", "c")] is False    # key 3 belongs to ('a','b\x1fc')
+    assert gf.filter_for("a\x1fb", "c").contains(
+        __import__("numpy").array([2], dtype="uint64"))[0]
