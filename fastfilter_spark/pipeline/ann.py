@@ -112,6 +112,12 @@ def lsh_topk(corpus: DataFrame, vec_col: str = "embedding",
              bands: int = 4, dim: int = 64, seed: int = 42) -> DataFrame:
     """All-pairs approximate top-k: LSH-bucketed candidates + exact
     cosine re-rank (pandas-UDF dot product) — the 100TB shape."""
+    if bands > n_bits or n_bits % bands != 0:
+        # bands > n_bits would give 0 bits per band: every row lands in
+        # bucket 0 and the self-join becomes the full O(n²) cross
+        # product — the exact blowup LSH exists to avoid
+        raise ValueError(f"n_bits ({n_bits}) must be a positive "
+                         f"multiple of bands ({bands})")
     rows = n_bits // bands
     sigs = hyperplane_signatures(corpus, vec_col, id_col, n_bits, dim, seed)
     band_arr = F.array(*[

@@ -119,6 +119,11 @@ class KLLSketch:
     def merge(self, other: "KLLSketch") -> "KLLSketch":
         if self.k != other.k:
             raise ValueError("KLL k mismatch")
+        if self.seed != other.seed:
+            # the merged sketch adopts self.seed for future compactions;
+            # mixed seeds would make merge order decide the compaction
+            # stream and break byte-determinism
+            raise ValueError("KLL seed mismatch")
         out = KLLSketch(self.k, self.seed)
         depth = max(len(self.levels), len(other.levels))
         out.levels = []

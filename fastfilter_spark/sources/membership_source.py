@@ -49,10 +49,15 @@ _SIDECAR_CACHE: dict = {}
 
 
 def _load_sidecar(sidecar: str):
-    ent = _SIDECAR_CACHE.get(sidecar)
+    # cache key includes the manifest mtime: a filter REBUILT at the
+    # same path must not be answered from a long-lived worker's stale
+    # blobs (false negatives for newly added keys)
+    manifest_path = os.path.join(sidecar, "filter_manifest.json")
+    ckey = (sidecar, os.path.getmtime(manifest_path))
+    ent = _SIDECAR_CACHE.get(ckey)
     if ent is None:
         import pyarrow.parquet as pq
-        with open(os.path.join(sidecar, "filter_manifest.json")) as fh:
+        with open(manifest_path) as fh:
             manifest = json.load(fh)
         tbl = pq.read_table(os.path.join(sidecar, "partials.parquet"),
                             columns=["pid", "blob"])
@@ -60,7 +65,7 @@ def _load_sidecar(sidecar: str):
         for pid, blob in zip(tbl.column("pid").to_pylist(),
                              tbl.column("blob").to_pylist()):
             blobs[int(pid)] = blob
-        ent = _SIDECAR_CACHE[sidecar] = (manifest, blobs)
+        ent = _SIDECAR_CACHE[ckey] = (manifest, blobs)
         while len(_SIDECAR_CACHE) > 4:
             _SIDECAR_CACHE.pop(next(iter(_SIDECAR_CACHE)))
     return ent
@@ -147,9 +152,20 @@ class FFSKMembershipReader(DataSourceReader):
                 batch = batch.filter(mask)
             if batch.num_rows == 0:
                 continue
-            keys = batch.column(self.key_col).to_numpy(zero_copy_only=False) \
-                        .astype(np.int64, copy=False).view(np.uint64)
+            kcol = batch.column(self.key_col)
+            # NULL-safe: to_numpy on an int64 column WITH nulls yields
+            # float64 (+NaN) and astype(int64) of NaN is undefined —
+            # fill to keep the int64 path, then answer False for nulls
+            # (matching contains_kernel: a NULL key is not a member)
+            null_mask = (pc.is_null(kcol).to_numpy(zero_copy_only=False)
+                         if kcol.null_count else None)
+            if null_mask is not None:
+                kcol = pc.fill_null(kcol, 0)
+            keys = kcol.to_numpy(zero_copy_only=False) \
+                       .astype(np.int64, copy=False).view(np.uint64)
             member = contains_routed(blobs, salt, P, keys)
+            if null_mask is not None:
+                member[null_mask] = False
             keep = member if self.mode == "semi" else ~member
             if keep.any():
                 yield batch.filter(pa.array(keep))

@@ -109,9 +109,9 @@ def keys_from_content(df: DataFrame, content_col: str = "content",
     return df.select(expr(content_col).alias(key_name))
 
 
-def pd_to_u64(s: pd.Series) -> np.ndarray:
-    """pandas int64 Series → numpy uint64 view (bit reinterpretation)."""
-    return s.to_numpy(dtype=np.int64, na_value=0).view(np.uint64)
+# single definition in workerside (the executor-side module) — a
+# duplicate here once diverged on NULL handling
+from ..workerside import pd_to_u64  # noqa: E402,F401
 
 
 def u64_to_i64(a: np.ndarray) -> np.ndarray:

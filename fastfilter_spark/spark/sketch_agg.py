@@ -31,10 +31,6 @@ from ..sketches import (
 )
 from .keys import pd_to_u64
 
-_GROUP_TYPES = {"string": "string", "bigint": "bigint", "int": "int",
-                "date": "date", "timestamp": "timestamp", "double": "double"}
-
-
 def _group_schema(df: DataFrame, groups: Sequence[str]) -> str:
     by_name = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     parts = [f"`{g}` {by_name[g]}" for g in groups]
@@ -102,7 +98,7 @@ def hll_agg(df: DataFrame, groups: Sequence[str], key_col: str,
     return _two_phase(
         df, groups, key_col,
         make_sketch=lambda: HyperLogLog(p),
-        fold=lambda sk, s: sk.add(pd_to_u64(s)),
+        fold=lambda sk, s: sk.add(pd_to_u64(s.dropna())),
         to_blob=lambda sk: sk.to_bytes(),
         from_blob=HyperLogLog.from_bytes,
         merge=lambda a, b: a.merge(b),
@@ -118,7 +114,7 @@ def cms_agg(df: DataFrame, groups: Sequence[str], key_col: str,
     return _two_phase(
         df, groups, key_col,
         make_sketch=lambda: CountMinSketch(eps, delta),
-        fold=lambda sk, s: sk.add(pd_to_u64(s)),
+        fold=lambda sk, s: sk.add(pd_to_u64(s.dropna())),
         to_blob=lambda sk: sk.to_bytes(),
         from_blob=CountMinSketch.from_bytes,
         merge=lambda a, b: a.merge(b),
@@ -182,7 +178,7 @@ def theta_agg(df: DataFrame, groups: Sequence[str], key_col: str,
     return _two_phase(
         df, groups, key_col,
         make_sketch=lambda: ThetaSketch(k),
-        fold=lambda sk, s: sk.add(pd_to_u64(s)),
+        fold=lambda sk, s: sk.add(pd_to_u64(s.dropna())),
         to_blob=lambda sk: sk.to_bytes(),
         from_blob=ThetaSketch.from_bytes,
         merge=lambda a, b: a.union(b),
@@ -201,7 +197,7 @@ def mg_agg(df: DataFrame, groups: Sequence[str], key_col: str,
     return _two_phase(
         df, groups, key_col,
         make_sketch=lambda: MisraGries(k),
-        fold=lambda sk, s: sk.add(pd_to_u64(s)),
+        fold=lambda sk, s: sk.add(pd_to_u64(s.dropna())),
         to_blob=lambda sk: sk.to_bytes(),
         from_blob=MisraGries.from_bytes,
         merge=lambda a, b: a.merge(b),

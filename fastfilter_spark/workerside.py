@@ -206,9 +206,14 @@ def contains_routed(blobs, salt: int, P: int, keys: np.ndarray) -> np.ndarray:
         if hi > lo:
             f = loaded.get(p)
             if f is None:
-                f = loaded[p] = load_filter(blobs[p])
-            idx = order[lo:hi]
-            out[idx] = f.contains(keys[idx])
+                # executor-written sidecars omit zero-key pids (their
+                # slot is b""): that pid's set is empty → non-member
+                # (read_filter_sidecar synthesizes the same semantics)
+                f = loaded[p] = (load_filter(blobs[p]) if blobs[p]
+                                 else False)
+            if f is not False:
+                idx = order[lo:hi]
+                out[idx] = f.contains(keys[idx])
     return out
 
 

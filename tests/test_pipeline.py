@@ -248,3 +248,14 @@ def test_multimodal_plumbing(spark):
     assert np.array_equal(a, b)
     fs = frame_sample(media.withColumn("n_frames", F.lit(9)), every_n=4)
     assert fs.groupBy("media_id").count().agg(F.min("count")).collect()[0][0] == 3
+
+
+def test_lsh_topk_rejects_degenerate_banding(spark):
+    """bands > n_bits would put every vector in bucket 0 — the full
+    O(n^2) cross product LSH exists to avoid. Must raise."""
+    from fastfilter_spark.pipeline import lsh_topk
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="multiple of bands"):
+        lsh_topk(emb, n_bits=4, bands=8)
+    with pytest.raises(ValueError, match="multiple of bands"):
+        lsh_topk(emb, n_bits=10, bands=4)

@@ -100,3 +100,20 @@ def test_mg_agg_heavy_hitters(spark, events):
         assert c <= f <= c + row.deficit
         if f > n / 17:
             assert c > 0
+
+
+def test_sketch_aggs_ignore_null_keys(spark):
+    """NULL keys must not be folded as key 0 — the Spark built-in
+    aggregates ignore NULLs and the filter build path drops them."""
+    from fastfilter_spark.spark import hll_agg, mg_agg, theta_agg
+
+    df = spark.createDataFrame(
+        [(i % 50,) for i in range(1000)] + [(None,)] * 500,
+        "key long")
+    exact = 50
+    h = hll_agg(df, [], "key").collect()[0]
+    assert abs(h.n_est - exact) / exact < 0.1
+    t = theta_agg(df, [], "key").collect()[0]
+    assert abs(t.n_est - exact) / exact < 0.1
+    g = mg_agg(df, [], "key", k=64).collect()[0]
+    assert g.n_total == 1000  # the 500 NULLs contribute nothing

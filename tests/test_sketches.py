@@ -230,3 +230,12 @@ def test_misragries_serde_and_heavy_hitters():
     hh_keys, hh_counts = mg.heavy_hitters(0.2)
     assert 1 in hh_keys and 2 in hh_keys        # 500/1000, 300/1000
     assert list(hh_counts) == sorted(hh_counts, reverse=True)
+
+
+def test_kll_merge_seed_mismatch_rejected():
+    from fastfilter_spark.sketches import KLLSketch
+    import pytest as _pytest
+    a = KLLSketch(128, seed=1).add(np.arange(100, dtype=float))
+    b = KLLSketch(128, seed=2).add(np.arange(100, dtype=float))
+    with _pytest.raises(ValueError, match="seed mismatch"):
+        a.merge(b)

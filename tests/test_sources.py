@@ -127,3 +127,36 @@ def test_bucketed_sink_colocated_join(spark):
     assert got == expect
     spark.sql("DROP TABLE IF EXISTS ffsk_test_docs_bkt")
     spark.sql("DROP TABLE IF EXISTS ffsk_test_en_bkt")
+
+
+def test_membership_source_sparse_sidecar_and_nulls(spark, source_env,
+                                                    tmp_path):
+    """A scan over an executor-written sidecar whose zero-key pids have
+    no row must not crash (their slot is an empty blob -> definite
+    non-member), and NULL keys must answer not-member in semi mode
+    without corrupting their batch."""
+    from pyspark.sql import functions as F
+
+    from fastfilter_spark.spark import build_filter_sidecar
+
+    corpus = str(tmp_path / "corpus_pq")
+    docs = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 7 == 0, None)
+         .otherwise(F.xxhash64("id")).alias("key"))
+    docs.write.parquet(corpus)
+
+    members = docs.where("key IS NOT NULL AND doc_id % 2 = 0").select("key")
+    sc = str(tmp_path / "sparse_sc2")
+    # P >> n so many pids provably receive zero keys
+    m = build_filter_sidecar(members, sc, kind="bf8", num_partitions=4096)
+    assert m["pids_built"] < 4096
+
+    got = (spark.read.format("ffsk_membership")
+           .option("path", corpus).option("sidecar", sc)
+           .option("key_col", "key").option("mode", "semi").load())
+    ids = {r.doc_id for r in got.collect()}
+    # every even (member) id present, no NULL-key id ever present
+    assert all(i % 2 == 0 for i in ids if i % 7 != 0)
+    assert set(i for i in range(0, 300, 2) if i % 7 != 0) <= ids
+    assert not any(i % 7 == 0 for i in ids)
