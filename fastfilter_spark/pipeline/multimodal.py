@@ -59,6 +59,8 @@ def _decode_image_stub(payload: bytes, width: int, height: int) -> np.ndarray:
     if payload is None:
         raise NotImplementedError("no payload")
     raw = np.frombuffer(payload, dtype=np.uint8)
+    if raw.size == 0:
+        raise ValueError("empty payload")
     reps = int(np.ceil(width * height / raw.size))
     return np.tile(raw, reps)[: width * height].reshape(height, width)
 
@@ -76,14 +78,22 @@ def extract_features(media: DataFrame, feat_dim: int = 16) -> DataFrame:
             for payload, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
                 try:
                     img = _decode_image_stub(payload, int(w), int(h))
+                    if img.size < feat_dim:
+                        # fewer pixels than feature dims would yield
+                        # NaN block means with decode_ok=True —
+                        # poisoning downstream distance math
+                        raise ValueError(
+                            f"{img.size} pixels < feat_dim {feat_dim}")
                     blocks = np.array_split(img.astype(np.float32).ravel(), feat_dim)
                     feats.append(np.array([b.mean() for b in blocks], dtype=np.float32))
                     oks.append(True)
                     errs.append(None)
-                except NotImplementedError as e:
+                except Exception as e:  # noqa: BLE001 — a corrupt blob
+                    # must mark THIS row failed, not kill the task: real
+                    # decoders raise OSError/ValueError on bad media
                     feats.append(np.zeros(feat_dim, dtype=np.float32))
                     oks.append(False)
-                    errs.append(str(e))
+                    errs.append(f"{type(e).__name__}: {e}")
             yield pd.DataFrame({
                 "media_id": pdf["media_id"], "kind": pdf["kind"],
                 "feat": [f.tolist() for f in feats],

@@ -33,10 +33,17 @@ def read_corpus(spark: SparkSession, location: str,
     """Load the corpus from an Iceberg table if a catalog is configured,
     else from parquet at ``location``."""
     if table is not None:
+        from pyspark.errors import AnalysisException
         try:
             return spark.read.table(table)
-        except Exception:
-            pass  # no catalog/extension in this runtime → parquet path
+        except AnalysisException as e:
+            # only the table-missing/catalog-missing shape may fall
+            # back — a bare except here once hid permission errors and
+            # silently read (possibly different) parquet data instead
+            import warnings
+            warnings.warn(f"read_corpus: catalog table {table!r} "
+                          f"unavailable ({e.getErrorClass() or e}); "
+                          f"falling back to parquet at {location}")
     return spark.read.parquet(location)
 
 

@@ -36,6 +36,22 @@ from ..sketches import HyperLogLog
 from ..workerside import pd_to_u64
 
 
+def _guard_marker_without_checkpoint(marker_path: str,
+                                     checkpoint_dir: str | None) -> None:
+    """Fail fast on the silent-data-loss restart shape: the sinks dedup
+    replays by comparing foreachBatch's batch_id against a persisted
+    marker, but WITHOUT a checkpoint a fresh run restarts batch ids at
+    0 — every new batch would compare <= the old marker and be skipped,
+    so new data silently never folds. Reusing existing sink state
+    therefore requires the checkpoint that gave those batch ids."""
+    if checkpoint_dir is None and os.path.exists(marker_path):
+        raise ValueError(
+            f"existing sink state at {marker_path} but no checkpoint_dir: "
+            "batch ids restart at 0 without a checkpoint and the applied-"
+            "batch marker would silently skip all new data. Pass the "
+            "original checkpoint_dir or clear the state directory.")
+
+
 def incremental_sketch_sink(stream_keys: DataFrame, state_dir: str,
                             key_col: str = "key", p: int = 14,
                             checkpoint_dir: str | None = None,
@@ -49,6 +65,7 @@ def incremental_sketch_sink(stream_keys: DataFrame, state_dir: str,
     os.makedirs(state_dir, exist_ok=True)
     blob_path = os.path.join(state_dir, "hll.bin")
     meta_path = os.path.join(state_dir, "state.json")
+    _guard_marker_without_checkpoint(meta_path, checkpoint_dir)
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         if os.path.exists(meta_path):
@@ -105,6 +122,17 @@ _STATE_SCHEMA = T.StructType([
 ])
 
 
+_DUR_UNITS = {"second": 1_000, "seconds": 1_000,
+              "minute": 60_000, "minutes": 60_000,
+              "hour": 3_600_000, "hours": 3_600_000,
+              "day": 86_400_000, "days": 86_400_000}
+
+
+def _duration_ms(s: str) -> int:
+    n, unit = s.strip().split()
+    return int(n) * _DUR_UNITS[unit.lower()]
+
+
 def windowed_distinct_hll(stream: DataFrame, ts_col: str, key_col: str,
                           window: str = "1 hour",
                           watermark: str = "2 hours", p: int = 12) -> DataFrame:
@@ -112,18 +140,30 @@ def windowed_distinct_hll(stream: DataFrame, ts_col: str, key_col: str,
     HyperLogLog register set as GroupState; emits updated estimates.
 
     The HLL registers ARE the state (mergeable, bounded 2^p bytes), so
-    state size is constant per window regardless of stream volume —
-    the property that makes this viable on an unbounded stream.
+    state size is constant per window regardless of stream volume — and
+    state COUNT is bounded too: each window's state carries an
+    event-time timeout at window_end + watermark, past which the
+    watermark clock evicts it (NoTimeout would accumulate one state
+    entry per window forever on an unbounded stream).
     """
+    evict_after_ms = _duration_ms(window) + _duration_ms(watermark)
     # watermarks require TIMESTAMP (tz-aware); parquet often yields NTZ
     keyed = (stream
              .withColumn("__ts", F.col(ts_col).cast("timestamp"))
              .withWatermark("__ts", watermark)
+             # keep the watermarked __ts column: event-time timeout
+             # requires the watermark to reach the stateful operator
              .select(F.window(F.col("__ts"), window).start.cast("string")
-                     .alias("window_start"), F.col(key_col).alias("key")))
+                     .alias("window_start"), F.col(key_col).alias("key"),
+                     "__ts"))
 
     def _update(key: Tuple[str], pdfs: Iterator[pd.DataFrame],
                 state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # window closed past the lateness horizon: final estimate
+            # was already emitted in update mode — just evict
+            state.remove()
+            return
         h = (HyperLogLog.from_bytes(bytes(state.get[0]))
              if state.exists else HyperLogLog(p))
         n = state.get[1] if state.exists else 0
@@ -132,13 +172,17 @@ def windowed_distinct_hll(stream: DataFrame, ts_col: str, key_col: str,
                 h.add(pd_to_u64(pdf["key"]))
                 n += len(pdf)
         state.update((h.to_bytes(), n))
+        start_ms = int(pd.Timestamp(key[0]).value // 1_000_000)
+        state.setTimeoutTimestamp(
+            max(start_ms + evict_after_ms,
+                state.getCurrentWatermarkMs() + 1))
         yield pd.DataFrame({"window_start": [key[0]],
                             "n_est": [float(h.estimate())],
                             "n_events": [int(n)]})
 
     return keyed.groupBy("window_start").applyInPandasWithState(
         _update, _OUT_SCHEMA, _STATE_SCHEMA, "update",
-        GroupStateTimeout.NoTimeout)
+        GroupStateTimeout.EventTimeTimeout)
 
 
 def filter_rebuild_sink(stream_keys: DataFrame, work_dir: str,
@@ -168,6 +212,7 @@ def filter_rebuild_sink(stream_keys: DataFrame, work_dir: str,
     sidecar_dir = os.path.join(work_dir, "sidecar")
     state_path = os.path.join(work_dir, "state.json")
     os.makedirs(keys_dir, exist_ok=True)
+    _guard_marker_without_checkpoint(state_path, checkpoint_dir)
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -195,7 +240,16 @@ def filter_rebuild_sink(stream_keys: DataFrame, work_dir: str,
             pf = build_partitioned_filter(
                 spark.read.parquet(*all_dirs).select("key"), kind=kind,
                 num_partitions=num_partitions, salt=salt)
-        write_filter_sidecar(pf, sidecar_dir)
+        # publish via tmp + swap (same scheme as cuckoo_mutation_sink):
+        # an in-place rewrite would let a between-trigger reader see a
+        # torn sidecar, and a mid-write crash would leave a valid
+        # manifest over corrupt partials
+        import shutil
+        tmp = sidecar_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        write_filter_sidecar(pf, tmp)
+        shutil.rmtree(sidecar_dir, ignore_errors=True)
+        os.rename(tmp, sidecar_dir)
         with open(state_path, "w") as fh:
             json.dump({"applied": batch_id}, fh)
 
@@ -228,6 +282,15 @@ def cuckoo_mutation_sink(stream_ops: DataFrame, work_dir: str,
     applied-batch marker is published inside the sidecar swap, so a
     crash between publish and marker cannot double-apply (the marker
     travels with the state it describes).
+
+    SEMANTICS — batch-wise set delta, NOT an ordered op log: within one
+    micro-batch the (key, op) rows are collapsed to a deduped add set
+    and a deduped delete set, applied adds-then-deletes. A same-key
+    sequence like [delete, insert, delete] inside ONE batch therefore
+    does not replay in order (net effect here: one add then one
+    delete). Encode per-key NET intent per batch upstream (e.g. keep
+    only each key's last op per trigger) if op order within a batch
+    matters.
     """
     import shutil
 
@@ -238,6 +301,8 @@ def cuckoo_mutation_sink(stream_ops: DataFrame, work_dir: str,
 
     sidecar_dir = os.path.join(work_dir, "sidecar")
     kind = f"cuckoo{width}"
+    _guard_marker_without_checkpoint(
+        os.path.join(sidecar_dir, "applied.json"), checkpoint_dir)
 
     def _fresh_pf() -> PartitionedFilter:
         blobs = [CuckooFilter.empty(
@@ -280,9 +345,10 @@ def cuckoo_mutation_sink(stream_ops: DataFrame, work_dir: str,
               if os.path.exists(os.path.join(sidecar_dir,
                                              "filter_manifest.json"))
               else _fresh_pf())
-        pf = cuckoo_update(pf,
-                           add_df=adds if not adds.isEmpty() else None,
-                           delete_df=dels if not dels.isEmpty() else None)
+        # pass through unconditionally: cuckoo_update's bounded collect
+        # handles empty frames, and each isEmpty() here was an extra
+        # Spark job per trigger
+        pf = cuckoo_update(pf, add_df=adds, delete_df=dels)
         tmp = sidecar_dir + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         write_filter_sidecar(pf, tmp)

@@ -63,8 +63,12 @@ def test_windowed_distinct_hll_state(spark, events_stream_dir, tmp_path):
               .option("maxFilesPerTrigger", 1)
               .parquet(events_stream_dir)
               .select("ts", F.xxhash64("user_id").alias("key")))
+    # the random 3-way file split delivers rows up to ~30 days late, so
+    # the watermark must cover that lateness (the operator's eviction
+    # honors the watermark CONTRACT: state older than window+watermark
+    # is dropped, and such late rows would lose their state)
     out = windowed_distinct_hll(stream, "ts", "key", window="1 day",
-                                watermark="10 days", p=12)
+                                watermark="40 days", p=12)
     q = (out.writeStream.format("memory").queryName("win_hll")
          .outputMode("update")
          .option("checkpointLocation", str(tmp_path / "ck2"))
@@ -77,6 +81,42 @@ def test_windowed_distinct_hll_state(spark, events_stream_dir, tmp_path):
     for w, c in exact.items():
         est = last.loc[w, "n_est"]
         assert abs(est - c) / c < 0.08, (w, est, c)
+
+
+def test_windowed_hll_state_eviction(spark, tmp_path):
+    """With time-ordered input honoring the watermark contract, closed
+    windows' state must be EVICTED (event-time timeout) — NoTimeout
+    would accumulate one state row per window forever."""
+    import json as _json
+
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ordered = str(tmp_path / "ordered")
+    # three sequential time ranges → lateness ≤ one trigger, << watermark
+    src.repartitionByRange(3, "ts").sortWithinPartitions("ts") \
+       .write.parquet(ordered)
+    n_windows = src.select(
+        F.window("ts", "1 day").start).distinct().count()
+
+    stream = (spark.readStream.schema(src.schema)
+              .option("maxFilesPerTrigger", 1).parquet(ordered)
+              .select("ts", F.xxhash64("user_id").alias("key")))
+    out = windowed_distinct_hll(stream, "ts", "key", window="1 day",
+                                watermark="1 day", p=12)
+    q = (out.writeStream.format("memory").queryName("win_evict")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "cke"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    state_rows = [
+        op["numRowsTotal"]
+        for p in q.recentProgress
+        for op in _json.loads(p.json).get("stateOperators", [])
+        if "numRowsTotal" in op
+    ]
+    assert state_rows, "no state-operator progress recorded"
+    # without eviction the last trigger would hold ~n_windows state
+    # rows; with it, only the unexpired tail survives
+    assert min(state_rows[-2:]) < n_windows
 
 
 def test_filter_rebuild_sink_byte_identical_to_batch(spark, events_stream_dir,
