@@ -12,8 +12,8 @@ Four tiers, each with a different cost/recall point:
   cap → within-bucket self-join; no O(n²) stage ever materializes,
   even against million-copy duplicate clusters.
 * simhash      — 128-bit SimHash (two independently-seeded 64-bit
-  halves; vectorized numpy in a pandas UDF: per-batch matrix of bit
-  contributions), near-dup candidates via 4×32-bit band blocking
+  halves; mapInArrow over the raw list buffers: one segment-reduce per
+  bit position, zero per-doc Python), candidates via 4×32-bit band blocking
   (pigeonhole recall for Hamming ≤ 3, 2³² buckets per band),
   Hamming-verified, bucket-size cap available.
 * embedding    — cosine near-dup via random-hyperplane LSH blocking +
@@ -214,13 +214,27 @@ def minhash_dedup(df: DataFrame, text_col: str, id_col: str,
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                         block_col: Optional[str] = None,
-                        threshold: float = 0.5, shingle_k: int = 3) -> DataFrame:
+                        threshold: float = 0.5, shingle_k: int = 3,
+                        max_block_rows: Optional[int] = 100_000) -> DataFrame:
     """Exact all-pairs shingle Jaccard within blocks (block_col limits the
-    quadratic term; None = global, only for small inputs)."""
+    quadratic term; None = global, only for small inputs).
+
+    ``max_block_rows`` guards the quadratic term: blocks larger than it
+    are DROPPED before the self-join (same count-window-on-the-join-key
+    pattern as ``_cap_buckets`` — no extra exchange of the big relation
+    under a sort-merge plan). Without the guard, a corpus-scale block —
+    e.g. blocking on ``lang`` at 10⁹ docs — silently cartesians. Pass
+    ``None`` to disable for known-small inputs; use ``minhash_near_dups``
+    when blocks can't be bounded.
+    """
     sh = df.select(
         F.col(id_col).alias("id"),
         (F.col(block_col) if block_col else F.lit(1)).alias("blk"),
         F.array_distinct(shingles(text_col, shingle_k)).alias("sh"))
+    if max_block_rows is not None:
+        w = Window.partitionBy("blk")
+        sh = (sh.withColumn("__bn", F.count("*").over(w))
+              .where(F.col("__bn") <= max_block_rows).drop("__bn"))
     a, b = sh.alias("a"), sh.alias("b")
     return (a.join(b, "blk")
             .where(F.col("a.id") < F.col("b.id"))
@@ -236,32 +250,80 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
 # SimHash — vectorized pandas UDF + band blocking
 # ---------------------------------------------------------------------------
 
-@F.pandas_udf(T.LongType())
-def _simhash64(token_hashes: pd.Series) -> pd.Series:
-    """64-bit SimHash from an array<long> column of token hashes.
+def _simhash_segments(vals: np.ndarray, offs: np.ndarray,
+                      valid: Optional[np.ndarray]) -> np.ndarray:
+    """64-bit SimHash for n documents given their token hashes as ONE
+    flat int64 array + Arrow-style list offsets (len n+1, absolute into
+    ``vals``). Fully vectorized across documents: per-bit majority votes
+    are a single segment-reduce (``np.add.reduceat``) per bit position —
+    the only Python loop is the 64 fixed bit positions, never the docs.
+    (The previous kernel iterated docs in Python with a bit-matrix per
+    doc; its ~µs/doc dispatch dominated the signature stage at 10⁹+
+    docs. This one measured ≥4× faster at 10⁵ docs — BENCH/BASELINE.md.)
 
-    Per batch: unpack each doc's hash list, accumulate ±1 per bit with a
-    numpy bit-matrix — C-speed, no per-token Python.
+    Majority rule: bit set iff 2·count(bit) > n_tokens (ties → 0), so
+    output is bit-identical to the old kernel. Empty / null docs → 0.
     """
-    out = np.zeros(len(token_hashes), dtype=np.int64)
+    n = len(offs) - 1
+    out = np.zeros(n, dtype=np.int64)
+    seglens = (offs[1:] - offs[:-1]).astype(np.int64)
+    if n == 0 or len(vals) == 0 or seglens.max() <= 0:
+        return out
+    flat = vals.view(np.uint64)[:int(offs[-1])]  # drop unreferenced tail
+    starts = np.minimum(offs[:-1], len(flat) - 1).astype(np.intp)
+    # reduceat quirk: an empty segment (start_i == start_{i+1}) yields
+    # flat[start_i], not 0 — masked out below via seglens == 0
+    tmp = np.empty_like(flat)
+    countsT = np.empty((64, n), dtype=np.uint64)
+    one = np.uint64(1)
+    for b in range(64):             # 64 fixed iterations, not per-doc
+        np.right_shift(flat, np.uint64(b), out=tmp)
+        np.bitwise_and(tmp, one, out=tmp)
+        np.add.reduceat(tmp, starts, out=countsT[b])
+    maj = countsT.view(np.int64) * 2 > seglens[None, :]   # ±1 votes
     bitw = (np.uint64(1) << np.arange(64, dtype=np.uint64))
-    for i, hs in enumerate(token_hashes):
-        if hs is None or len(hs) == 0:
-            continue
-        h = np.asarray(hs, dtype=np.int64).view(np.uint64)
-        bits = ((h[:, None] & bitw[None, :]) != 0)
-        score = bits.sum(axis=0) * 2 - len(h)   # (+1/-1 votes per bit)
-        sim = np.uint64(0)
-        sim = (bitw[score > 0]).sum(dtype=np.uint64)
-        out[i] = np.int64(sim.astype(np.uint64).view(np.int64))
-    return pd.Series(out)
+    sims = (maj.astype(np.uint64) * bitw[:, None]).sum(axis=0,
+                                                       dtype=np.uint64)
+    sims[seglens <= 0] = 0
+    if valid is not None:
+        sims[~valid] = 0            # null docs → 0, like the old UDF
+    return sims.view(np.int64)
+
+
+def _simhash_list_array(col) -> "np.ndarray":
+    """SimHash a pyarrow ListArray<int64> column (zero per-doc Python:
+    offsets/values come straight from the Arrow buffers)."""
+    offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = col.values.to_numpy(zero_copy_only=False)
+    valid = (col.is_valid().to_numpy(zero_copy_only=False)
+             if col.null_count else None)
+    return _simhash_segments(np.ascontiguousarray(vals, dtype=np.int64),
+                             offs, valid)
+
+
+def _simhash_map(src: DataFrame, hash_cols: List[str],
+                 out_names: List[str]) -> DataFrame:
+    """mapInArrow over (id, *array<long> cols) → (id, *simhash longs)."""
+    import pyarrow as pa
+    id_type = src.schema["id"].dataType.simpleString()
+    n_hash = len(hash_cols)
+
+    def _batches(it):
+        for batch in it:
+            sims = [pa.array(_simhash_list_array(batch.column(1 + j)),
+                             type=pa.int64()) for j in range(n_hash)]
+            yield pa.RecordBatch.from_arrays([batch.column(0), *sims],
+                                             ["id", *out_names])
+
+    schema = f"id {id_type}, " + ", ".join(f"{c} long" for c in out_names)
+    return src.mapInArrow(_batches, schema)
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, simhash long) — token hashes computed JVM-side first."""
     th = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
-    return df.select(F.col(id_col).alias("id"),
-                     _simhash64(th).alias("simhash"))
+    src = df.select(F.col(id_col).alias("id"), th.alias("th"))
+    return _simhash_map(src, ["th"], ["simhash"])
 
 
 def simhash128(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -269,9 +331,9 @@ def simhash128(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     halves (token hashes under different xxhash64 seeds)."""
     th0 = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
     th1 = F.transform(tokens(text_col), lambda t: F.xxhash64(t, F.lit(1)))
-    return df.select(F.col(id_col).alias("id"),
-                     _simhash64(th0).alias("sim_lo"),
-                     _simhash64(th1).alias("sim_hi"))
+    src = df.select(F.col(id_col).alias("id"), th0.alias("th0"),
+                    th1.alias("th1"))
+    return _simhash_map(src, ["th0", "th1"], ["sim_lo", "sim_hi"])
 
 
 def simhash_candidates(df: DataFrame, text_col: str, id_col: str,

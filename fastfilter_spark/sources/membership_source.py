@@ -49,11 +49,15 @@ _SIDECAR_CACHE: dict = {}
 
 
 def _load_sidecar(sidecar: str):
-    # cache key includes the manifest mtime: a filter REBUILT at the
-    # same path must not be answered from a long-lived worker's stale
-    # blobs (false negatives for newly added keys)
+    # cache key includes the manifest's identity: a filter REBUILT at
+    # the same path must not be answered from a long-lived worker's
+    # stale blobs (false negatives for newly added keys). getmtime's
+    # 1 s resolution on some filesystems can miss a rebuild within the
+    # same tick — key on (mtime_ns, size, inode) instead; a rewritten
+    # manifest changes at least one of them.
     manifest_path = os.path.join(sidecar, "filter_manifest.json")
-    ckey = (sidecar, os.path.getmtime(manifest_path))
+    st = os.stat(manifest_path)
+    ckey = (sidecar, st.st_mtime_ns, st.st_size, st.st_ino)
     ent = _SIDECAR_CACHE.get(ckey)
     if ent is None:
         import pyarrow.parquet as pq

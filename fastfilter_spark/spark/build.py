@@ -122,13 +122,20 @@ class PartitionedFilter:
             for a, b in zip(self.blobs, other.blobs)
         ]
         # per-pid n_keys adds (an upper bound when key sets overlap —
-        # documented Bloom-merge semantics); other metric columns stay
-        # self's (same geometry on both sides)
-        merged = self.metrics.copy()
-        o = other.metrics.set_index("pid")["n_keys"]
-        merged["n_keys"] = (merged.set_index("pid")["n_keys"]
-                            .add(o, fill_value=0).reindex(merged["pid"])
-                            .to_numpy())
+        # documented Bloom-merge semantics). Metrics rows exist only for
+        # built pids, so union on pid (outer): a pid present only on
+        # other's side must survive the merge — reindexing on self's
+        # pids alone would drop it and undercount n_keys. Geometry
+        # columns come from whichever side has the row (same geometry
+        # on both sides by construction).
+        sm = self.metrics.set_index("pid")
+        om = other.metrics.set_index("pid")
+        merged = sm.combine_first(om)
+        merged["n_keys"] = (
+            sm["n_keys"].reindex(merged.index, fill_value=0)
+            + om["n_keys"].reindex(merged.index, fill_value=0)
+        ).astype(sm["n_keys"].dtype if len(sm) else "int64")
+        merged = merged.reset_index().sort_values("pid").reset_index(drop=True)
         return PartitionedFilter(self.kind, self.num_partitions, self.salt,
                                  blobs, merged, self.routing)
 

@@ -181,6 +181,27 @@ def build_filter_sidecar(keys_df: DataFrame, sidecar_path: str,
     os.makedirs(sidecar_path, exist_ok=True)
     parts_dir = os.path.join(sidecar_path, "partials.parquet")
 
+    # Params pre-manifest, written BEFORE the first batch: the real
+    # manifest lands last, so a crashed build leaves only partials —
+    # resuming with different kind/P/salt/rng would silently mix
+    # incompatible blobs into one sidecar. Mirrors the in-driver
+    # checkpoint path's up-front manifest comparison.
+    params = {"kind": kind, "P": P, "salt": salt,
+              "routing": "xxhash_pmod", "base_rng_state": base_rng_state}
+    params_path = os.path.join(sidecar_path, "build_params.json")
+    if resume and os.path.exists(params_path):
+        with open(params_path) as fh:
+            prev = json.load(fh)
+        if prev != params:
+            raise ValueError(
+                "resume=True with incompatible build params: sidecar was "
+                f"started with {prev}, this call passed {params}; resuming "
+                "would mix incompatible partial blobs — use resume=False "
+                "to rebuild from scratch")
+    else:
+        with open(params_path, "w") as fh:
+            json.dump(params, fh)
+
     done_pids: set = set()
     if resume:
         try:

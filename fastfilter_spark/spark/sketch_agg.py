@@ -51,6 +51,12 @@ def _two_phase(df: DataFrame, groups: Sequence[str], value_col: str,
     out_schema = (gschema + ", " if gschema else "") + finalize_schema
     groups = list(groups)
     sel = df.select(*groups, value_col) if groups else df.select(value_col)
+    # Drop NULL values JVM-side, BEFORE Arrow transfer: a batch containing
+    # any NULL delivers an int64 column to pandas as float64+NaN, and keys
+    # >2^53 then round before the fold (same key hashes differently in
+    # null-free vs null-containing batches). Filtering here keeps the
+    # column exact int64; the per-sketch dropna() stays as belt-and-braces.
+    sel = sel.where(F.col(value_col).isNotNull())
 
     def _map_partial(batches):
         for pdf in batches:

@@ -154,10 +154,19 @@ def windowed_distinct_hll(stream: DataFrame, ts_col: str, key_col: str,
              # keep the watermarked __ts column: event-time timeout
              # requires the watermark to reach the stateful operator
              .select(F.window(F.col("__ts"), window).start.cast("string")
-                     .alias("window_start"), F.col(key_col).alias("key"),
+                     .alias("window_start"),
+                     # epoch ms travels WITH the key: parsing the
+                     # session-timezone-formatted string driver-side
+                     # (pd.Timestamp treats it as naive UTC) shifts the
+                     # eviction timestamp by the zone offset under a
+                     # non-UTC spark.sql.session.timeZone — state would
+                     # evict early and late rows re-create it
+                     F.unix_millis(F.window(F.col("__ts"), window).start)
+                     .alias("window_ms"),
+                     F.col(key_col).alias("key"),
                      "__ts"))
 
-    def _update(key: Tuple[str], pdfs: Iterator[pd.DataFrame],
+    def _update(key: Tuple[str, int], pdfs: Iterator[pd.DataFrame],
                 state: GroupState) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
             # window closed past the lateness horizon: final estimate
@@ -172,7 +181,7 @@ def windowed_distinct_hll(stream: DataFrame, ts_col: str, key_col: str,
                 h.add(pd_to_u64(pdf["key"]))
                 n += len(pdf)
         state.update((h.to_bytes(), n))
-        start_ms = int(pd.Timestamp(key[0]).value // 1_000_000)
+        start_ms = int(key[1])  # exact epoch ms, timezone-proof
         state.setTimeoutTimestamp(
             max(start_ms + evict_after_ms,
                 state.getCurrentWatermarkMs() + 1))
@@ -180,7 +189,7 @@ def windowed_distinct_hll(stream: DataFrame, ts_col: str, key_col: str,
                             "n_est": [float(h.estimate())],
                             "n_events": [int(n)]})
 
-    return keyed.groupBy("window_start").applyInPandasWithState(
+    return keyed.groupBy("window_start", "window_ms").applyInPandasWithState(
         _update, _OUT_SCHEMA, _STATE_SCHEMA, "update",
         GroupStateTimeout.EventTimeTimeout)
 

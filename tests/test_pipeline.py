@@ -259,3 +259,67 @@ def test_lsh_topk_rejects_degenerate_banding(spark):
         lsh_topk(emb, n_bits=4, bands=8)
     with pytest.raises(ValueError, match="multiple of bands"):
         lsh_topk(emb, n_bits=10, bands=4)
+
+
+def test_simhash_kernel_matches_per_doc_reference(spark):
+    """The flattened segment-reduce simhash kernel must be bit-identical
+    to the straightforward per-doc majority-vote definition, including
+    null docs, empty docs, and Arrow slicing edge cases."""
+    from fastfilter_spark.pipeline.dedup import _simhash_segments
+
+    rng = np.random.default_rng(11)
+    docs = []
+    for i in range(500):
+        L = int(rng.integers(0, 40))
+        if i % 37 == 0:
+            docs.append(None)
+        else:
+            docs.append(rng.integers(-2**63, 2**63, size=L, dtype=np.int64))
+
+    # reference: per-doc bit-matrix majority (the old v1 kernel)
+    bitw = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+    exp = np.zeros(len(docs), dtype=np.int64)
+    for i, hs in enumerate(docs):
+        if hs is None or len(hs) == 0:
+            continue
+        h = np.asarray(hs, dtype=np.int64).view(np.uint64)
+        score = ((h[:, None] & bitw[None, :]) != 0).sum(axis=0) * 2 - len(h)
+        exp[i] = np.int64((bitw[score > 0]).sum(dtype=np.uint64)
+                          .astype(np.uint64).view(np.int64))
+
+    lens = np.array([0 if d is None else len(d) for d in docs])
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    flat = (np.concatenate([d for d in docs if d is not None and len(d)])
+            if lens.sum() else np.empty(0, np.int64))
+    valid = np.array([d is not None for d in docs])
+    got = _simhash_segments(flat, offs, valid)
+    assert np.array_equal(got, exp)
+
+    # through Spark/Arrow too (null + empty docs in the column)
+    rows = [(i, None if d is None else [int(x) for x in d])
+            for i, d in enumerate(docs[:100])]
+    df = spark.createDataFrame(rows, "doc_id long, th array<long>")
+    from fastfilter_spark.pipeline.dedup import _simhash_map
+    out = (_simhash_map(df.select(F.col("doc_id").alias("id"), "th"),
+                        ["th"], ["simhash"])
+           .toPandas().set_index("id")["simhash"])
+    for i in range(100):
+        assert out[i] == exp[i]
+
+
+def test_ngram_jaccard_block_guard(spark):
+    """Blocks larger than max_block_rows are dropped before the
+    quadratic self-join — an accidental corpus-scale block (e.g.
+    blocking on lang) must not cartesian."""
+    rows = ([(i, "big", f"common shared text number {i % 7}")
+             for i in range(200)]          # oversized block: dropped
+            + [(1000, "small", "alpha beta gamma delta"),
+               (1001, "small", "alpha beta gamma delta")])
+    df = spark.createDataFrame(rows, "doc_id long, lang string, content string")
+    pairs = ngram_jaccard_pairs(df, "content", "doc_id", block_col="lang",
+                                threshold=0.5, max_block_rows=100).toPandas()
+    assert set(zip(pairs.id_a, pairs.id_b)) == {(1000, 1001)}
+    # guard off: the big block's pairs come back
+    allp = ngram_jaccard_pairs(df, "content", "doc_id", block_col="lang",
+                               threshold=0.5, max_block_rows=None)
+    assert allp.count() > 1

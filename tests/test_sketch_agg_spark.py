@@ -117,3 +117,27 @@ def test_sketch_aggs_ignore_null_keys(spark):
     assert abs(t.n_est - exact) / exact < 0.1
     g = mg_agg(df, [], "key", k=64).collect()[0]
     assert g.n_total == 1000  # the 500 NULLs contribute nothing
+
+
+def test_sketch_aggs_big_int64_keys_exact_despite_nulls(spark):
+    """A batch containing any NULL used to demote the int64 key column
+    to float64+NaN in pandas, ROUNDING keys >2^53 before the fold (e.g.
+    123456789012345677 -> ...680) — so the same key hashed differently
+    in null-free vs null-containing batches, and exact-key point queries
+    missed. NULLs are now filtered JVM-side before Arrow transfer."""
+    from fastfilter_spark.sketches import CountMinSketch
+    from fastfilter_spark.spark import theta_agg
+
+    BIG = 123456789012345677           # float64 rounds this to ...680
+    rows = ([(BIG,)] * 40 + [(None,)] * 10 + [(BIG + 1,)] * 5
+            + [(BIG + 2,)] * 5)        # BIG..BIG+2 all collide as float64
+    df = spark.createDataFrame(rows, "key long").coalesce(1)
+
+    c = cms_agg(df, [], "key").collect()[0]
+    sk = CountMinSketch.from_bytes(bytes(c.sketch))
+    got = int(sk.query(np.array([BIG], dtype=np.uint64))[0])
+    assert got >= 40               # exact key present, not rounded away
+    assert c.total == 50           # NULLs contribute nothing
+
+    t = theta_agg(df, [], "key").collect()[0]
+    assert t.n_est == 3.0          # BIG/BIG+1/BIG+2 stay distinct

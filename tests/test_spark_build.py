@@ -624,3 +624,52 @@ def test_grouped_filters_null_and_separator_safety(spark):
     assert rows[("a\x1fb", "c")] is False    # key 3 belongs to ('a','b\x1fc')
     assert gf.filter_for("a\x1fb", "c").contains(
         __import__("numpy").array([2], dtype="uint64"))[0]
+
+
+def test_merge_bloom_keeps_other_side_only_pids(spark, corpus_df):
+    """Metrics rows exist only for BUILT pids: a pid with keys only on
+    other's side must survive the metrics merge (reindexing on self's
+    pids dropped it and undercounted n_keys)."""
+    keys = keys_from_content(corpus_df, "content").distinct().cache()
+    one = keys.limit(1)                       # builds ~1 of 8 pids
+    rest = keys.subtract(one)
+    n = keys.count()
+    pf_small = build_partitioned_filter(one, kind="bloom", num_partitions=8,
+                                        bloom_n_expected=n)
+    pf_big = build_partitioned_filter(rest, kind="bloom", num_partitions=8,
+                                      bloom_n_expected=n)
+    assert len(pf_small.metrics) < len(pf_big.metrics)  # the asymmetry
+    merged = pf_small.merge_bloom(pf_big)
+    assert merged.n_keys == pf_small.n_keys + pf_big.n_keys
+    assert sorted(merged.metrics["pid"]) == sorted(
+        set(pf_small.metrics["pid"]) | set(pf_big.metrics["pid"]))
+    # and the reverse order agrees (associativity of the union)
+    assert pf_big.merge_bloom(pf_small).n_keys == merged.n_keys
+    assert merged.with_contains(keys, "key").where("NOT contained").count() == 0
+
+
+def test_sidecar_resume_params_guard(spark, corpus_df, tmp_path):
+    """resume=True with different build params must be rejected: the
+    manifest lands last, so a crashed build is only identifiable by the
+    params pre-manifest — resuming with a different kind/P/salt would
+    silently mix incompatible blobs."""
+    import pytest as _pytest
+
+    from fastfilter_spark.spark import build_filter_sidecar
+
+    keys = keys_from_content(corpus_df, "content")
+    sc = str(tmp_path / "sc_params")
+    # simulate a crash: params written, partials committed, no manifest
+    out = build_filter_sidecar(keys, sc, kind="bf8", num_partitions=16,
+                               batches=4, _stop_after=2)
+    assert out is None
+    for bad in (dict(kind="bf16"), dict(num_partitions=32), dict(salt=7),
+                dict(base_rng_state=123)):
+        kw = dict(kind="bf8", num_partitions=16, batches=4, resume=True)
+        kw.update(bad)
+        with _pytest.raises(ValueError, match="incompatible build params"):
+            build_filter_sidecar(keys, sc, **kw)
+    # matching params resume fine
+    m = build_filter_sidecar(keys, sc, kind="bf8", num_partitions=16,
+                             batches=4, resume=True)
+    assert m is not None and m["pids_built"] > 0

@@ -237,3 +237,43 @@ def test_dedup_stream_across_microbatches(spark, tmp_path):
     q2.awaitTermination(120)
     assert spark.sql(f"SELECT COUNT(*) c FROM {qn2}").collect()[0].c \
         == n_distinct
+
+
+def test_windowed_hll_non_utc_session_timezone(spark, events_stream_dir,
+                                               tmp_path):
+    """Eviction timestamps now come from unix_millis(window.start) on the
+    JVM, travelling with the group key — a non-UTC session timezone must
+    not shift eviction or the estimates (the old driver-side
+    pd.Timestamp parse of the session-tz-formatted window string treated
+    it as naive UTC, evicting early by the zone offset)."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        batch = spark.read.parquet(events_stream_dir)
+        # mirror the operator: it casts NTZ→timestamp, whose windows
+        # split at UTC-epoch multiples, not naive midnight
+        exact = {r.w: r.c for r in
+                 (batch.select(F.window(F.col("ts").cast("timestamp"),
+                                        "1 day").start.cast("string")
+                               .alias("w"), "user_id")
+                  .groupBy("w").agg(F.countDistinct("user_id").alias("c"))
+                  .collect())}
+        stream = (spark.readStream.schema(batch.schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(events_stream_dir)
+                  .select("ts", F.xxhash64("user_id").alias("key")))
+        out = windowed_distinct_hll(stream, "ts", "key", window="1 day",
+                                    watermark="40 days", p=12)
+        q = (out.writeStream.format("memory").queryName("win_hll_tz")
+             .outputMode("update")
+             .option("checkpointLocation", str(tmp_path / "ck_tz"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        res = spark.sql(
+            "SELECT window_start, n_est FROM win_hll_tz").toPandas()
+        last = res.groupby("window_start").last()
+        assert len(last) == len(exact)
+        for w, c in exact.items():
+            assert abs(last.loc[w, "n_est"] - c) / c < 0.08
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
