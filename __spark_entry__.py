@@ -805,16 +805,42 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing, oracle-exact: the fake media payload is
-    sha256(str(id)) bytes ×16 (512 B), the stub decode tiles it to a
-    64×64 image, and the 8-block pooled feature therefore collapses to
-    mean(digest bytes) in every dimension — all float32 steps are exact
-    (integer sums < 2^24, power-of-two divisors), so DuckDB recomputes
-    feat_mean bit-identically from sha256(CAST(id AS VARCHAR)).
-    Scalar columns only (the driver canonicalizer can't sort arrays)."""
+    """REAL image decode, oracle-exact: the fake media payload is a
+    genuine 24-bpp BMP whose 64×64×3 pixel bytes are sha256(str(id))
+    tiled (384 copies); decode_bmp round-trips them exactly (row
+    de-padding, bottom-up flip, BGR→RGB), and the 8-block pooled feature
+    collapses to mean(digest bytes) in every dimension: each 1536-byte
+    block is 48 whole digest copies, so the true block mean digest_sum/32
+    is exactly float32-representable and IEEE division returns it
+    exactly. DuckDB recomputes feat_mean from sha256(CAST(id AS
+    VARCHAR)). Scalar columns only (driver canonicalizer can't sort
+    arrays)."""
     from fastfilter_spark.pipeline import extract_features, make_fake_media
     docs = _docs(spark, sf_dir)
     media = make_fake_media(docs, "doc_id")
+    feats = extract_features(media, feat_dim=8)
+    return (feats.select(
+        "media_id", "kind",
+        F.size("feat").cast("int").alias("n_dims"),
+        F.round(F.aggregate("feat", F.lit(0.0),
+                            lambda acc, x: acc + x.cast("double"))
+                / F.size("feat"), 6).alias("feat_mean"),
+        "decode_ok")
+        .orderBy("media_id"))
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, oracle-exact: the fake payload is a genuine
+    RIFF/WAVE (16-bit PCM mono) whose 3072 samples are the 16 int16s of
+    sha256(str(id)) tiled 192×; decode_wav walks the chunk list and
+    round-trips them exactly, so each of the 8 pooled blocks (384
+    samples = 24 whole digest copies) has true mean digest16_sum/16 —
+    exactly float32-representable, so every IEEE step is exact and
+    DuckDB recomputes feat_mean from the digest hex (little-endian int16
+    reconstruction, two's complement). Scalar columns only."""
+    from fastfilter_spark.pipeline import extract_features, make_fake_media
+    docs = _docs(spark, sf_dir).where("doc_id < 500")
+    media = make_fake_media(docs, "doc_id", kind="audio")
     feats = extract_features(media, feat_dim=8)
     return (feats.select(
         "media_id", "kind",
@@ -1019,6 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "lsh_ann_topk": q_lsh_ann_topk,
         "multimodal_features": q_multimodal_features,
+        "audio_features": q_audio_features,
         "frame_sample": q_frame_sample,
         "mg_top_terms": q_mg_top_terms,
         "hash_split": q_hash_split,
@@ -1314,6 +1341,26 @@ def oracle_sql() -> dict[str, str]:
             "(strpos('0123456789abcdef', substr(hx, CAST(2*i+1 AS INTEGER), 1))-1)*16 "
             "+ strpos('0123456789abcdef', substr(hx, CAST(2*i+2 AS INTEGER), 1))-1"
             ")) / 32.0, 6) AS feat_mean, "
+            "TRUE AS decode_ok FROM b ORDER BY media_id"),
+        "audio_features": (
+            # Recompute the WAV pipeline: 3072 int16 samples = the 16
+            # little-endian int16s of sha256(str(id)) tiled 192× ⇒ every
+            # feature dim == mean of those 16 int16s (exact in float32;
+            # see query). Reconstruct each int16 from hex byte pairs
+            # (lo = byte 2i, hi = byte 2i+1, two's complement).
+            "WITH b AS (SELECT doc_id, sha256(CAST(doc_id AS VARCHAR)) AS hx "
+            "FROM documents WHERE doc_id < 500) "
+            "SELECT doc_id AS media_id, 'audio' AS kind, "
+            "CAST(8 AS INTEGER) AS n_dims, "
+            "ROUND(list_sum(list_transform(range(0,16), i -> "
+            "((strpos('0123456789abcdef', substr(hx, CAST(4*i+1 AS INTEGER), 1))-1)*16 "
+            "+ strpos('0123456789abcdef', substr(hx, CAST(4*i+2 AS INTEGER), 1))-1) "
+            "+ 256*((strpos('0123456789abcdef', substr(hx, CAST(4*i+3 AS INTEGER), 1))-1)*16 "
+            "+ strpos('0123456789abcdef', substr(hx, CAST(4*i+4 AS INTEGER), 1))-1) "
+            "- CASE WHEN ((strpos('0123456789abcdef', substr(hx, CAST(4*i+3 AS INTEGER), 1))-1)*16 "
+            "+ strpos('0123456789abcdef', substr(hx, CAST(4*i+4 AS INTEGER), 1))-1) >= 128 "
+            "THEN 65536 ELSE 0 END"
+            ")) / 16.0, 6) AS feat_mean, "
             "TRUE AS decode_ok FROM b ORDER BY media_id"),
         "ann_cosine_topk": (
             "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "

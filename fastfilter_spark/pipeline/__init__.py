@@ -7,7 +7,10 @@ from .dedup import (
     minhash_dedup, minhash_lsh_candidates, minhash_signatures,
     ngram_jaccard_pairs, simhash, simhash128, simhash_candidates,
 )
-from .multimodal import extract_features, frame_sample, make_fake_media
+from .multimodal import (
+    decode_bmp, decode_wav, encode_bmp, encode_wav, extract_features,
+    frame_sample, make_fake_media,
+)
 from .text import (
     bpe_token_count, char_count, doc_fingerprint, lang_id, punct_count,
     quality_features, shingles, stopword_count, token_count, tokens,

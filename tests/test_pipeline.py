@@ -323,3 +323,81 @@ def test_ngram_jaccard_block_guard(spark):
     allp = ngram_jaccard_pairs(df, "content", "doc_id", block_col="lang",
                                threshold=0.5, max_block_rows=None)
     assert allp.count() > 1
+
+
+def test_bmp_wav_codecs_roundtrip():
+    """The pure-numpy BMP/WAV codecs must round-trip arbitrary content,
+    including odd widths (4-byte row padding) and negative samples."""
+    from fastfilter_spark.pipeline import (decode_bmp, decode_wav,
+                                           encode_bmp, encode_wav)
+    rng = np.random.default_rng(3)
+    for h, w in [(64, 64), (7, 5), (1, 1), (3, 13)]:   # 5,13 → padded rows
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+    for n in [3072, 7, 1]:
+        s = rng.integers(-32768, 32768, size=n, dtype=np.int16)
+        rate, back = decode_wav(encode_wav(s, 8000))
+        assert rate == 8000 and np.array_equal(back, s)
+    # stereo WAVs downmix to mono
+    st = np.array([100, 200, -100, -200], dtype=np.int16)   # 2 frames, 2ch
+    import struct as _struct
+    fmt = _struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    body = (b"WAVE" + b"fmt " + _struct.pack("<I", 16) + fmt
+            + b"data" + _struct.pack("<I", 8) + st.tobytes())
+    rate, mono = decode_wav(b"RIFF" + _struct.pack("<I", len(body)) + body)
+    assert list(mono) == [150, -150]
+
+
+def test_bmp_wav_decode_rejects_garbage():
+    from fastfilter_spark.pipeline import decode_bmp, decode_wav
+    for bad in [b"", b"XX" + b"\x00" * 60, b"BM" + b"\x00" * 20]:
+        with pytest.raises(ValueError):
+            decode_bmp(bad)
+    for bad in [b"", b"RIFF\x00\x00\x00\x00WAVX", b"RIFF\x04\x00\x00\x00WAVE"]:
+        with pytest.raises(ValueError):
+            decode_wav(bad)
+
+
+def test_multimodal_real_decode_and_error_isolation(spark):
+    """make_fake_media now emits REAL BMP/WAV payloads; extract_features
+    must decode them (not tile bytes), match the analytic expectation,
+    and isolate corrupt rows without killing the task."""
+    import hashlib
+    from fastfilter_spark.pipeline import decode_bmp
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = make_fake_media(docs.limit(10), "doc_id")
+    rows = media.orderBy("media_id").collect()
+    # payload IS a BMP whose pixels are the tiled digest
+    for r in rows[:3]:
+        px = decode_bmp(bytes(r.payload))
+        digest = np.frombuffer(
+            hashlib.sha256(str(r.media_id).encode()).digest(), np.uint8)
+        assert px.shape == (64, 64, 3)
+        assert np.array_equal(px.ravel(), np.tile(digest, 384))
+
+    feats = extract_features(media, feat_dim=8).toPandas()
+    assert feats.decode_ok.all()
+    for _, row in feats.iterrows():
+        digest = np.frombuffer(
+            hashlib.sha256(str(row.media_id).encode()).digest(), np.uint8)
+        assert np.allclose(row.feat, digest.mean(), atol=0)  # exact
+
+    # audio: WAV samples are the digest's int16s tiled
+    am = make_fake_media(docs.limit(10), "doc_id", kind="audio")
+    af = extract_features(am, feat_dim=8).toPandas()
+    assert af.decode_ok.all()
+    for _, row in af.iterrows():
+        d16 = np.frombuffer(
+            hashlib.sha256(str(row.media_id).encode()).digest(), "<i2")
+        assert np.allclose(row.feat, d16.mean(), atol=0)
+
+    # corrupt one payload: that row fails, others survive
+    corrupted = media.withColumn(
+        "payload", F.when(F.col("media_id") == rows[0].media_id,
+                          F.lit(b"garbage")).otherwise(F.col("payload")))
+    cf = extract_features(corrupted, feat_dim=8).toPandas() \
+        .set_index("media_id")
+    assert not cf.loc[rows[0].media_id, "decode_ok"]
+    assert cf.loc[rows[0].media_id, "err"]
+    assert cf.drop(index=rows[0].media_id).decode_ok.all()
