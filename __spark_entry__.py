@@ -149,7 +149,10 @@ def q_sidecar_routed_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DataFrame is evaluated lazily by the driver)
     sc = "/tmp/ffsk_q_sidecar/sidecar"
     build_filter_sidecar(keys, sc, kind="bf8", num_partitions=16)
-    probed = contains_via_sidecar(keys, sc)
+    # max_local_bytes=0 forces the ROUTED (shuffled) path this query
+    # exists to exercise — the auto default would take the no-shuffle
+    # local path at this sidecar size (tested by its own plan checks)
+    probed = contains_via_sidecar(keys, sc, max_local_bytes=0)
     return probed.agg(
         F.count("*").alias("n_probed"),
         F.sum(F.when(F.col("contained"), 1).otherwise(0)).alias("n_contained"))

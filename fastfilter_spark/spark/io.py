@@ -259,21 +259,29 @@ def build_filter_sidecar(keys_df: DataFrame, sidecar_path: str,
 
 def contains_via_sidecar(probes: DataFrame, sidecar_path: str,
                          key_col: str = "key",
-                         num_tasks: Optional[int] = None) -> DataFrame:
-    """Large-P membership query: shuffle probes to their pid and let
-    each task read only its own blob from the sidecar (constant memory
-    per worker; the broadcast path in ``with_contains`` ships all P
-    blobs to every worker, which stops scaling past P≈64).
+                         num_tasks: Optional[int] = None,
+                         max_local_bytes: int = 128 * 1024 * 1024) -> DataFrame:
+    """Membership query against a sidecar filter, two physical shapes:
 
-    ``num_tasks`` decouples task count from P: repartitioning on the pid
-    expression into fewer tasks gives each task a handful of pids (the
-    kernel routes per-row and caches each pid's blob), so a P=1024
-    filter can be probed with e.g. 128 tasks instead of paying 1024
-    task launches + python worker round-trips. Default: min(P, 16 ×
-    defaultParallelism), capped so per-task blob memory stays small.
+    * **local** (total blob bytes ≤ ``max_local_bytes``): no shuffle —
+      mapInArrow on the input partitioning; every worker PROCESS loads
+      the whole sidecar once (cached across tasks) and routes keys in
+      numpy. Skips the per-row exchange + Arrow round-trip that
+      dominates routed-probe wall time at small/medium P (measured ~4 s
+      of a 5.4 s 1e7-row probe at P=128). Differs from the
+      ``with_contains`` broadcast path in that blobs never transit the
+      driver — workers read the sidecar directly.
+    * **routed** (big P / big blobs): shuffle probes to their pid and
+      let each task read only its own blobs from the sidecar — constant
+      per-worker memory; the 10¹²-key serve shape. ``num_tasks``
+      decouples task count from P: repartitioning on the pid expression
+      into fewer tasks gives each task a handful of pids (the kernel
+      routes per-row and caches each pid's blob). Default: min(P, 16 ×
+      defaultParallelism).
 
-    Only valid for filters built with the default packed shuffle
-    (routing = pmod(xxhash64(key, salt), P)).
+    ``max_local_bytes=0`` forces the routed path. Only valid for
+    filters built with the default packed shuffle (routing =
+    pmod(xxhash64(key, salt), P)).
     """
     import pyspark.sql.functions as F
 
@@ -285,6 +293,17 @@ def contains_via_sidecar(probes: DataFrame, sidecar_path: str,
     if m["routing"] != ROUTING_XXHASH_PMOD:
         raise ValueError("sidecar query requires xxhash_pmod routing")
     P, salt = m["P"], m["salt"]
+
+    if 0 < m.get("blob_bytes", 1 << 62) <= max_local_bytes:
+        def _probe_local(batches):
+            return workerside.contains_sidecar_local(
+                batches, sidecar_path, P, salt, key_name=key_col)
+
+        out_schema = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in probes.schema.fields) + ", contained boolean"
+        return probes.mapInArrow(_probe_local, out_schema)
+
     if num_tasks is None:
         par = probes.sparkSession.sparkContext.defaultParallelism
         num_tasks = min(P, max(1, 16 * par))

@@ -340,6 +340,79 @@ def contains_sidecar_route(batches, sidecar_path: str, P: int,
             names=b.schema.names + ["contained"])
 
 
+_SIDECAR_FILTERS: Dict[tuple, List] = {}
+
+
+def _sidecar_filters(sidecar_path: str, P: int) -> List:
+    """Per-PROCESS cache of a whole sidecar's deserialized filters.
+
+    Python workers are reused across tasks, so each worker process pays
+    the parquet read + deserialize once per sidecar generation, not once
+    per task. The cache key is the manifest's (mtime_ns, size, inode) —
+    a rebuild at the same path is never answered from stale blobs (same
+    token scheme as sources/membership_source)."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    mpath = os.path.join(sidecar_path, "filter_manifest.json")
+    st = os.stat(mpath)
+    ckey = (sidecar_path, st.st_mtime_ns, st.st_size, st.st_ino)
+    filters = _SIDECAR_FILTERS.get(ckey)
+    if filters is None:
+        tbl = pq.read_table(os.path.join(sidecar_path, "partials.parquet"),
+                            columns=["pid", "blob"], memory_map=True)
+        filters = [None] * P            # missing pid ⇒ zero keys ⇒ False
+        for pid, blob in zip(tbl.column("pid").to_pylist(),
+                             tbl.column("blob").to_pylist()):
+            filters[int(pid)] = load_filter(blob)
+        _SIDECAR_FILTERS[ckey] = filters
+        while len(_SIDECAR_FILTERS) > 2:    # bound worker memory
+            _SIDECAR_FILTERS.pop(next(iter(_SIDECAR_FILTERS)))
+    return filters
+
+
+def contains_sidecar_local(batches, sidecar_path: str, P: int, salt: int,
+                           key_name: str = "key"):
+    """No-shuffle sidecar probe (mapInArrow directly on the input
+    partitioning): every worker process loads ALL the sidecar's filters
+    once (process-level cache) and routes each batch's keys in numpy.
+
+    This is the small-blob fast path — `contains_via_sidecar` picks it
+    when the manifest's total blob_bytes fits comfortably in a worker
+    (default ≤128 MB): it skips the 8-16 B/row exchange + Arrow
+    round-trip of the routed path, which dominates probe wall time at
+    P≲10³ (measured ~4 s of a 5.4 s 1e7-probe). The routed path stays
+    the 10¹²-key shape where per-worker memory must be O(few blobs).
+    """
+    from .core.hashing import route_pid
+
+    filters = None
+    for b in batches:
+        if filters is None:             # resolve lazily: empty tasks free
+            filters = _sidecar_filters(sidecar_path, P)
+        kcol = b.column(key_name)
+        # NULL-safe int64 extraction — see contains_sidecar_route
+        null_mask = (kcol.is_null().to_numpy(zero_copy_only=False)
+                     if kcol.null_count else None)
+        if null_mask is not None:
+            kcol = kcol.fill_null(0)
+        keys = kcol.to_numpy(zero_copy_only=False).view(np.uint64)
+        pids = route_pid(keys, salt, P)
+        out = np.zeros(len(keys), dtype=bool)
+        for pid in np.unique(pids):
+            f = filters[int(pid)]
+            if f is not None:
+                m = pids == pid
+                out[m] = f.contains(keys[m])
+        if null_mask is not None:
+            out[null_mask] = False
+        yield pa.RecordBatch.from_arrays(
+            list(b.columns) + [pa.array(out, pa.bool_())],
+            names=b.schema.names + ["contained"])
+
+
 _FILTER_CACHE: Dict[str, List] = {}
 
 

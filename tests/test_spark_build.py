@@ -673,3 +673,27 @@ def test_sidecar_resume_params_guard(spark, corpus_df, tmp_path):
     m = build_filter_sidecar(keys, sc, kind="bf8", num_partitions=16,
                              batches=4, resume=True)
     assert m is not None and m["pids_built"] > 0
+
+
+def test_sidecar_local_and_routed_paths_agree(spark, corpus_df, tmp_path):
+    """contains_via_sidecar picks a no-shuffle local path for small
+    sidecars; it must agree row-for-row with the routed (shuffled) path
+    and add no Exchange to the plan."""
+    from fastfilter_spark.spark import build_filter_sidecar, contains_via_sidecar
+
+    keys = keys_from_content(corpus_df, "content").cache()
+    sc = str(tmp_path / "sc_lr")
+    build_filter_sidecar(keys, sc, kind="bf8", num_partitions=16)
+    probes = keys.union(keys.select((F.col("key") + 1).alias("key")))
+
+    local = contains_via_sidecar(probes, sc)           # blob_bytes small
+    routed = contains_via_sidecar(probes, sc, max_local_bytes=0)
+    lp = local.toPandas().sort_values("key").reset_index(drop=True)
+    rp = routed.toPandas().sort_values("key").reset_index(drop=True)
+    assert lp.equals(rp)
+    assert lp.contained.sum() >= keys.count()          # zero FN
+
+    plan_local = local._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan_local                # truly shuffle-free
+    plan_routed = routed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan_routed

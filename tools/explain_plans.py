@@ -195,6 +195,27 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
                    f"Exchange ({n_ex_u} uncapped vs {n_ex_c} capped)",
                    n_ex_c <= n_ex_u))
 
+    # 13. sidecar local probe: for small sidecars contains_via_sidecar
+    # takes the no-shuffle path (process-cached blobs, mapInArrow on the
+    # input partitioning) — ZERO Exchange; the routed path (forced via
+    # max_local_bytes=0) keeps its single pid-expression Exchange.
+    import os
+    import tempfile
+
+    from fastfilter_spark.spark import build_filter_sidecar, contains_via_sidecar
+    from fastfilter_spark.spark.keys import content_key
+    sc13 = tempfile.mkdtemp(prefix="ffsk_plan_sc_") + "/sidecar"
+    k13 = docs.select(content_key("text").alias("key"))
+    build_filter_sidecar(k13, sc13, kind="bf8", num_partitions=8)
+    p13l = plan_of(contains_via_sidecar(k13, sc13))
+    p13r = plan_of(contains_via_sidecar(k13, sc13, max_local_bytes=0))
+    checks.append(("sidecar probe: local path has ZERO Exchange",
+                   "Exchange" not in p13l))
+    checks.append(("sidecar probe: routed path shuffles on the pid expr",
+                   len(re.findall(r"\(\d+\) Exchange", p13r)) == 1))
+    import shutil as _shutil
+    _shutil.rmtree(os.path.dirname(sc13), ignore_errors=True)
+
     print(p2)
     print(p3[:3000])
     ok = True
