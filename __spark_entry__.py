@@ -158,6 +158,66 @@ def q_sidecar_routed_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("contained"), 1).otherwise(0)).alias("n_contained"))
 
 
+def q_q5_two_dim_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape where BOTH dimension subtrees become runtime
+    filters on the fact table: orderkeys of 1996 ASIA-customer orders
+    (region→nation→customer→orders) and suppkeys of ASIA suppliers
+    (region→nation→supplier) each build a bf16; lineitem is probed by
+    both IN SEQUENCE — the second probe sees only the first's survivors
+    — so the fact shrinks twice before any join, and the confirm joins
+    (exactness: zero FN, FP candidates removed) are broadcasts of the
+    slim dims. The fact never shuffles until the final aggregation —
+    plan-audited (tools/explain_plans.py check 19). Extends the single-
+    chain pattern q3_two_filters proves to two independent dimensions.
+    Revenue in integer cents (bit-identical across engines, see Q3)."""
+    from fastfilter_spark.spark import build_partitioned_filter
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    asia = (nation.join(F.broadcast(region.where(F.col("r_name") == "ASIA")),
+                        nation.n_regionkey == region.r_regionkey)
+            .select("n_nationkey", "n_name"))
+    cust_asia = cust.join(F.broadcast(asia),
+                          cust.c_nationkey == asia.n_nationkey, "left_semi")
+    okeys = (orders.where((F.col("o_orderdate") >= "1996-01-01")
+                          & (F.col("o_orderdate") < "1997-01-01"))
+             .join(F.broadcast(cust_asia.select("c_custkey")),
+                   F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+             .select("o_orderkey").distinct())
+    sk = (sup.join(F.broadcast(asia), sup.s_nationkey == asia.n_nationkey)
+          .select("s_suppkey", "n_name"))
+
+    pf_o = build_partitioned_filter(
+        okeys.select(F.xxhash64("o_orderkey").alias("key")), kind="bf16",
+        num_partitions=8)
+    pf_s = build_partitioned_filter(
+        sk.select(F.xxhash64("s_suppkey").alias("key")), kind="bf16",
+        num_partitions=8)
+
+    l1 = (pf_o.with_contains(
+              li.withColumn("key", F.xxhash64("l_orderkey")), "key")
+          .where("contained").drop("key", "contained"))
+    l2 = (pf_s.with_contains(
+              l1.withColumn("key", F.xxhash64("l_suppkey")), "key")
+          .where("contained").drop("key", "contained"))
+
+    l_ok = (l2.join(F.broadcast(okeys),
+                    l2.l_orderkey == okeys.o_orderkey, "left_semi")
+            .join(F.broadcast(sk), l2.l_suppkey == sk.s_suppkey))
+    cents = F.floor((F.col("l_extendedprice")
+                     * (F.lit(1.0) - F.col("l_discount"))) * F.lit(100.0))
+    return (l_ok.groupBy("n_name")
+            .agg(F.count("*").alias("n_items"),
+                 F.sum(cents).cast("long").alias("revenue_cents"))
+            .select(F.col("n_name").alias("nation"), "n_items",
+                    "revenue_cents")
+            .orderBy("nation"))
+
+
 def q_salted_join_hot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit skew-defusing join (SURVEY.md §2.2 joins; north_rule
     'skew handled explicitly'): events (fact, skewed user_id) salted
@@ -1019,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_purchases": q_asof_join_purchases,
         "interval_join_error_windows": q_interval_join_error_windows,
         "q3_two_filters": q_q3_two_filters,
+        "q5_two_dim_filters": q_q5_two_dim_filters,
         "source_pruned_scan": q_source_pruned_scan,
         "bf8_grouped_membership": q_bf8_grouped_membership,
         "bf8_composite_grouped": q_bf8_composite_grouped,
@@ -1172,6 +1233,24 @@ def oracle_sql() -> dict[str, str]:
             "AND l_shipdate > DATE '1998-01-01' "
             "GROUP BY l_orderkey "
             "ORDER BY revenue_cents DESC, orderkey LIMIT 20"),
+        "q5_two_dim_filters": (
+            "WITH ok AS (SELECT DISTINCT o.o_orderkey FROM orders o "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "JOIN region r ON n.n_regionkey = r.r_regionkey "
+            "WHERE r.r_name = 'ASIA' "
+            "AND o.o_orderdate >= DATE '1996-01-01' "
+            "AND o.o_orderdate < DATE '1997-01-01'), "
+            "sk AS (SELECT s.s_suppkey, n.n_name FROM supplier s "
+            "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+            "JOIN region r ON n.n_regionkey = r.r_regionkey "
+            "WHERE r.r_name = 'ASIA') "
+            "SELECT sk.n_name AS nation, COUNT(*) AS n_items, "
+            "CAST(SUM(FLOOR((l.l_extendedprice * (1.0 - l.l_discount)) "
+            "* 100.0)) AS BIGINT) AS revenue_cents "
+            "FROM lineitem l JOIN ok ON l.l_orderkey = ok.o_orderkey "
+            "JOIN sk ON l.l_suppkey = sk.s_suppkey "
+            "GROUP BY sk.n_name ORDER BY nation"),
         "bf8_grouped_membership": _GROUPED_ORACLE,
         "bf8_composite_grouped": _GROUPED_ORACLE,
         "hll_by_lang": ("SELECT lang, COUNT(DISTINCT text) AS n_exact, "

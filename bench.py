@@ -158,8 +158,37 @@ def main() -> None:
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "cpus": CPUS,
         "throughput": extra,
+        "regressions": _regressions(timings),
     }))
     spark.stop()
+
+
+def _regressions(timings: dict, factor: float = 1.3) -> list:
+    """Per-query regression gate vs the PREVIOUS round's committed
+    BENCH_r*.json: any shared query >1.3× slower is listed in the
+    artifact itself, so a regression is visible without a human diffing
+    rounds. Purely informational (the sandbox host throttles 3-10×
+    between runs — see BENCH/BASELINE.md — so treat single-run entries
+    here as a prompt to re-measure min-of-3, not as proof)."""
+    import glob
+    import re
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
+                    key=lambda p: int(re.search(r"_r(\d+)", p).group(1)))
+    if not rounds:
+        return []
+    try:
+        with open(rounds[-1]) as fh:
+            prev = json.load(fh).get("queries", {})
+    except (OSError, ValueError):
+        return []
+    out = []
+    for q, t in timings.items():
+        p = prev.get(q)
+        if p and t > factor * p:
+            out.append({"query": q, "prev_sec": p, "now_sec": t,
+                        "ratio": round(t / p, 2)})
+    return out
 
 
 if __name__ == "__main__":

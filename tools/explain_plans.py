@@ -216,6 +216,25 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
     import shutil as _shutil
     _shutil.rmtree(os.path.dirname(sc13), ignore_errors=True)
 
+    # 14. q5_two_dim_filters: BOTH dimension-derived runtime filters
+    # prune the fact BEFORE any join — the probes are Python/Arrow eval
+    # nodes on the lineitem scan, every join is a broadcast of a slim
+    # dim, and the fact therefore shuffles only for the final
+    # aggregation (+ the output sort): ≥2 probe nodes, zero
+    # SortMergeJoin, and ≤2 Exchanges in the whole fact plan.
+    import __spark_entry__ as entry
+    p14 = plan_of(entry.q_q5_two_dim_filters(spark, sf_dir))
+    n_probe = len(re.findall(r"ArrowEvalPython|PythonUDF|MapInArrow", p14))
+    n_ex14 = len(re.findall(r"\(\d+\) Exchange", p14))
+    checks.append((f"q5: both runtime-filter probes in-plan ({n_probe} "
+                   "probe nodes)", n_probe >= 2))
+    # the 3 allowed Exchanges: the slim okeys DISTINCT (dim side), the
+    # final aggregation, the output sort — none of them move the fact
+    checks.append(("q5: fact never shuffles before the final agg "
+                   f"({n_ex14} Exchanges — dim-distinct/agg/sort only, "
+                   "no SortMergeJoin)",
+                   n_ex14 <= 3 and "SortMergeJoin" not in p14))
+
     print(p2)
     print(p3[:3000])
     ok = True
