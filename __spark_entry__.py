@@ -158,6 +158,34 @@ def q_sidecar_routed_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("contained"), 1).otherwise(0)).alias("n_contained"))
 
 
+def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: the canonical pure-Catalyst two-phase
+    aggregation — partial sums map-side, ONE exchange of (flag, status)
+    groups, whole-stage codegen throughout (no Python anywhere). Money
+    sums in integer cents via per-row floor (bit-identical across
+    engines — same IEEE doubles in, same floor out); averages omitted
+    deliberately (cross-engine double division flakes the value-hash)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    base_cents = F.floor(F.col("l_extendedprice") * F.lit(100.0))
+    disc_cents = F.floor((F.col("l_extendedprice")
+                          * (F.lit(1.0) - F.col("l_discount"))) * F.lit(100.0))
+    charge_cents = F.floor((F.col("l_extendedprice")
+                            * (F.lit(1.0) - F.col("l_discount"))
+                            * (F.lit(1.0) + F.col("l_tax"))) * F.lit(100.0))
+    return (li.where(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+                 F.sum(base_cents).cast("long").alias("sum_base_cents"),
+                 F.sum(disc_cents).cast("long").alias("sum_disc_cents"),
+                 F.sum(charge_cents).cast("long").alias("sum_charge_cents"),
+                 F.count("*").alias("count_order"))
+            .select(F.col("l_returnflag").alias("returnflag"),
+                    F.col("l_linestatus").alias("linestatus"),
+                    "sum_qty", "sum_base_cents", "sum_disc_cents",
+                    "sum_charge_cents", "count_order")
+            .orderBy("returnflag", "linestatus"))
+
+
 def q_q5_two_dim_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape where BOTH dimension subtrees become runtime
     filters on the fact table: orderkeys of 1996 ASIA-customer orders
@@ -1078,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_hot_users": q_salted_join_hot_users,
         "asof_join_purchases": q_asof_join_purchases,
         "interval_join_error_windows": q_interval_join_error_windows,
+        "q1_pricing_summary": q_q1_pricing_summary,
         "q3_two_filters": q_q3_two_filters,
         "q5_two_dim_filters": q_q5_two_dim_filters,
         "source_pruned_scan": q_source_pruned_scan,
@@ -1221,6 +1250,19 @@ def oracle_sql() -> dict[str, str]:
         "source_pruned_scan": ("SELECT doc_id FROM documents WHERE text IN "
                                "(SELECT text FROM documents WHERE lang = 'en') "
                                "ORDER BY doc_id"),
+        "q1_pricing_summary": (
+            "SELECT l_returnflag AS returnflag, l_linestatus AS linestatus, "
+            "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "CAST(SUM(FLOOR(l_extendedprice * 100.0)) AS BIGINT) "
+            "AS sum_base_cents, "
+            "CAST(SUM(FLOOR((l_extendedprice * (1.0 - l_discount)) * 100.0)) "
+            "AS BIGINT) AS sum_disc_cents, "
+            "CAST(SUM(FLOOR((l_extendedprice * (1.0 - l_discount) "
+            "* (1.0 + l_tax)) * 100.0)) AS BIGINT) AS sum_charge_cents, "
+            "COUNT(*) AS count_order "
+            "FROM lineitem WHERE l_shipdate <= DATE '1998-09-02' "
+            "GROUP BY l_returnflag, l_linestatus "
+            "ORDER BY returnflag, linestatus"),
         "q3_two_filters": (
             "SELECT l_orderkey AS orderkey, "
             "CAST(SUM(FLOOR((l_extendedprice * (1 - l_discount)) * 100)) "

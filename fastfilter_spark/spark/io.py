@@ -286,7 +286,7 @@ def contains_via_sidecar(probes: DataFrame, sidecar_path: str,
     import pyspark.sql.functions as F
 
     from .. import workerside
-    from .keys import ROUTING_XXHASH_PMOD, partition_id, route_expr
+    from .keys import ROUTING_XXHASH_PMOD, partition_id
 
     with open(os.path.join(sidecar_path, "filter_manifest.json")) as fh:
         m = json.load(fh)
@@ -310,17 +310,19 @@ def contains_via_sidecar(probes: DataFrame, sidecar_path: str,
 
     # repartition on the pid expression: all rows of one pid land in one
     # task; a task holds ~P/num_tasks pids (kernel routes per-row and
-    # caches blobs per pid)
-    routed = probes.withColumn("__route", route_expr(key_col, salt)) \
-                   .repartition(num_tasks, partition_id(key_col, P, salt))
+    # caches blobs per pid). Only the probe's own columns transit the
+    # exchange — the kernel recomputes the pid from the key with the
+    # bit-exact numpy route replica (a precomputed __route column
+    # doubled the shuffled bytes of a bare-key probe).
+    routed = probes.repartition(num_tasks, partition_id(key_col, P, salt))
 
     def _probe(batches):
         return workerside.contains_sidecar_route(
-            batches, sidecar_path, P, key_name=key_col)
+            batches, sidecar_path, P, salt, key_name=key_col)
 
     out_schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
                            for f in routed.schema.fields) + ", contained boolean"
-    return routed.mapInArrow(_probe, out_schema).drop("__route")
+    return routed.mapInArrow(_probe, out_schema)
 
 
 def read_filter_sidecar(path: str) -> PartitionedFilter:

@@ -283,16 +283,21 @@ def contains_grouped_kernel(bc_value, key: pd.Series,
     return pd.Series(out)
 
 
-def contains_sidecar_route(batches, sidecar_path: str, P: int,
-                           key_name: str = "key",
-                           route_name: str = "__route"):
+def contains_sidecar_route(batches, sidecar_path: str, P: int, salt: int,
+                           key_name: str = "key"):
     """Probe-side routed lookup for large P (mapInArrow after
     repartition on the pid expression): a task deserializes ONLY the
     blobs of the pids routed to it (expected 1, Poisson tail 2–3) by
     reading them from the sidecar parquet — per-worker memory is a
     couple of blobs instead of all P (broadcast-all was >100 MB/worker
     at P=256). Emits the input rows + a `contained` column.
+
+    The pid is recomputed HERE from the key (core.hashing.route_pid is
+    the bit-exact numpy replica of the JVM route expression) — shipping
+    a precomputed __route column through the exchange doubled the
+    shuffled bytes of a bare-key probe for nothing.
     """
+    from .core.hashing import route_pid
     import os
     import pyarrow.dataset as pads
 
@@ -325,8 +330,7 @@ def contains_sidecar_route(batches, sidecar_path: str, P: int,
         if null_mask is not None:
             kcol = kcol.fill_null(0)
         keys = kcol.to_numpy(zero_copy_only=False).view(np.uint64)
-        route = b.column(route_name).to_numpy(zero_copy_only=False)
-        pids = np.mod(route, P)
+        pids = route_pid(keys, salt, P)
         out = np.zeros(len(keys), dtype=bool)
         for pid in np.unique(pids):
             filt = _filter_for(int(pid))
