@@ -186,6 +186,37 @@ def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("returnflag", "linestatus"))
 
 
+def q_q14_promo_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: the part dimension ('PROMO' type) becomes a bf16
+    runtime filter pruning lineitem (one shipdate month) BEFORE the
+    exact broadcast confirm — the promo-revenue pattern with the filter
+    pushed to the fact scan side, grouped by brand. Revenue in integer
+    cents (bit-identical across engines)."""
+    from fastfilter_spark.spark import build_partitioned_filter
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    promo = part.where(F.col("p_type") == "PROMO") \
+                .select("p_partkey", "p_brand")
+    pf = build_partitioned_filter(
+        promo.select(F.xxhash64("p_partkey").alias("key")), kind="bf16",
+        num_partitions=8)
+    cand = (pf.with_contains(
+                li.where((F.col("l_shipdate") >= "1997-09-01")
+                         & (F.col("l_shipdate") < "1997-10-01"))
+                  .withColumn("key", F.xxhash64("l_partkey")), "key")
+            .where("contained").drop("key", "contained"))
+    ok = cand.join(F.broadcast(promo), cand.l_partkey == promo.p_partkey)
+    cents = F.floor((F.col("l_extendedprice")
+                     * (F.lit(1.0) - F.col("l_discount"))) * F.lit(100.0))
+    return (ok.groupBy("p_brand")
+            .agg(F.count("*").alias("n_items"),
+                 F.sum(cents).cast("long").alias("promo_cents"))
+            .select(F.col("p_brand").alias("brand"), "n_items",
+                    "promo_cents")
+            .orderBy("brand"))
+
+
 def q_q5_two_dim_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape where BOTH dimension subtrees become runtime
     filters on the fact table: orderkeys of 1996 ASIA-customer orders
@@ -1109,6 +1140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q_q1_pricing_summary,
         "q3_two_filters": q_q3_two_filters,
         "q5_two_dim_filters": q_q5_two_dim_filters,
+        "q14_promo_filter": q_q14_promo_filter,
         "source_pruned_scan": q_source_pruned_scan,
         "bf8_grouped_membership": q_bf8_grouped_membership,
         "bf8_composite_grouped": q_bf8_composite_grouped,
@@ -1293,6 +1325,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem l JOIN ok ON l.l_orderkey = ok.o_orderkey "
             "JOIN sk ON l.l_suppkey = sk.s_suppkey "
             "GROUP BY sk.n_name ORDER BY nation"),
+        "q14_promo_filter": (
+            "SELECT p.p_brand AS brand, COUNT(*) AS n_items, "
+            "CAST(SUM(FLOOR((l.l_extendedprice * (1.0 - l.l_discount)) "
+            "* 100.0)) AS BIGINT) AS promo_cents "
+            "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+            "WHERE p.p_type = 'PROMO' "
+            "AND l.l_shipdate >= DATE '1997-09-01' "
+            "AND l.l_shipdate < DATE '1997-10-01' "
+            "GROUP BY p.p_brand ORDER BY brand"),
         "bf8_grouped_membership": _GROUPED_ORACLE,
         "bf8_composite_grouped": _GROUPED_ORACLE,
         "hll_by_lang": ("SELECT lang, COUNT(DISTINCT text) AS n_exact, "
