@@ -225,10 +225,13 @@ def q_q5_two_dim_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     both IN SEQUENCE — the second probe sees only the first's survivors
     — so the fact shrinks twice before any join, and the confirm joins
     (exactness: zero FN, FP candidates removed) are broadcasts of the
-    slim dims. The fact never shuffles until the final aggregation —
-    plan-audited (tools/explain_plans.py check 19). Extends the single-
-    chain pattern q3_two_filters proves to two independent dimensions.
-    Revenue in integer cents (bit-identical across engines, see Q3)."""
+    slim dims. The fact never shuffles until the final aggregation: the
+    plan's only Exchanges are the slim okeys DISTINCT (dim side), the
+    final agg and the output sort — plan-audited by the q5 checks in
+    tools/explain_plans.py (≥2 probe nodes, no SortMergeJoin, ≤3
+    Exchanges). Extends the single-chain pattern q3_two_filters proves
+    to two independent dimensions. Revenue in integer cents
+    (bit-identical across engines, see Q3)."""
     from fastfilter_spark.spark import build_partitioned_filter
     region = spark.read.parquet(f"{sf_dir}/region.parquet")
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")

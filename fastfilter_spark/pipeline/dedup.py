@@ -269,8 +269,16 @@ def _simhash_segments(vals: np.ndarray, offs: np.ndarray,
     seglens = (offs[1:] - offs[:-1]).astype(np.int64)
     if n == 0 or len(vals) == 0 or seglens.max() <= 0:
         return out
-    flat = vals.view(np.uint64)[:int(offs[-1])]  # drop unreferenced tail
-    starts = np.minimum(offs[:-1], len(flat) - 1).astype(np.intp)
+    # One zero sentinel after the last referenced element keeps every
+    # reduceat start index in-bounds WITHOUT clamping: a trailing empty
+    # doc has start == offs[-1], and clamping it to len-1 (the previous
+    # version) truncated the PRECEDING doc's segment by its final token
+    # — silently changing that doc's simhash whenever a batch ended
+    # with an empty/null doc. The sentinel contributes 0 to every bit
+    # count, so the genuine last segment ([offs[n-1], end)) is unharmed.
+    flat = np.concatenate(
+        [vals.view(np.uint64)[:int(offs[-1])], np.zeros(1, np.uint64)])
+    starts = offs[:-1].astype(np.intp)
     # reduceat quirk: an empty segment (start_i == start_{i+1}) yields
     # flat[start_i], not 0 — masked out below via seglens == 0
     tmp = np.empty_like(flat)

@@ -51,13 +51,11 @@ _SIDECAR_CACHE: dict = {}
 def _load_sidecar(sidecar: str):
     # cache key includes the manifest's identity: a filter REBUILT at
     # the same path must not be answered from a long-lived worker's
-    # stale blobs (false negatives for newly added keys). getmtime's
-    # 1 s resolution on some filesystems can miss a rebuild within the
-    # same tick — key on (mtime_ns, size, inode) instead; a rewritten
-    # manifest changes at least one of them.
+    # stale blobs (false negatives for newly added keys). Token logic
+    # shared with the query-side caches in workerside.
+    from ..workerside import sidecar_cache_token
     manifest_path = os.path.join(sidecar, "filter_manifest.json")
-    st = os.stat(manifest_path)
-    ckey = (sidecar, st.st_mtime_ns, st.st_size, st.st_ino)
+    ckey = sidecar_cache_token(sidecar)
     ent = _SIDECAR_CACHE.get(ckey)
     if ent is None:
         import pyarrow.parquet as pq

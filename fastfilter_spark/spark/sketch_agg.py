@@ -76,6 +76,23 @@ def _two_phase(df: DataFrame, groups: Sequence[str], value_col: str,
 
     partials = sel.mapInPandas(_map_partial, mid_schema)
 
+    # A group whose values are ALL NULL must still emit a row (SQL
+    # GROUP BY keeps it with e.g. COUNT(DISTINCT v) = 0; the JVM-side
+    # null filter above would otherwise drop the whole group): seed one
+    # EMPTY partial per observed group. Merging an empty sketch is the
+    # identity, the distinct scans only the column-pruned group columns
+    # (it never re-runs the fold), and the global variant seeds a single
+    # empty partial so an empty/all-null input still yields the one row
+    # SQL's global aggregate does.
+    empty_blob = to_blob(make_sketch())
+    if groups:
+        seed = (df.select(*groups).distinct()
+                .withColumn("partial", F.lit(bytes(empty_blob))))
+    else:
+        seed = df.sparkSession.range(1).select(
+            F.lit(bytes(empty_blob)).alias("partial"))
+    partials = partials.unionByName(seed)
+
     def _reduce(pdf: pd.DataFrame) -> pd.DataFrame:
         acc = from_blob(pdf["partial"].iloc[0])
         for b in pdf["partial"].iloc[1:]:

@@ -283,6 +283,49 @@ def contains_grouped_kernel(bc_value, key: pd.Series,
     return pd.Series(out)
 
 
+def sidecar_cache_token(sidecar_path: str) -> tuple:
+    """Cache key for a sidecar generation: the manifest's (mtime_ns,
+    size, inode). A filter REBUILT at the same path changes at least one
+    of them, so a long-lived worker never answers from stale blobs (the
+    1 s resolution of plain mtime could miss a same-tick rebuild).
+    Single source of truth — also used by sources/membership_source."""
+    import os
+    st = os.stat(os.path.join(sidecar_path, "filter_manifest.json"))
+    return (sidecar_path, st.st_mtime_ns, st.st_size, st.st_ino)
+
+
+def _probe_sidecar_batch(b, key_name: str, salt: int, P: int, filter_for):
+    """Shared per-batch probe body for both sidecar query paths: routes
+    keys with the bit-exact numpy replica of the JVM route expression
+    and appends a `contained` column. ``filter_for(pid)`` returns a
+    loaded filter or a falsy value for a pid with no blob (zero keys ⇒
+    definite non-member)."""
+    from .core.hashing import route_pid
+
+    kcol = b.column(key_name)
+    # NULL-safe: to_numpy on an int64 column WITH nulls yields float64
+    # (+NaN), and .view(uint64) would then reinterpret float bit
+    # patterns — corrupting EVERY key in the batch (false negatives).
+    # fill_null keeps the column int64; null rows are masked afterwards.
+    null_mask = (kcol.is_null().to_numpy(zero_copy_only=False)
+                 if kcol.null_count else None)
+    if null_mask is not None:
+        kcol = kcol.fill_null(0)
+    keys = kcol.to_numpy(zero_copy_only=False).view(np.uint64)
+    pids = route_pid(keys, salt, P)
+    out = np.zeros(len(keys), dtype=bool)
+    for pid in np.unique(pids):
+        filt = filter_for(int(pid))
+        if filt:
+            m = pids == pid
+            out[m] = filt.contains(keys[m])
+    if null_mask is not None:
+        out[null_mask] = False
+    return pa.RecordBatch.from_arrays(
+        list(b.columns) + [pa.array(out, pa.bool_())],
+        names=b.schema.names + ["contained"])
+
+
 def contains_sidecar_route(batches, sidecar_path: str, P: int, salt: int,
                            key_name: str = "key"):
     """Probe-side routed lookup for large P (mapInArrow after
@@ -292,12 +335,11 @@ def contains_sidecar_route(batches, sidecar_path: str, P: int, salt: int,
     couple of blobs instead of all P (broadcast-all was >100 MB/worker
     at P=256). Emits the input rows + a `contained` column.
 
-    The pid is recomputed HERE from the key (core.hashing.route_pid is
-    the bit-exact numpy replica of the JVM route expression) — shipping
-    a precomputed __route column through the exchange doubled the
+    The pid is recomputed worker-side from the key (route_pid is the
+    bit-exact numpy replica of the JVM route expression) — shipping a
+    precomputed __route column through the exchange doubled the
     shuffled bytes of a bare-key probe for nothing.
     """
-    from .core.hashing import route_pid
     import os
     import pyarrow.dataset as pads
 
@@ -319,29 +361,7 @@ def contains_sidecar_route(batches, sidecar_path: str, P: int, salt: int,
         return f
 
     for b in batches:
-        kcol = b.column(key_name)
-        # NULL-safe: to_numpy on an int64 column WITH nulls yields
-        # float64 (+NaN), and .view(uint64) would then reinterpret
-        # float bit patterns — corrupting EVERY key in the batch (false
-        # negatives). fill_null keeps the column int64; null rows are
-        # masked to contained=False afterwards.
-        null_mask = (kcol.is_null().to_numpy(zero_copy_only=False)
-                     if kcol.null_count else None)
-        if null_mask is not None:
-            kcol = kcol.fill_null(0)
-        keys = kcol.to_numpy(zero_copy_only=False).view(np.uint64)
-        pids = route_pid(keys, salt, P)
-        out = np.zeros(len(keys), dtype=bool)
-        for pid in np.unique(pids):
-            filt = _filter_for(int(pid))
-            if filt is not False:
-                m = pids == pid
-                out[m] = filt.contains(keys[m])
-        if null_mask is not None:
-            out[null_mask] = False
-        yield pa.RecordBatch.from_arrays(
-            list(b.columns) + [pa.array(out, pa.bool_())],
-            names=b.schema.names + ["contained"])
+        yield _probe_sidecar_batch(b, key_name, salt, P, _filter_for)
 
 
 _SIDECAR_FILTERS: Dict[tuple, List] = {}
@@ -352,17 +372,13 @@ def _sidecar_filters(sidecar_path: str, P: int) -> List:
 
     Python workers are reused across tasks, so each worker process pays
     the parquet read + deserialize once per sidecar generation, not once
-    per task. The cache key is the manifest's (mtime_ns, size, inode) —
-    a rebuild at the same path is never answered from stale blobs (same
-    token scheme as sources/membership_source)."""
-    import json
+    per task. Keyed by ``sidecar_cache_token`` — a rebuild at the same
+    path is never answered from stale blobs."""
     import os
 
     import pyarrow.parquet as pq
 
-    mpath = os.path.join(sidecar_path, "filter_manifest.json")
-    st = os.stat(mpath)
-    ckey = (sidecar_path, st.st_mtime_ns, st.st_size, st.st_ino)
+    ckey = sidecar_cache_token(sidecar_path)
     filters = _SIDECAR_FILTERS.get(ckey)
     if filters is None:
         tbl = pq.read_table(os.path.join(sidecar_path, "partials.parquet"),
@@ -390,31 +406,12 @@ def contains_sidecar_local(batches, sidecar_path: str, P: int, salt: int,
     P≲10³ (measured ~4 s of a 5.4 s 1e7-probe). The routed path stays
     the 10¹²-key shape where per-worker memory must be O(few blobs).
     """
-    from .core.hashing import route_pid
-
     filters = None
     for b in batches:
         if filters is None:             # resolve lazily: empty tasks free
             filters = _sidecar_filters(sidecar_path, P)
-        kcol = b.column(key_name)
-        # NULL-safe int64 extraction — see contains_sidecar_route
-        null_mask = (kcol.is_null().to_numpy(zero_copy_only=False)
-                     if kcol.null_count else None)
-        if null_mask is not None:
-            kcol = kcol.fill_null(0)
-        keys = kcol.to_numpy(zero_copy_only=False).view(np.uint64)
-        pids = route_pid(keys, salt, P)
-        out = np.zeros(len(keys), dtype=bool)
-        for pid in np.unique(pids):
-            f = filters[int(pid)]
-            if f is not None:
-                m = pids == pid
-                out[m] = f.contains(keys[m])
-        if null_mask is not None:
-            out[null_mask] = False
-        yield pa.RecordBatch.from_arrays(
-            list(b.columns) + [pa.array(out, pa.bool_())],
-            names=b.schema.names + ["contained"])
+        yield _probe_sidecar_batch(b, key_name, salt, P,
+                                   filters.__getitem__)
 
 
 _FILTER_CACHE: Dict[str, List] = {}

@@ -275,6 +275,11 @@ def test_simhash_kernel_matches_per_doc_reference(spark):
             docs.append(None)
         else:
             docs.append(rng.integers(-2**63, 2**63, size=L, dtype=np.int64))
+    # trailing empty/null docs: a clamped reduceat start used to truncate
+    # the PRECEDING doc's segment (caught in review — keep these last)
+    docs[-3] = rng.integers(-2**63, 2**63, size=5, dtype=np.int64)
+    docs[-2] = np.empty(0, dtype=np.int64)
+    docs[-1] = None
 
     # reference: per-doc bit-matrix majority (the old v1 kernel)
     bitw = (np.uint64(1) << np.arange(64, dtype=np.uint64))

@@ -141,3 +141,25 @@ def test_sketch_aggs_big_int64_keys_exact_despite_nulls(spark):
 
     t = theta_agg(df, [], "key").collect()[0]
     assert t.n_est == 3.0          # BIG/BIG+1/BIG+2 stay distinct
+
+
+def test_sketch_aggs_keep_all_null_groups(spark):
+    """SQL GROUP BY keeps a group whose values are all NULL (count 0);
+    the JVM-side null filter must not drop it. Also: a GLOBAL aggregate
+    over an all-null (or empty) input yields exactly one row, like SQL."""
+    from fastfilter_spark.spark import hll_agg, theta_agg
+
+    df = spark.createDataFrame(
+        [("en", 1), ("en", 2), ("de", None), ("de", None)],
+        "lang string, v long").coalesce(1)
+    res = hll_agg(df, ["lang"], "v").toPandas().set_index("lang")
+    assert set(res.index) == {"en", "de"}
+    assert res.loc["de", "n_est"] == 0.0
+    assert res.loc["en", "n_est"] > 0
+
+    allnull = spark.createDataFrame([(None,)] * 5, "v long")
+    g = theta_agg(allnull, [], "v").collect()
+    assert len(g) == 1 and g[0].n_est == 0.0
+
+    c = cms_agg(allnull, [], "v").collect()
+    assert len(c) == 1 and c[0].total == 0
