@@ -406,3 +406,19 @@ def test_multimodal_real_decode_and_error_isolation(spark):
     assert not cf.loc[rows[0].media_id, "decode_ok"]
     assert cf.loc[rows[0].media_id, "err"]
     assert cf.drop(index=rows[0].media_id).decode_ok.all()
+
+
+def test_simhash_list_array_sliced():
+    """_simhash_list_array must honor Arrow slice offsets (offsets base
+    nonzero, values child longer than the slice)."""
+    from fastfilter_spark.pipeline.dedup import _simhash_list_array
+    rng = np.random.default_rng(5)
+    docs = [rng.integers(-2**63, 2**63, size=int(rng.integers(1, 20)),
+                         dtype=np.int64) for _ in range(10)]
+    docs[4] = None
+    docs[9] = np.empty(0, np.int64)
+    import pyarrow as pa
+    arr = pa.array([None if d is None else d.tolist() for d in docs],
+                   type=pa.list_(pa.int64()))
+    full = _simhash_list_array(arr)
+    assert np.array_equal(_simhash_list_array(arr.slice(3, 5)), full[3:8])
