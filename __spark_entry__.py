@@ -865,7 +865,10 @@ def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact blocked n-gram Jaccard (block = lang): fully relational, so
-    the oracle recomputes it verbatim with DuckDB list functions."""
+    the oracle recomputes it verbatim with DuckDB list functions —
+    including the default max_block_rows=100000 guard (the oracle's
+    QUALIFY drops the same oversized blocks the operator does, keeping
+    parity at any scale factor)."""
     from fastfilter_spark.pipeline import ngram_jaccard_pairs
     docs = _docs(spark, sf_dir)
     return (ngram_jaccard_pairs(docs, "text", "doc_id", block_col="lang",
@@ -1446,8 +1449,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard FROM j "
             "WHERE jaccard >= 0.8 ORDER BY id_a, id_b"),
         "ngram_jaccard_pairs": (
+            # models the max_block_rows=100000 guard exactly (blocks
+            # larger than the cap are dropped before the self-join), so
+            # parity holds at ANY scale factor, not just ones whose
+            # lang blocks happen to fit
             f"WITH sh AS (SELECT doc_id, lang, {_SHINGLES3_SQL} AS sh "
-            "FROM documents), "
+            "FROM documents "
+            "QUALIFY COUNT(*) OVER (PARTITION BY lang) <= 100000), "
             "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
             "len(list_intersect(a.sh, b.sh)) * 1.0 "
             "/ greatest(len(list_distinct(a.sh || b.sh)), 1) AS jaccard "

@@ -172,15 +172,20 @@ def _regressions(timings: dict, factor: float = 1.3) -> list:
     here as a prompt to re-measure min-of-3, not as proof)."""
     import glob
     import re
-    here = os.path.dirname(os.path.abspath(__file__))
-    rounds = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
-                    key=lambda p: int(re.search(r"_r(\d+)", p).group(1)))
-    if not rounds:
-        return []
     try:
-        with open(rounds[-1]) as fh:
+        here = os.path.dirname(os.path.abspath(__file__))
+        cands = []
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+            m = re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p))
+            if m:                      # ignore stray BENCH_r*-named files
+                cands.append((int(m.group(1)), p))
+        if not cands:
+            return []
+        with open(max(cands)[1]) as fh:
             prev = json.load(fh).get("queries", {})
     except (OSError, ValueError):
+        # the gate is informational — it must never cost the run its
+        # one-line JSON after the whole suite has already executed
         return []
     out = []
     for q, t in timings.items():

@@ -122,6 +122,14 @@ def decode_wav(payload: bytes) -> Tuple[int, np.ndarray]:
         cid = payload[pos:pos + 4]
         (clen,) = struct.unpack_from("<I", payload, pos + 4)
         body = payload[pos + 8: pos + 8 + clen]
+        if len(body) < clen:
+            # a declared chunk length past the buffer is corruption —
+            # decoding the short slice would silently yield wrong
+            # features with decode_ok=True (decode_bmp enforces the
+            # equivalent truncated-pixel-data check)
+            raise ValueError(
+                f"truncated WAV chunk {cid!r}: declares {clen} bytes, "
+                f"{len(body)} present")
         if cid == b"fmt ":
             if clen < 16:
                 raise ValueError("short fmt chunk")

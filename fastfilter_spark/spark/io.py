@@ -198,6 +198,15 @@ def build_filter_sidecar(keys_df: DataFrame, sidecar_path: str,
                 f"started with {prev}, this call passed {params}; resuming "
                 "would mix incompatible partial blobs — use resume=False "
                 "to rebuild from scratch")
+    elif resume and os.path.isdir(parts_dir):
+        # partials exist but no params pre-manifest (a crashed build
+        # from before the guard existed): their parameters are
+        # unverifiable, and adopting the NEW params would produce
+        # exactly the mixed-blob corruption the guard prevents
+        raise ValueError(
+            "resume=True but the sidecar has committed partials and no "
+            "build_params.json to verify them against — rebuild with "
+            "resume=False")
     else:
         with open(params_path, "w") as fh:
             json.dump(params, fh)

@@ -155,41 +155,50 @@ def windowed_distinct_hll(stream: DataFrame, ts_col: str, key_col: str,
              # requires the watermark to reach the stateful operator
              .select(F.window(F.col("__ts"), window).start.cast("string")
                      .alias("window_start"),
-                     # epoch ms travels WITH the key: parsing the
-                     # session-timezone-formatted string driver-side
-                     # (pd.Timestamp treats it as naive UTC) shifts the
-                     # eviction timestamp by the zone offset under a
-                     # non-UTC spark.sql.session.timeZone — state would
-                     # evict early and late rows re-create it
+                     # epoch ms travels as a DATA column (not a group
+                     # key — adding a grouping column would change the
+                     # state-store key schema and break restarts from
+                     # existing checkpoints): parsing the session-tz-
+                     # formatted string driver-side (pd.Timestamp treats
+                     # it as naive UTC) shifts the eviction timestamp by
+                     # the zone offset under a non-UTC
+                     # spark.sql.session.timeZone — state would evict
+                     # early and late rows re-create it
                      F.unix_millis(F.window(F.col("__ts"), window).start)
                      .alias("window_ms"),
                      F.col(key_col).alias("key"),
                      "__ts"))
 
-    def _update(key: Tuple[str, int], pdfs: Iterator[pd.DataFrame],
+    def _update(key: Tuple[str], pdfs: Iterator[pd.DataFrame],
                 state: GroupState) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
             # window closed past the lateness horizon: final estimate
-            # was already emitted in update mode — just evict
+            # was already emitted in update mode — just evict (no rows
+            # here, and none needed: window_ms is only read on the
+            # with-rows path below)
             state.remove()
             return
         h = (HyperLogLog.from_bytes(bytes(state.get[0]))
              if state.exists else HyperLogLog(p))
         n = state.get[1] if state.exists else 0
+        start_ms = None
         for pdf in pdfs:
             if len(pdf):
+                if start_ms is None:
+                    # exact epoch ms, timezone-proof (constant per group)
+                    start_ms = int(pdf["window_ms"].iloc[0])
                 h.add(pd_to_u64(pdf["key"]))
                 n += len(pdf)
         state.update((h.to_bytes(), n))
-        start_ms = int(key[1])  # exact epoch ms, timezone-proof
-        state.setTimeoutTimestamp(
-            max(start_ms + evict_after_ms,
-                state.getCurrentWatermarkMs() + 1))
+        if start_ms is not None:
+            state.setTimeoutTimestamp(
+                max(start_ms + evict_after_ms,
+                    state.getCurrentWatermarkMs() + 1))
         yield pd.DataFrame({"window_start": [key[0]],
                             "n_est": [float(h.estimate())],
                             "n_events": [int(n)]})
 
-    return keyed.groupBy("window_start", "window_ms").applyInPandasWithState(
+    return keyed.groupBy("window_start").applyInPandasWithState(
         _update, _OUT_SCHEMA, _STATE_SCHEMA, "update",
         GroupStateTimeout.EventTimeTimeout)
 

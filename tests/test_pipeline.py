@@ -422,3 +422,16 @@ def test_simhash_list_array_sliced():
                    type=pa.list_(pa.int64()))
     full = _simhash_list_array(arr)
     assert np.array_equal(_simhash_list_array(arr.slice(3, 5)), full[3:8])
+
+
+def test_wav_decode_rejects_truncated_chunks():
+    """A data chunk whose declared length runs past the buffer is
+    corruption, not a short read — decode must raise so extract_features
+    marks the row decode_ok=False instead of pooling wrong features."""
+    from fastfilter_spark.pipeline import decode_wav, encode_wav
+    good = encode_wav(np.arange(100, dtype=np.int16), 8000)
+    with pytest.raises(ValueError, match="truncated WAV chunk"):
+        decode_wav(good[:-4])
+    # truncated fmt chunk too
+    with pytest.raises(ValueError):
+        decode_wav(good[:20])

@@ -697,3 +697,24 @@ def test_sidecar_local_and_routed_paths_agree(spark, corpus_df, tmp_path):
     assert "Exchange" not in plan_local                # truly shuffle-free
     plan_routed = routed._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" in plan_routed
+
+
+def test_sidecar_resume_refuses_unverifiable_partials(spark, corpus_df,
+                                                      tmp_path):
+    """Partials without a build_params.json (a crash predating the
+    guard) cannot be verified — resume must refuse rather than adopt
+    the new params and mix incompatible blobs."""
+    import os
+
+    import pytest as _pytest
+
+    from fastfilter_spark.spark import build_filter_sidecar
+
+    keys = keys_from_content(corpus_df, "content")
+    sc = str(tmp_path / "sc_legacy")
+    build_filter_sidecar(keys, sc, kind="bf8", num_partitions=16,
+                         batches=4, _stop_after=2)
+    os.remove(os.path.join(sc, "build_params.json"))   # legacy crash shape
+    with _pytest.raises(ValueError, match="no build_params.json"):
+        build_filter_sidecar(keys, sc, kind="bf8", num_partitions=16,
+                             batches=4, resume=True)

@@ -219,9 +219,10 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
     # 14. q5_two_dim_filters: BOTH dimension-derived runtime filters
     # prune the fact BEFORE any join — the probes are Python/Arrow eval
     # nodes on the lineitem scan, every join is a broadcast of a slim
-    # dim, and the fact therefore shuffles only for the final
-    # aggregation (+ the output sort): ≥2 probe nodes, zero
-    # SortMergeJoin, and ≤2 Exchanges in the whole fact plan.
+    # dim, and the FACT never shuffles: ≥2 probe nodes, zero
+    # SortMergeJoin, and ≤3 Exchanges total, all of slim/aggregated
+    # relations (the okeys DISTINCT on the dim side, the final
+    # aggregation, the output sort).
     import __spark_entry__ as entry
     p14 = plan_of(entry.q_q5_two_dim_filters(spark, sf_dir))
     n_probe = len(re.findall(r"ArrowEvalPython|PythonUDF|MapInArrow", p14))
