@@ -238,13 +238,20 @@ def build_filter_sidecar(keys_df: DataFrame, sidecar_path: str,
             sub = sub.where(~pid_col.isin(sorted(done_pids & set(range(lo, hi)))))
         partials = partials_dataframe(sub, kind, P, salt,
                                       base_rng_state, None, shuffle_mode)
-        # few pid-range-sorted files (~64 pids each) with SMALL row
-        # groups and no compression: a routed probe task reads one ~4 MB
-        # row group per pid (a 1 MB blob inside a default 128 MB snappy
-        # row group made every pid load decompress the whole group —
-        # measured 0.26 M probes/s; filter blobs are high-entropy,
-        # compression buys nothing)
-        (partials.repartitionByRange(max(1, (hi - lo) // 64), "pid")
+        # few pid-sorted files (~64 pids each) with SMALL row groups and
+        # no compression: a routed probe task reads one ~4 MB row group
+        # per pid (a 1 MB blob inside a default 128 MB snappy row group
+        # made every pid load decompress the whole group — measured
+        # 0.26 M probes/s; filter blobs are high-entropy, compression
+        # buys nothing). File grouping is a DETERMINISTIC hash
+        # repartition on pid//64 — repartitionByRange samples its child,
+        # which re-executes the whole build reduce stage a second time
+        # (measured 3.80 s → 2.87 s at 1e7/P=128; the waste scales with
+        # the build). Hash collisions may put two pid ranges in one
+        # file; sortWithinPartitions keeps each file one sorted run, so
+        # row-group stat pruning is unaffected.
+        (partials.withColumn("__fg", (F.col("pid") / 64).cast("int"))
+         .repartition(max(1, (hi - lo) // 64), "__fg").drop("__fg")
          .sortWithinPartitions("pid")
          .write.mode("append")
          .option("parquet.block.size", str(4 * 1024 * 1024))
