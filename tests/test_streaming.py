@@ -277,3 +277,49 @@ def test_windowed_hll_non_utc_session_timezone(spark, events_stream_dir,
             assert abs(last.loc[w, "n_est"] - c) / c < 0.08
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_windowed_hll_restart_from_checkpoint(spark, tmp_path):
+    """A windowed_distinct_hll stream stopped and RESTARTED from its own
+    checkpoint must keep its accumulated state (the grouping-column set
+    defines the state-store key schema — adding window_ms as a group key
+    would make every existing checkpoint unreadable, which is why it
+    travels as a data column)."""
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    half1 = str(tmp_path / "h1")
+    src.where("event_id % 2 = 0").coalesce(1).write.parquet(half1)
+    sink = str(tmp_path / "sink")
+
+    def run_once():
+        stream = (spark.readStream
+                  .schema(src.schema).option("maxFilesPerTrigger", 1)
+                  .parquet(half1)
+                  .select("ts", F.xxhash64("user_id").alias("key")))
+        out = windowed_distinct_hll(stream, "ts", "key", window="1 day",
+                                    watermark="40 days", p=12)
+        # memory sink can't recover from a checkpoint; foreachBatch can
+        q = (out.writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(sink))
+             .outputMode("update")
+             .option("checkpointLocation", str(tmp_path / "ck_r"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    run_once()
+    assert spark.read.parquet(sink).count() > 0
+    # second half arrives; restart from the SAME checkpoint
+    src.where("event_id % 2 = 1").coalesce(1).write.mode("append") \
+       .parquet(half1)
+    run_once()  # must not raise StateSchemaNotCompatible
+
+    exact = {r.w: r.c for r in
+             (src.select(F.window(F.col("ts").cast("timestamp"), "1 day")
+                         .start.cast("string").alias("w"), "user_id")
+              .groupBy("w").agg(F.countDistinct("user_id").alias("c"))
+              .collect())}
+    res = spark.read.parquet(sink).toPandas()
+    # HLL only grows: max n_est per window is the final estimate
+    last = res.groupby("window_start")["n_est"].max()
+    # state survived the restart: estimates reflect BOTH halves
+    for w, c in exact.items():
+        assert abs(last[w] - c) / c < 0.1, (w, c)
