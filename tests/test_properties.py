@@ -106,3 +106,68 @@ def test_route_pid_in_range_and_deterministic(keys, salt, p):
     pids = route_pid(keys, salt, p)
     assert ((pids >= 0) & (pids < p)).all()
     assert (pids == route_pid(keys, salt, p)).all()
+
+
+# ---------------------------------------------------------------------------
+# r3: simhash segment-reduce kernel + pure-numpy media codecs
+# ---------------------------------------------------------------------------
+
+doc_lists = st.lists(
+    st.one_of(
+        st.none(),
+        st.lists(st.integers(min_value=-2**63, max_value=2**63 - 1),
+                 min_size=0, max_size=30),
+    ),
+    min_size=0, max_size=40,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(docs=doc_lists)
+def test_simhash_segments_matches_per_doc_reference(docs):
+    """The flattened segment-reduce kernel is bit-identical to the
+    per-doc majority-vote definition for ANY doc structure — including
+    empty docs, null docs, and either at the batch boundary (the
+    trailing-empty clamp bug class)."""
+    from fastfilter_spark.pipeline.dedup import _simhash_segments
+
+    bitw = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+    exp = np.zeros(len(docs), dtype=np.int64)
+    for i, hs in enumerate(docs):
+        if hs is None or len(hs) == 0:
+            continue
+        h = np.asarray(hs, dtype=np.int64).view(np.uint64)
+        score = ((h[:, None] & bitw[None, :]) != 0).sum(axis=0) * 2 - len(h)
+        exp[i] = np.int64((bitw[score > 0]).sum(dtype=np.uint64)
+                          .astype(np.uint64).view(np.int64))
+
+    lens = np.array([0 if d is None else len(d) for d in docs],
+                    dtype=np.int64)
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    flat = (np.concatenate(
+        [np.asarray(d, dtype=np.int64) for d in docs
+         if d is not None and len(d)])
+        if lens.sum() else np.empty(0, np.int64))
+    valid = np.array([d is not None for d in docs], dtype=bool)
+    got = _simhash_segments(flat, offs, valid)
+    assert np.array_equal(got, exp)
+
+
+@settings(max_examples=40, deadline=None)
+@given(h=st.integers(1, 12), w=st.integers(1, 12), seed=st.integers(0, 2**31))
+def test_bmp_roundtrip_any_dims(h, w, seed):
+    from fastfilter_spark.pipeline import decode_bmp, encode_bmp
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+
+
+@settings(max_examples=40, deadline=None)
+@given(n=st.integers(0, 500), rate=st.sampled_from([8000, 16000, 44100]),
+       seed=st.integers(0, 2**31))
+def test_wav_roundtrip_any_length(n, rate, seed):
+    from fastfilter_spark.pipeline import decode_wav, encode_wav
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-32768, 32768, size=n, dtype=np.int16)
+    r, back = decode_wav(encode_wav(s, rate))
+    assert r == rate and np.array_equal(back, s)
