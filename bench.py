@@ -182,7 +182,11 @@ def _regressions(timings: dict, factor: float = 1.3) -> list:
         if not cands:
             return []
         with open(max(cands)[1]) as fh:
-            prev = json.load(fh).get("queries", {})
+            doc = json.load(fh)
+        # the driver's BENCH_r*.json wraps this script's JSON line
+        # under "parsed"; accept both the raw and the wrapped shape
+        prev = (doc.get("queries")
+                or doc.get("parsed", {}).get("queries") or {})
     except (OSError, ValueError):
         # the gate is informational — it must never cost the run its
         # one-line JSON after the whole suite has already executed
