@@ -40,10 +40,19 @@ def main() -> None:
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
 
-    def timed(name, fn):
-        t0 = time.time()
-        out = fn()
-        timings[name] = round(time.time() - t0, 3)
+    def timed(name, fn, reps=2):
+        # min-of-2 by default: the sandbox host throttles in multi-second
+        # windows (documented 3-10× swings — a single-shot minhash sample
+        # once read 29.5 s vs a 5.4 s min-of-3), and the driver runs this
+        # script once per round, so one bad window would masquerade as a
+        # regression in BENCH_r{N}. The 1e8 tier below keeps min-of-3.
+        best, out = None, None
+        for _ in range(reps):
+            t0 = time.time()
+            out = fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         return out
 
     # warm the JVM, python workers and the worker-side module once (not
