@@ -158,6 +158,22 @@ def q_sidecar_routed_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("contained"), 1).otherwise(0)).alias("n_contained"))
 
 
+def q_uniform_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exactly-k sample, oracle-exact: priority = first 52
+    bits of sha256(str(doc_id)||'#0') / 2^52 — every step exactly
+    float64-representable, so DuckDB reproduces the priorities (and
+    hence the selected ROWS) bit-for-bit. Plans as
+    TakeOrderedAndProject: per-partition top-k + driver merge, never a
+    full sort shuffle — the partitioning-independent replacement for
+    DataFrame.sample's partition-seeded RNG."""
+    from fastfilter_spark.spark import deterministic_sample, sample_priority
+    docs = _docs(spark, sf_dir)
+    out = deterministic_sample(docs, 50, "doc_id", seed=0)
+    return (out.select("doc_id", "lang",
+                       F.round(sample_priority("doc_id", 0), 9).alias("pri"))
+            .orderBy("doc_id"))
+
+
 def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 pricing summary: the canonical pure-Catalyst two-phase
     aggregation — partial sums map-side, ONE exchange of (flag, status)
@@ -1180,6 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "mg_top_terms": q_mg_top_terms,
         "hash_split": q_hash_split,
+        "uniform_sample": q_uniform_sample,
         "streaming_dedup": q_streaming_dedup,
         "tfidf_top_terms": q_tfidf_top_terms,
     }
@@ -1288,6 +1305,16 @@ def oracle_sql() -> dict[str, str]:
         "source_pruned_scan": ("SELECT doc_id FROM documents WHERE text IN "
                                "(SELECT text FROM documents WHERE lang = 'en') "
                                "ORDER BY doc_id"),
+        "uniform_sample": (
+            # recompute the 52-bit sha256-derived priority exactly:
+            # CAST('0x'||hex13 AS BIGINT) / 2^52 is precise in float64
+            "WITH pri AS (SELECT doc_id, lang, "
+            "CAST(CAST(concat('0x', substr(sha256(CAST(doc_id AS VARCHAR) "
+            "|| '#0'), 1, 13)) AS BIGINT) AS DOUBLE) / 4503599627370496.0 "
+            "AS pri FROM documents) "
+            "SELECT doc_id, lang, ROUND(pri, 9) AS pri FROM "
+            "(SELECT * FROM pri ORDER BY pri, doc_id LIMIT 50) "
+            "ORDER BY doc_id"),
         "q1_pricing_summary": (
             "SELECT l_returnflag AS returnflag, l_linestatus AS linestatus, "
             "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "

@@ -8,7 +8,8 @@ from .asof import asof_join
 from .rangejoin import interval_join
 from .session import get_spark
 from .skew import salted_join
-from .sampling import hash_sample, hash_sample_pred, hash_split
+from .sampling import (deterministic_sample, hash_sample,
+                       hash_sample_pred, hash_split, sample_priority)
 from .sketch_agg import (cms_agg, cms_query, hll_agg, kll_agg, mg_agg,
                          tdigest_agg, theta_agg)
 
@@ -21,4 +22,5 @@ __all__ = [
     "write_bucketed", "salted_join", "asof_join", "interval_join",
     "build_filter_sidecar", "cuckoo_update",
     "mg_agg", "hash_sample", "hash_sample_pred", "hash_split",
+    "deterministic_sample", "sample_priority",
 ]

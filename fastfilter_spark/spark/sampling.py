@@ -76,3 +76,47 @@ def hash_split(df: DataFrame, key_col: str, weights: Sequence[float],
         out.append(df.where((bucket >= F.lit(lo)) & (bucket < F.lit(hi))))
         lo = hi
     return out
+
+
+def sample_priority(id_col, seed: int = 0, weight_col=None) -> Column:
+    """Deterministic per-row sampling priority (smaller = selected
+    first): u from the first 52 bits (13 hex chars) of
+    sha256(str(id) || '#' || seed) scaled to [0, 1).
+
+    52 bits keep every arithmetic step exactly float64-representable
+    (conv → decimal string → double is exact below 2^53, and /2^52 is
+    a power-of-two scale), so ANY engine with sha256(VARCHAR) — e.g.
+    the DuckDB oracle — reproduces the priorities bit-for-bit; cross-
+    engine order comparisons can never flip on a ulp.
+
+    ``weight_col`` gives an Efraimidis–Spirakis weighted priority
+    -ln(u)/w (P(key_i < key_j) = w_i/(w_i+w_j)): principled weighted
+    sampling without replacement, but ln() is libm-dependent — use it
+    in single-engine pipelines, not where bit-exact cross-engine
+    parity is required.
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    hx = F.sha2(F.concat(c.cast("string"), F.lit(f"#{seed}")), 256)
+    v = F.conv(F.substring(hx, 1, 13), 16, 10).cast("double")
+    u = v / F.lit(float(1 << 52))
+    if weight_col is None:
+        return u
+    w = (F.col(weight_col) if isinstance(weight_col, str)
+         else weight_col).cast("double")
+    return -F.log(u) / w
+
+
+def deterministic_sample(df: DataFrame, k: int, id_col: str,
+                         seed: int = 0, weight_col=None) -> DataFrame:
+    """Exactly-k deterministic sample without replacement: order by
+    :func:`sample_priority` (ties broken by id) and take k. Plans as
+    TakeOrderedAndProject — per-partition top-k then a driver merge of
+    P·k candidate rows, never a full sort shuffle — so it holds at any
+    input scale for the small k a sample implies. Re-running, and
+    re-running after ANY repartition, yields the identical sample
+    (contrast ``DataFrame.sample``'s partition-seeded RNG)."""
+    pri = sample_priority(id_col, seed, weight_col).alias("__pri")
+    return (df.select("*", pri)
+            .orderBy(F.col("__pri"), F.col(id_col))
+            .limit(k)
+            .drop("__pri"))

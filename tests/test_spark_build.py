@@ -718,3 +718,31 @@ def test_sidecar_resume_refuses_unverifiable_partials(spark, corpus_df,
     with _pytest.raises(ValueError, match="no build_params.json"):
         build_filter_sidecar(keys, sc, kind="bf8", num_partitions=16,
                              batches=4, resume=True)
+
+
+def test_deterministic_sample_partitioning_independent(spark):
+    """deterministic_sample must select the SAME rows regardless of
+    partitioning (the failure mode of DataFrame.sample's
+    partition-seeded RNG), support nested-seed reproducibility, and
+    plan as TakeOrderedAndProject (no full sort shuffle)."""
+    from fastfilter_spark.spark import deterministic_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = deterministic_sample(docs, 20, "doc_id", seed=1)
+    b = deterministic_sample(docs.repartition(17), 20, "doc_id", seed=1)
+    ids_a = sorted(r.doc_id for r in a.select("doc_id").collect())
+    ids_b = sorted(r.doc_id for r in b.select("doc_id").collect())
+    assert ids_a == ids_b and len(ids_a) == 20
+
+    # different seed → (almost surely) different sample
+    c = deterministic_sample(docs, 20, "doc_id", seed=2)
+    assert sorted(r.doc_id for r in c.select("doc_id").collect()) != ids_a
+
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+    # weighted: heavier rows dominate the selection
+    w = docs.withColumn("w", (F.col("doc_id") < 50).cast("int") * 1000 + 1)
+    heavy = deterministic_sample(w, 20, "doc_id", seed=3, weight_col="w")
+    n_heavy = heavy.where("doc_id < 50").count()
+    assert n_heavy >= 15   # 1000x weight on 50 of ~1200 rows
