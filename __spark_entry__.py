@@ -158,6 +158,26 @@ def q_sidecar_routed_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("contained"), 1).otherwise(0)).alias("n_contained"))
 
 
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination, oracle-exact: docs 0-19 play the
+    benchmark corpus; every training doc's EXACT count of distinct
+    8-gram overlaps with it is computed filter-first (bf16 prunes the
+    exploded shingles, the confirm semi-join removes the FP
+    candidates), so the result equals DuckDB's plain exact n-gram
+    intersection. Self-hits make docs 0-19 and their exact copies
+    contaminated — a structural ground truth the oracle re-derives."""
+    from fastfilter_spark.pipeline import contamination_flags
+    docs = _docs(spark, sf_dir)
+    bench = docs.where("doc_id < 20")
+    out = contamination_flags(docs, bench, "text", "doc_id",
+                              shingle_k=8, min_hits=2)
+    return (out.where("contaminated")
+            .select(F.col("id").alias("doc_id"),
+                    F.col("n_hits").cast("long").alias("n_hits"),
+                    F.col("n_shingles").cast("long").alias("n_shingles"))
+            .orderBy("doc_id"))
+
+
 def q_uniform_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic exactly-k sample, oracle-exact: priority = first 52
     bits of sha256(str(doc_id)||'#0') / 2^52 — every step exactly
@@ -1197,6 +1217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mg_top_terms": q_mg_top_terms,
         "hash_split": q_hash_split,
         "uniform_sample": q_uniform_sample,
+        "decontamination": q_decontamination,
         "streaming_dedup": q_streaming_dedup,
         "tfidf_top_terms": q_tfidf_top_terms,
     }
@@ -1305,6 +1326,22 @@ def oracle_sql() -> dict[str, str]:
         "source_pruned_scan": ("SELECT doc_id FROM documents WHERE text IN "
                                "(SELECT text FROM documents WHERE lang = 'en') "
                                "ORDER BY doc_id"),
+        "decontamination": (
+            # exact 8-gram intersection counts; the Spark side is
+            # filter-pruned + confirm-joined and therefore exact too
+            f"WITH sh8 AS (SELECT doc_id, list_distinct(list_transform("
+            f"range(1, greatest(len({_TOKENS_SQL}) - 7, 1) + 1), "
+            f"i -> array_to_string(list_slice({_TOKENS_SQL}, i, i + 7), ' ')))"
+            " AS shl FROM documents), "
+            "bsh AS (SELECT DISTINCT unnest(shl) AS sh FROM sh8 "
+            "WHERE doc_id < 20), "
+            "hits AS (SELECT doc_id, COUNT(*) AS n_hits FROM "
+            "(SELECT doc_id, unnest(shl) AS sh FROM sh8) ds "
+            "JOIN bsh USING (sh) GROUP BY doc_id) "
+            "SELECT s.doc_id, CAST(h.n_hits AS BIGINT) AS n_hits, "
+            "CAST(len(s.shl) AS BIGINT) AS n_shingles "
+            "FROM sh8 s JOIN hits h USING (doc_id) "
+            "WHERE h.n_hits >= 2 ORDER BY doc_id"),
         "uniform_sample": (
             # recompute the 52-bit sha256-derived priority exactly:
             # CAST('0x'||hex13 AS BIGINT) / 2^52 is precise in float64

@@ -2,6 +2,7 @@ from .ann import (
     brute_force_topk, cosine_near_dups, hyperplane_signatures, ivf_assign,
     ivf_topk, lsh_topk, train_ivf_centroids,
 )
+from .decontam import contamination_flags
 from .dedup import (
     exact_dedup, distinct_by_content, jaccard_verify, lsh_bucket_stats,
     minhash_dedup, minhash_lsh_candidates, minhash_signatures,

@@ -435,3 +435,29 @@ def test_wav_decode_rejects_truncated_chunks():
     # truncated fmt chunk too
     with pytest.raises(ValueError):
         decode_wav(good[:20])
+
+
+def test_contamination_flags_exact(spark):
+    """Planted benchmark overlap must be found exactly: n_hits equals
+    the true distinct-shingle intersection (filter FP candidates are
+    removed by the confirm join), clean docs stay unflagged."""
+    from fastfilter_spark.pipeline import contamination_flags
+
+    bench_text = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [(0, bench_text)]                      # the benchmark doc
+    rows += [(1, "prefix words then " + bench_text + " plus a tail here"),
+             (2, "totally unrelated content about something else entirely "
+                 "with many distinct words one two three four five six")]
+    rows += [(3, bench_text)]                     # exact copy
+    train = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = train.where("doc_id = 0")
+
+    out = contamination_flags(train, bench, "text", "doc_id",
+                              shingle_k=4, min_hits=2).toPandas() \
+        .set_index("id").sort_index()
+    # doc 0/3: every shingle hits; doc 1 contains all of bench's 7
+    # 4-gram shingles; doc 2: zero hits
+    assert bool(out.loc[0, "contaminated"]) and bool(out.loc[3, "contaminated"])
+    assert bool(out.loc[1, "contaminated"])
+    assert out.loc[1, "n_hits"] == 7              # exact count, no FPs
+    assert out.loc[2, "n_hits"] == 0 and not out.loc[2, "contaminated"]
