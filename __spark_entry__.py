@@ -178,6 +178,20 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (dup-word fraction,
+    top-bigram fraction): all rational arithmetic (int/int division),
+    so DuckDB reproduces every value bit-for-bit."""
+    from fastfilter_spark.pipeline import repetition_stats
+    docs = _docs(spark, sf_dir)
+    out = repetition_stats(docs, "text", "doc_id")
+    return (out.select(F.col("id").alias("doc_id"),
+                       F.col("n_tokens").cast("long").alias("n_tokens"),
+                       F.round("dup_word_frac", 6).alias("dup_word_frac"),
+                       F.round("top_bigram_frac", 6).alias("top_bigram_frac"))
+            .orderBy("doc_id"))
+
+
 def q_uniform_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic exactly-k sample, oracle-exact: priority = first 52
     bits of sha256(str(doc_id)||'#0') / 2^52 — every step exactly
@@ -1217,6 +1231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mg_top_terms": q_mg_top_terms,
         "hash_split": q_hash_split,
         "uniform_sample": q_uniform_sample,
+        "repetition_stats": q_repetition_stats,
         "decontamination": q_decontamination,
         "streaming_dedup": q_streaming_dedup,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -1342,6 +1357,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(s.shl) AS BIGINT) AS n_shingles "
             "FROM sh8 s JOIN hits h USING (doc_id) "
             "WHERE h.n_hits >= 2 ORDER BY doc_id"),
+        "repetition_stats": (
+            f"WITH base AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents), "
+            "b AS (SELECT doc_id, list_transform(range(1, "
+            "greatest(len(t) - 1, 1) + 1), "
+            "i -> array_to_string(list_slice(t, i, i + 1), ' ')) AS bg "
+            "FROM base), "
+            "bc AS (SELECT doc_id, sh, COUNT(*) AS c FROM "
+            "(SELECT doc_id, unnest(bg) AS sh FROM b) GROUP BY doc_id, sh), "
+            "bs AS (SELECT doc_id, MAX(c) * 1.0 / SUM(c) AS tbf "
+            "FROM bc GROUP BY doc_id) "
+            "SELECT base.doc_id, CAST(len(t) AS BIGINT) AS n_tokens, "
+            "ROUND(1.0 - len(list_distinct(t)) * 1.0 / greatest(len(t), 1), 6) "
+            "AS dup_word_frac, "
+            "ROUND(COALESCE(bs.tbf, 0.0), 6) AS top_bigram_frac "
+            "FROM base LEFT JOIN bs USING (doc_id) ORDER BY doc_id"),
         "uniform_sample": (
             # recompute the 52-bit sha256-derived priority exactly:
             # CAST('0x'||hex13 AS BIGINT) / 2^52 is precise in float64

@@ -13,6 +13,7 @@ from .multimodal import (
     frame_sample, make_fake_media,
 )
 from .text import (
+    repetition_stats,
     bpe_token_count, char_count, doc_fingerprint, lang_id, punct_count,
     quality_features, shingles, stopword_count, token_count, tokens,
     with_text_analysis,

@@ -135,3 +135,38 @@ def with_text_analysis(df: DataFrame, text_col: str = "text") -> DataFrame:
     return (quality_features(df, text_col)
             .withColumn("fingerprint", doc_fingerprint(text_col))
             .withColumn("lang_pred", lang_id(F.col(text_col))))
+
+
+def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+
+    * ``dup_word_frac``  — 1 − distinct_tokens / total_tokens (pure
+      per-row Catalyst expressions, no shuffle);
+    * ``top_bigram_frac`` — count of the most frequent word bigram /
+      total bigrams, via explode → (doc, bigram) count → per-doc
+      max/sum — the same two-level aggregation shape as TF-IDF; both
+      shuffles key on the doc id so they stay balanced at corpus scale.
+
+    All outputs are rational (int/int division) — bit-identical across
+    engines. Repetitive documents (boilerplate, keyword stuffing,
+    degenerate generations) score high on either signal; filter with
+    e.g. ``dup_word_frac > 0.7 OR top_bigram_frac > 0.2``.
+    """
+    toks = tokens(text_col)
+    big = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
+    base = df.select(F.col(id_col).alias("id"), toks.alias("t"),
+                     big.alias("bg"))
+    per_doc = base.select(
+        "id",
+        F.size("t").alias("n_tokens"),
+        (F.lit(1.0) - F.size(F.array_distinct("t"))
+         / F.greatest(F.size("t"), F.lit(1))).alias("dup_word_frac"))
+    bg_counts = (base.select("id", F.explode("bg").alias("b"))
+                 .groupBy("id", "b").agg(F.count("*").alias("c")))
+    bg_stats = (bg_counts.groupBy("id")
+                .agg((F.max("c") / F.sum("c")).alias("top_bigram_frac")))
+    return (per_doc.join(bg_stats, "id", "left")
+            .withColumn("top_bigram_frac",
+                        F.coalesce("top_bigram_frac", F.lit(0.0))))

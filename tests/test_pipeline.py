@@ -461,3 +461,21 @@ def test_contamination_flags_exact(spark):
     assert bool(out.loc[1, "contaminated"])
     assert out.loc[1, "n_hits"] == 7              # exact count, no FPs
     assert out.loc[2, "n_hits"] == 0 and not out.loc[2, "contaminated"]
+
+
+def test_repetition_stats_flags_degenerate_docs(spark):
+    from fastfilter_spark.pipeline import repetition_stats
+
+    rows = [(0, "spam spam spam spam spam spam"),           # 1 distinct word
+            (1, "buy now buy now buy now buy now"),         # dominant bigram
+            (2, "a perfectly normal sentence with unique words only"),
+            (3, "")]                                        # empty doc
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = repetition_stats(df, "text", "doc_id").toPandas() \
+        .set_index("id").sort_index()
+    assert out.loc[0, "dup_word_frac"] > 0.8
+    # "buy now" is 4 of 7 bigrams
+    assert abs(out.loc[1, "top_bigram_frac"] - 4 / 7) < 1e-9
+    assert out.loc[2, "dup_word_frac"] == 0.0
+    assert out.loc[2, "top_bigram_frac"] < 0.2
+    assert out.loc[3, "n_tokens"] == 0                      # no crash
