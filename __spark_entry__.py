@@ -192,6 +192,23 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → clusters: connected components (min-label propagation)
+    over the exact blocked n-gram Jaccard pair edges. The oracle
+    recomputes both the edges (the ngram_jaccard_pairs SQL) and the
+    transitive closure (recursive CTE reachability → min reachable id
+    per vertex) — full row parity on (doc_id, component)."""
+    from fastfilter_spark.pipeline import (connected_components,
+                                           ngram_jaccard_pairs)
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", block_col="lang",
+                                threshold=0.5, shingle_k=3)
+    comp = connected_components(pairs)
+    return (comp.select(F.col("id").alias("doc_id"),
+                        F.col("comp").alias("component"))
+            .orderBy("doc_id"))
+
+
 def q_uniform_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic exactly-k sample, oracle-exact: priority = first 52
     bits of sha256(str(doc_id)||'#0') / 2^52 — every step exactly
@@ -1231,6 +1248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mg_top_terms": q_mg_top_terms,
         "hash_split": q_hash_split,
         "uniform_sample": q_uniform_sample,
+        "dedup_clusters": q_dedup_clusters,
         "repetition_stats": q_repetition_stats,
         "decontamination": q_decontamination,
         "streaming_dedup": q_streaming_dedup,
@@ -1372,6 +1390,23 @@ def oracle_sql() -> dict[str, str]:
             "AS dup_word_frac, "
             "ROUND(COALESCE(bs.tbf, 0.0), 6) AS top_bigram_frac "
             "FROM base LEFT JOIN bs USING (doc_id) ORDER BY doc_id"),
+        "dedup_clusters": (
+            # edges = the ngram_jaccard_pairs result (same cap/threshold),
+            # closure = recursive reachability, component = min reach id
+            f"WITH RECURSIVE sh AS (SELECT doc_id, lang, {_SHINGLES3_SQL} AS sh "
+            "FROM documents "
+            "QUALIFY COUNT(*) OVER (PARTITION BY lang) <= 100000), "
+            "pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+            "FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id "
+            "WHERE len(list_intersect(a.sh, b.sh)) * 1.0 "
+            "/ greatest(len(list_distinct(a.sh || b.sh)), 1) >= 0.5), "
+            "e AS (SELECT id_a AS u, id_b AS v FROM pr "
+            "UNION SELECT id_b, id_a FROM pr), "
+            "reach AS (SELECT DISTINCT u AS id, u AS comp FROM e "
+            "UNION SELECT e.v, reach.comp FROM reach JOIN e "
+            "ON e.u = reach.id) "
+            "SELECT id AS doc_id, MIN(comp) AS component FROM reach "
+            "GROUP BY id ORDER BY doc_id"),
         "uniform_sample": (
             # recompute the 52-bit sha256-derived priority exactly:
             # CAST('0x'||hex13 AS BIGINT) / 2^52 is precise in float64

@@ -3,6 +3,7 @@ from .ann import (
     ivf_topk, lsh_topk, train_ivf_centroids,
 )
 from .decontam import contamination_flags
+from .graph import connected_components
 from .dedup import (
     exact_dedup, distinct_by_content, jaccard_verify, lsh_bucket_stats,
     minhash_dedup, minhash_lsh_candidates, minhash_signatures,

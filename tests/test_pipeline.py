@@ -479,3 +479,26 @@ def test_repetition_stats_flags_degenerate_docs(spark):
     assert out.loc[2, "dup_word_frac"] == 0.0
     assert out.loc[2, "top_bigram_frac"] < 0.2
     assert out.loc[3, "n_tokens"] == 0                      # no crash
+
+
+def test_connected_components_chain_and_isolates(spark):
+    """Min-label propagation must close transitive chains (a-b, b-c →
+    one component) across multiple rounds, keep disjoint components
+    apart, and be deterministic (component = min member id)."""
+    from fastfilter_spark.pipeline import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),          # chain → component 1
+         (10, 11),                         # separate pair → component 10
+         (20, 21), (21, 22), (20, 22)],    # triangle → component 20
+        "id_a long, id_b long")
+    got = {r.id: r.comp for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+
+    # non-convergence guard fires on an adversarial bound
+    import pytest as _pytest
+    long_chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a long, id_b long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(long_chain, max_iter=2)
