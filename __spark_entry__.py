@@ -209,6 +209,34 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-10-per-lang deterministic sample — same bit-exact 52-bit
+    sha256 priorities as uniform_sample, ranked within each group, so
+    DuckDB reproduces the selected rows verbatim."""
+    from fastfilter_spark.spark import sample_priority, stratified_sample
+    docs = _docs(spark, sf_dir)
+    out = stratified_sample(docs, 10, "lang", "doc_id", seed=0)
+    return (out.select("doc_id", "lang",
+                       F.round(sample_priority("doc_id", 0), 9).alias("pri"))
+            .orderBy("lang", "doc_id"))
+
+
+def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-lang sequence packing (training-prep shard assignment):
+    deterministic order + running-token cumsum → shard id. Every step
+    (52-bit priorities, integer cumsum, /budget with floor) is exactly
+    reproducible, so DuckDB matches row-for-row."""
+    from fastfilter_spark.spark import pack_into_shards
+    from fastfilter_spark.pipeline import tokens
+    docs = _docs(spark, sf_dir).withColumn(
+        "n_toks", F.size(tokens("text")).cast("long"))
+    out = pack_into_shards(docs, "n_toks", 2000, "lang", "doc_id", seed=0)
+    return (out.groupBy("lang", "shard")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_toks").alias("shard_tokens"))
+            .orderBy("lang", "shard"))
+
+
 def q_uniform_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic exactly-k sample, oracle-exact: priority = first 52
     bits of sha256(str(doc_id)||'#0') / 2^52 — every step exactly
@@ -1248,6 +1276,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mg_top_terms": q_mg_top_terms,
         "hash_split": q_hash_split,
         "uniform_sample": q_uniform_sample,
+        "stratified_sample": q_stratified_sample,
+        "pack_shards": q_pack_shards,
         "dedup_clusters": q_dedup_clusters,
         "repetition_stats": q_repetition_stats,
         "decontamination": q_decontamination,
@@ -1407,6 +1437,23 @@ def oracle_sql() -> dict[str, str]:
             "ON e.u = reach.id) "
             "SELECT id AS doc_id, MIN(comp) AS component FROM reach "
             "GROUP BY id ORDER BY doc_id"),
+        "stratified_sample": (
+            "WITH pri AS (SELECT doc_id, lang, CAST(CAST(concat('0x', substr(sha256(CAST(doc_id AS VARCHAR) || '#0'), 1, 13)) AS BIGINT) AS DOUBLE) / 4503599627370496.0 AS pri FROM documents), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY lang "
+            "ORDER BY pri, doc_id) AS rn FROM pri) "
+            "SELECT doc_id, lang, ROUND(pri, 9) AS pri FROM r "
+            "WHERE rn <= 10 ORDER BY lang, doc_id"),
+        "pack_shards": (
+            f"WITH t AS (SELECT doc_id, lang, "
+            f"CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_toks, "
+            "CAST(CAST(concat('0x', substr(sha256(CAST(doc_id AS VARCHAR) || '#0'), 1, 13)) AS BIGINT) AS DOUBLE) / 4503599627370496.0 AS pri FROM documents), "
+            "c AS (SELECT lang, n_toks, CAST(FLOOR((SUM(n_toks) OVER "
+            "(PARTITION BY lang ORDER BY pri, doc_id "
+            "ROWS UNBOUNDED PRECEDING) - n_toks) / 2000.0) AS BIGINT) "
+            "AS shard FROM t) "
+            "SELECT lang, shard, COUNT(*) AS n_docs, "
+            "CAST(SUM(n_toks) AS BIGINT) AS shard_tokens FROM c "
+            "GROUP BY lang, shard ORDER BY lang, shard"),
         "uniform_sample": (
             # recompute the 52-bit sha256-derived priority exactly:
             # CAST('0x'||hex13 AS BIGINT) / 2^52 is precise in float64

@@ -120,3 +120,45 @@ def deterministic_sample(df: DataFrame, k: int, id_col: str,
             .orderBy(F.col("__pri"), F.col(id_col))
             .limit(k)
             .drop("__pri"))
+
+
+def stratified_sample(df: DataFrame, k_per_group: int, group_col: str,
+                      id_col: str, seed: int = 0,
+                      weight_col=None) -> DataFrame:
+    """Exactly-k-per-group deterministic sample: rank rows within each
+    group by :func:`sample_priority` (ties by id) and keep the top k.
+    One shuffle keyed on the group column; same partitioning-independent
+    reproducibility as :func:`deterministic_sample`, with the same
+    cross-engine-exact priorities when ``weight_col`` is None."""
+    from pyspark.sql import Window
+    pri = sample_priority(id_col, seed, weight_col)
+    w = Window.partitionBy(group_col).orderBy(pri, F.col(id_col))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k_per_group).drop("__rn"))
+
+
+def pack_into_shards(df: DataFrame, size_col: str, budget: int,
+                     group_col: str, id_col: str, seed: int = 0) -> DataFrame:
+    """Greedy sequence packing for training-data prep: within each
+    group, order rows deterministically (:func:`sample_priority`, ties
+    by id) and assign shard ids so consecutive rows accumulate until the
+    size budget is crossed — ``shard = floor((cumsum - size) / budget)``,
+    i.e. a row starts a new shard when the RUNNING TOTAL before it has
+    passed a budget boundary.
+
+    The running sum is a window over (group, deterministic order): the
+    shuffle keys on ``group_col``, so scale requires bounded groups —
+    pack per (lang, hash-bucket) or per date partition, never globally
+    (a global window is a single-task sort). Oversized single rows
+    occupy their own shard(s) rather than erroring — filter by
+    ``size_col > budget`` first if that matters.
+    """
+    from pyspark.sql import Window
+    pri = sample_priority(id_col, seed)
+    w = (Window.partitionBy(group_col).orderBy(pri, F.col(id_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum(F.col(size_col)).over(w)
+    return df.withColumn(
+        "shard",
+        F.floor((cum - F.col(size_col)) / F.lit(float(budget)))
+        .cast("long"))

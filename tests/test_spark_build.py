@@ -746,3 +746,28 @@ def test_deterministic_sample_partitioning_independent(spark):
     heavy = deterministic_sample(w, 20, "doc_id", seed=3, weight_col="w")
     n_heavy = heavy.where("doc_id < 50").count()
     assert n_heavy >= 15   # 1000x weight on 50 of ~1200 rows
+
+
+def test_stratified_sample_and_pack_shards(spark):
+    from fastfilter_spark.spark import pack_into_shards, stratified_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    s = stratified_sample(docs, 5, "lang", "doc_id", seed=0)
+    per = s.groupBy("lang").count().toPandas()
+    assert (per["count"] <= 5).all() and len(per) >= 2
+    # partitioning-independent
+    s2 = stratified_sample(docs.repartition(13), 5, "lang", "doc_id", seed=0)
+    assert sorted(r.doc_id for r in s.collect()) == \
+        sorted(r.doc_id for r in s2.collect())
+
+    from fastfilter_spark.spark import sample_priority
+    sized = docs.withColumn("n", (F.length("text") / 4).cast("long") + 1)
+    packed = pack_into_shards(sized, "n", 500, "lang", "doc_id") \
+        .withColumn("pri", sample_priority("doc_id", 0))
+    pdf = packed.toPandas()
+    # recompute the greedy packing in pandas over the SAME deterministic
+    # order — shards must match exactly
+    exp = pdf.sort_values(["lang", "pri", "doc_id"]).copy()
+    exp["cum"] = exp.groupby("lang")["n"].cumsum()
+    exp["exp_shard"] = ((exp["cum"] - exp["n"]) // 500).astype(int)
+    assert (exp["shard"] == exp["exp_shard"]).all()
