@@ -1407,16 +1407,17 @@ def oracle_sql() -> dict[str, str]:
             "WHERE h.n_hits >= 2 ORDER BY doc_id"),
         "repetition_stats": (
             f"WITH base AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents), "
-            "b AS (SELECT doc_id, list_transform(range(1, "
-            "greatest(len(t) - 1, 1) + 1), "
-            "i -> array_to_string(list_slice(t, i, i + 1), ' ')) AS bg "
-            "FROM base), "
+            "b AS (SELECT doc_id, CASE WHEN len(t) >= 2 THEN "
+            "list_transform(range(1, len(t)), "
+            "i -> array_to_string(list_slice(t, i, i + 1), ' ')) "
+            "ELSE [] END AS bg FROM base), "
             "bc AS (SELECT doc_id, sh, COUNT(*) AS c FROM "
             "(SELECT doc_id, unnest(bg) AS sh FROM b) GROUP BY doc_id, sh), "
             "bs AS (SELECT doc_id, MAX(c) * 1.0 / SUM(c) AS tbf "
             "FROM bc GROUP BY doc_id) "
             "SELECT base.doc_id, CAST(len(t) AS BIGINT) AS n_tokens, "
-            "ROUND(1.0 - len(list_distinct(t)) * 1.0 / greatest(len(t), 1), 6) "
+            "ROUND(CASE WHEN len(t) > 0 THEN "
+            "1.0 - len(list_distinct(t)) * 1.0 / len(t) ELSE 0.0 END, 6) "
             "AS dup_word_frac, "
             "ROUND(COALESCE(bs.tbf, 0.0), 6) AS top_bigram_frac "
             "FROM base LEFT JOIN bs USING (doc_id) ORDER BY doc_id"),

@@ -22,6 +22,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _propagation_round(sym: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-label round: neighbor-min via a vertex-keyed aggregation,
+    then least(own, neighbor). Factored out so tools/explain_plans.py
+    can audit the claim that a round shuffles only on the vertex id."""
+    nb = (sym.join(labels.withColumnRenamed("id", "v"), "v")
+          .groupBy("u").agg(F.min("comp").alias("nb_comp")))
+    return (labels.join(nb.withColumnRenamed("u", "id"), "id", "left")
+            .select("id", F.least(
+                "comp", F.coalesce("nb_comp", "comp")).alias("comp")))
+
+
 def connected_components(edges: DataFrame, src: str = "id_a",
                          dst: str = "id_b", max_iter: int = 20) -> DataFrame:
     """(id, component) for every vertex in ``edges``; component = the
@@ -30,6 +41,17 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     Raises if the label propagation has not converged after
     ``max_iter`` rounds (diameter > max_iter — raise the bound; each
     extra round is one shuffle)."""
+    def _free(df) -> None:
+        # free a superseded localCheckpoint's blocks NOW instead of
+        # waiting for GC + ContextCleaner — rounds × |V| copies would
+        # otherwise pile up in executor storage on big graphs.
+        # Best-effort through the internal RDD handle; a failure just
+        # defers to the ContextCleaner path.
+        try:
+            df._jdf.queryExecution().toRdd().unpersist(False)
+        except Exception:
+            pass
+
     sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
            .union(edges.select(F.col(dst).alias("u"),
                                F.col(src).alias("v")))
@@ -38,14 +60,11 @@ def connected_components(edges: DataFrame, src: str = "id_a",
               .withColumn("comp", F.col("id")))
     labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iter):
-        nb = (sym.join(labels.withColumnRenamed("id", "v"), "v")
-              .groupBy("u").agg(F.min("comp").alias("nb_comp")))
-        new = (labels.join(nb.withColumnRenamed("u", "id"), "id", "left")
-               .select("id", F.least(
-                   "comp", F.coalesce("nb_comp", "comp")).alias("comp")))
+        new = _propagation_round(sym, labels)
         new = new.localCheckpoint(eager=True)
         changed = (new.alias("n").join(labels.alias("o"), "id")
                    .where(F.col("n.comp") != F.col("o.comp")).count())
+        _free(labels)
         labels = new
         if changed == 0:
             return labels

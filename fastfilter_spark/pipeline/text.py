@@ -153,16 +153,22 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     e.g. ``dup_word_frac > 0.7 OR top_bigram_frac > 0.2``.
     """
     toks = tokens(text_col)
-    big = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
+    # docs with <2 tokens have NO bigrams (an empty array, not a phantom
+    # one-word "bigram" — that would score empty/one-word docs as
+    # maximally repetitive); their top_bigram_frac coalesces to 0.0
+    big = F.when(
+        F.size(toks) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
+    ).otherwise(F.array().cast("array<string>"))
     base = df.select(F.col(id_col).alias("id"), toks.alias("t"),
                      big.alias("bg"))
     per_doc = base.select(
         "id",
         F.size("t").alias("n_tokens"),
-        (F.lit(1.0) - F.size(F.array_distinct("t"))
-         / F.greatest(F.size("t"), F.lit(1))).alias("dup_word_frac"))
+        F.when(F.size("t") > 0,
+               F.lit(1.0) - F.size(F.array_distinct("t")) / F.size("t"))
+        .otherwise(F.lit(0.0)).alias("dup_word_frac"))
     bg_counts = (base.select("id", F.explode("bg").alias("b"))
                  .groupBy("id", "b").agg(F.count("*").alias("c")))
     bg_stats = (bg_counts.groupBy("id")

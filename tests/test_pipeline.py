@@ -478,7 +478,10 @@ def test_repetition_stats_flags_degenerate_docs(spark):
     assert abs(out.loc[1, "top_bigram_frac"] - 4 / 7) < 1e-9
     assert out.loc[2, "dup_word_frac"] == 0.0
     assert out.loc[2, "top_bigram_frac"] < 0.2
-    assert out.loc[3, "n_tokens"] == 0                      # no crash
+    # empty doc: NO phantom bigram, both signals 0 (not maximally bad)
+    assert out.loc[3, "n_tokens"] == 0
+    assert out.loc[3, "dup_word_frac"] == 0.0
+    assert out.loc[3, "top_bigram_frac"] == 0.0
 
 
 def test_connected_components_chain_and_isolates(spark):

@@ -236,6 +236,40 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
                    "no SortMergeJoin)",
                    n_ex14 <= 3 and "SortMergeJoin" not in p14))
 
+    # 15. r3 operator plan-shape claims (CLAUDE.md checklist):
+    # decontamination's exact confirm must broadcast the SMALL benchmark
+    # shingle side; the packing/stratified windows must shuffle on the
+    # GROUP column, never collapse to a single-partition global sort;
+    # a connected-components propagation round shuffles only on the
+    # vertex id (one aggregate exchange + the join exchanges on id/v —
+    # no SortMergeJoin on a non-vertex key, no SinglePartition).
+    from fastfilter_spark.pipeline import contamination_flags
+    from fastfilter_spark.pipeline.graph import _propagation_round
+    from fastfilter_spark.spark import pack_into_shards, stratified_sample
+    p15a = plan_of(contamination_flags(docs, docs.limit(20), "text",
+                                       "doc_id", shingle_k=8))
+    checks.append(("decontam: confirm join broadcasts the benchmark side",
+                   "BroadcastHashJoin" in p15a
+                   and "ArrowEvalPython" in p15a))
+    docs_sz = docs.select("doc_id", "lang",
+                          F.length("text").alias("n"))
+    p15b = plan_of(pack_into_shards(docs_sz, "n", 1000, "lang", "doc_id"))
+    p15c = plan_of(stratified_sample(docs, 5, "lang", "doc_id"))
+    ok_window = all("SinglePartition" not in p
+                    and "hashpartitioning(lang" in p
+                    for p in (p15b, p15c))
+    checks.append(("pack/stratified windows shuffle on the group column "
+                   "(no single-partition global sort)", ok_window))
+    e15 = docs.select(F.col("doc_id").alias("u"),
+                      (F.col("doc_id") % 50).alias("v"))
+    l15 = e15.select(F.col("u").alias("id")).distinct() \
+             .withColumn("comp", F.col("id"))
+    p15d = plan_of(_propagation_round(e15, l15))
+    part_keys = set(re.findall(r"hashpartitioning\((\w+)", p15d))
+    checks.append((f"CC round: exchanges keyed on vertex cols only "
+                   f"({sorted(part_keys)})",
+                   part_keys <= {"u", "v", "id", "comp"}))
+
     print(p2)
     print(p3[:3000])
     ok = True
