@@ -237,6 +237,19 @@ def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("lang", "shard"))
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling: per-lang keep-fractions applied via the
+    bit-exact 52-bit priorities — DuckDB recomputes the kept rows
+    verbatim (CASE per lang, same < comparison on identical doubles)."""
+    from fastfilter_spark.spark import mixture_sample
+    docs = _docs(spark, sf_dir)
+    out = mixture_sample(docs, "lang",
+                         {"en": 0.5, "de": 0.2, "fr": 0.1}, "doc_id",
+                         seed=0, default_fraction=0.05)
+    return (out.groupBy("lang").agg(F.count("*").alias("n_kept"))
+            .orderBy("lang"))
+
+
 def q_uniform_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic exactly-k sample, oracle-exact: priority = first 52
     bits of sha256(str(doc_id)||'#0') / 2^52 — every step exactly
@@ -1276,6 +1289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mg_top_terms": q_mg_top_terms,
         "hash_split": q_hash_split,
         "uniform_sample": q_uniform_sample,
+        "mixture_sample": q_mixture_sample,
         "stratified_sample": q_stratified_sample,
         "pack_shards": q_pack_shards,
         "dedup_clusters": q_dedup_clusters,
@@ -1455,6 +1469,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, shard, COUNT(*) AS n_docs, "
             "CAST(SUM(n_toks) AS BIGINT) AS shard_tokens FROM c "
             "GROUP BY lang, shard ORDER BY lang, shard"),
+        "mixture_sample": (
+            "WITH p AS (SELECT lang, CAST(CAST(concat('0x', substr(sha256(CAST(doc_id AS VARCHAR) || '#0'), 1, 13)) AS BIGINT) AS DOUBLE) / 4503599627370496.0 AS pri FROM documents) "
+            "SELECT lang, COUNT(*) AS n_kept FROM p "
+            "WHERE pri < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.2 "
+            "WHEN 'fr' THEN 0.1 ELSE 0.05 END "
+            "GROUP BY lang ORDER BY lang"),
         "uniform_sample": (
             # recompute the 52-bit sha256-derived priority exactly:
             # CAST('0x'||hex13 AS BIGINT) / 2^52 is precise in float64

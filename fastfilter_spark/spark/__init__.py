@@ -9,7 +9,8 @@ from .rangejoin import interval_join
 from .session import get_spark
 from .skew import salted_join
 from .sampling import (deterministic_sample, hash_sample,
-                       hash_sample_pred, hash_split, pack_into_shards,
+                       hash_sample_pred, hash_split, mixture_sample,
+                       pack_into_shards,
                        sample_priority, stratified_sample)
 from .sketch_agg import (cms_agg, cms_query, hll_agg, kll_agg, mg_agg,
                          tdigest_agg, theta_agg)
@@ -24,5 +25,5 @@ __all__ = [
     "build_filter_sidecar", "cuckoo_update",
     "mg_agg", "hash_sample", "hash_sample_pred", "hash_split",
     "deterministic_sample", "sample_priority", "stratified_sample",
-    "pack_into_shards",
+    "pack_into_shards", "mixture_sample",
 ]

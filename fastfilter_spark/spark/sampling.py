@@ -162,3 +162,32 @@ def pack_into_shards(df: DataFrame, size_col: str, budget: int,
         "shard",
         F.floor((cum - F.col(size_col)) / F.lit(float(budget)))
         .cast("long"))
+
+
+def mixture_sample(df: DataFrame, group_col: str, fractions: dict,
+                   id_col: str, seed: int = 0,
+                   default_fraction: float = 0.0) -> DataFrame:
+    """Domain-mixture sampling: keep each group at its own fraction
+    (upweight curated domains, downweight crawl) — row kept ⇔
+    priority(id) < fraction[group]. Priorities are the 52-bit
+    sha256-derived uniforms of :func:`sample_priority`, so the decision
+    is a pure per-row function of (id, seed, group fraction):
+    partitioning-independent, reproducible, NESTED across fractions
+    (raising a group's fraction only ADDS rows — mixtures can be grown
+    without resampling), and bit-exactly recomputable by any engine
+    with sha256. Pure Catalyst: one broadcast join against the tiny
+    fractions table, no shuffle of ``df``.
+    """
+    for g, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for {g!r} must be in [0,1], got {f}")
+    spark = df.sparkSession
+    frac_df = spark.createDataFrame(
+        [(g, float(f)) for g, f in fractions.items()],
+        f"{group_col} string, __frac double")
+    pri = sample_priority(id_col, seed)
+    return (df.join(F.broadcast(frac_df), group_col, "left")
+            .withColumn("__frac",
+                        F.coalesce("__frac", F.lit(float(default_fraction))))
+            .where(pri < F.col("__frac"))
+            .drop("__frac"))

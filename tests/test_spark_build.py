@@ -771,3 +771,28 @@ def test_stratified_sample_and_pack_shards(spark):
     exp["cum"] = exp.groupby("lang")["n"].cumsum()
     exp["exp_shard"] = ((exp["cum"] - exp["n"]) // 500).astype(int)
     assert (exp["shard"] == exp["exp_shard"]).all()
+
+
+def test_mixture_sample_nested_and_partitioning_independent(spark):
+    from fastfilter_spark.spark import mixture_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    lo = mixture_sample(docs, "lang", {"en": 0.2}, "doc_id",
+                        default_fraction=0.1)
+    hi = mixture_sample(docs, "lang", {"en": 0.6}, "doc_id",
+                        default_fraction=0.1)
+    ids_lo = {r.doc_id for r in lo.select("doc_id").collect()}
+    ids_hi = {r.doc_id for r in hi.select("doc_id").collect()}
+    assert ids_lo <= ids_hi              # nested: raising a fraction only adds
+    assert len(ids_hi) > len(ids_lo)
+    # partitioning-independent
+    again = mixture_sample(docs.repartition(11), "lang", {"en": 0.2},
+                           "doc_id", default_fraction=0.1)
+    assert {r.doc_id for r in again.select("doc_id").collect()} == ids_lo
+    # rough rate sanity per group
+    n_en = docs.where("lang = 'en'").count()
+    k_en = lo.where("lang = 'en'").count()
+    assert abs(k_en / n_en - 0.2) < 0.08
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="must be in"):
+        mixture_sample(docs, "lang", {"en": 1.5}, "doc_id")
