@@ -250,6 +250,21 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("lang"))
 
 
+def q_sql_udf_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-function surface: register_sql exposes the broadcast
+    membership probe to plain spark.sql; same zero-FN invariant as the
+    membership queries."""
+    from fastfilter_spark.spark import build_partitioned_filter
+    keys = _doc_keys(spark, sf_dir).dropDuplicates(["key"]).cache()
+    pf = build_partitioned_filter(keys, kind="bf16", num_partitions=8)
+    pf.register_sql(spark, "ffsk_contains_q")
+    keys.createOrReplaceTempView("ffsk_probe_q")
+    return spark.sql(
+        "SELECT COUNT(*) AS n_probed, "
+        "SUM(CASE WHEN ffsk_contains_q(key) THEN 1 ELSE 0 END) "
+        "AS n_contained FROM ffsk_probe_q")
+
+
 def q_uniform_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic exactly-k sample, oracle-exact: priority = first 52
     bits of sha256(str(doc_id)||'#0') / 2^52 — every step exactly
@@ -1289,6 +1304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mg_top_terms": q_mg_top_terms,
         "hash_split": q_hash_split,
         "uniform_sample": q_uniform_sample,
+        "sql_udf_membership": q_sql_udf_membership,
         "mixture_sample": q_mixture_sample,
         "stratified_sample": q_stratified_sample,
         "pack_shards": q_pack_shards,
@@ -1475,6 +1491,9 @@ def oracle_sql() -> dict[str, str]:
             "WHERE pri < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.2 "
             "WHEN 'fr' THEN 0.1 ELSE 0.05 END "
             "GROUP BY lang ORDER BY lang"),
+        "sql_udf_membership": (
+            "SELECT COUNT(DISTINCT text) AS n_probed, "
+            "COUNT(DISTINCT text) AS n_contained FROM documents"),
         "uniform_sample": (
             # recompute the 52-bit sha256-derived priority exactly:
             # CAST('0x'||hex13 AS BIGINT) / 2^52 is precise in float64

@@ -84,6 +84,34 @@ class PartitionedFilter:
                                 self.routing)
         return df.withColumn(out_col, _contains(F.col(key_col), pid_expr))
 
+    def register_sql(self, spark, name: str = "ffsk_contains") -> str:
+        """Expose membership as a SQL function: after
+        ``pf.register_sql(spark, "ffsk_contains")``, plain
+        ``spark.sql("SELECT * FROM t WHERE ffsk_contains(key)")`` probes
+        this filter — the same broadcast blobs + vectorized kernel as
+        :meth:`with_contains`, packaged for SQL-only users. The pid is
+        recomputed inside the kernel from the key (numpy route replica),
+        so the UDF takes ONE argument and composes anywhere a boolean
+        expression can. Only valid for xxhash_pmod routing (the numpy
+        replica); raises otherwise. Returns ``name``."""
+        if self.routing != ROUTING_XXHASH_PMOD:
+            raise ValueError("register_sql requires xxhash_pmod routing "
+                             "(rows-mode filters have no numpy pid replica)")
+        from .. import workerside
+        bc = spark.sparkContext.broadcast((self.token, self.blobs))
+        P, salt = self.num_partitions, self.salt
+
+        @F.pandas_udf("boolean")
+        def _contains_sql(key: pd.Series) -> pd.Series:
+            from ..core.hashing import route_pid
+            from ..spark.keys import pd_to_u64
+            pids = pd.Series(route_pid(pd_to_u64(key), salt, P))
+            # contains_kernel masks NULL keys to False itself
+            return workerside.contains_kernel(bc.value, key, pids)
+
+        spark.udf.register(name, _contains_sql)
+        return name
+
     def contains_local(self, keys: np.ndarray) -> np.ndarray:
         """Driver-side probe without a Spark job (tests/bench/sources).
 

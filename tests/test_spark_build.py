@@ -796,3 +796,28 @@ def test_mixture_sample_nested_and_partitioning_independent(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="must be in"):
         mixture_sample(docs, "lang", {"en": 1.5}, "doc_id")
+
+
+def test_register_sql_contains_udf(spark, corpus_df):
+    """pf.register_sql exposes membership to SQL-only users: same
+    zero-FN semantics as with_contains, NULL keys not members, and
+    rows-mode filters (no numpy pid replica) are rejected."""
+    import pytest as _pytest
+
+    keys = keys_from_content(corpus_df, "content").cache()
+    pf = build_partitioned_filter(keys, kind="bf16", num_partitions=8)
+    name = pf.register_sql(spark, "ffsk_contains_t")
+    keys.union(spark.createDataFrame([(None,)], "key long")) \
+        .createOrReplaceTempView("probe_t")
+    res = spark.sql(
+        f"SELECT COUNT(*) AS n, "
+        f"SUM(CASE WHEN {name}(key) THEN 1 ELSE 0 END) AS n_in, "
+        f"SUM(CASE WHEN key IS NULL AND {name}(key) THEN 1 ELSE 0 END) "
+        f"AS null_in FROM probe_t").collect()[0]
+    assert res.n_in == res.n - 1          # all real keys in, zero FN
+    assert res.null_in == 0               # NULL is never a member
+
+    pf_rows = build_partitioned_filter(keys, kind="bf8", num_partitions=8,
+                                       shuffle_mode="rows")
+    with _pytest.raises(ValueError, match="xxhash_pmod"):
+        pf_rows.register_sql(spark, "nope")
