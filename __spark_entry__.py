@@ -265,6 +265,61 @@ def q_sql_udf_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         "AS n_contained FROM ffsk_probe_q")
 
 
+def q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming frequency sketch: events replayed with availableNow
+    through the generic incremental sink (Misra-Gries over
+    xxhash64(event_type)); the folded sketch's estimate for each
+    event_type must satisfy the deterministic MG two-sided bound
+    mg_est ≤ exact ≤ mg_est + deficit, and every type with freq >
+    n/(k+1) must be PRESENT — micro-batch boundaries cannot change any
+    of this because MG merge is exact-associative. Output: exact counts
+    (oracle-recomputable) + an all-types bound check."""
+    import tempfile
+    import uuid as _uuid
+    import pandas as pd
+    from fastfilter_spark.sketches import MisraGries
+    from fastfilter_spark.spark import pd_to_u64
+    from fastfilter_spark.streaming import (incremental_any_sketch_sink,
+                                            read_incremental_sketch)
+    import os
+    ev = _events(spark, sf_dir)
+    state = tempfile.mkdtemp(prefix="ffsk_stopk_")
+    # events.parquet may be a single FILE; readStream needs a directory
+    stream_dir = tempfile.mkdtemp(prefix="ffsk_stopk_src_")
+    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"),
+               os.path.join(stream_dir, "events.parquet"))
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(stream_dir)
+              .select(F.xxhash64("event_type").alias("key")))
+    qy = incremental_any_sketch_sink(
+        stream, state, kind="mg", checkpoint_dir=state + "/ck", k=16)
+    if not qy.awaitTermination(300):
+        qy.stop()
+        raise TimeoutError("streaming_topk did not finish in 300 s")
+    mg = read_incremental_sketch(state, "mg")
+    bc = spark.sparkContext.broadcast(mg.to_bytes())
+
+    @F.pandas_udf("long")
+    def _est(key: pd.Series) -> pd.Series:
+        m = MisraGries.from_bytes(bc.value)
+        return pd.Series(m.query(pd_to_u64(key)))
+
+    n_total, deficit = int(mg.n_total), int(mg.deficit)
+    exact = (ev.groupBy("event_type")
+             .agg(F.count("*").alias("exact_cnt"))
+             .withColumn("key", F.xxhash64("event_type"))
+             .withColumn("mg_est", _est("key")))
+    ok = ((F.col("mg_est") <= F.col("exact_cnt"))
+          & (F.col("exact_cnt") <= F.col("mg_est") + F.lit(deficit))
+          & ((F.col("exact_cnt") <= F.lit(n_total / 17.0))
+             | (F.col("mg_est") > 0)))
+    return (exact.groupBy().agg(
+        F.count("*").alias("n_types"),
+        F.sum("exact_cnt").alias("n_events"),
+        F.min(ok.cast("int")).cast("boolean").alias("mg_bounds_ok")))
+
+
 def q_uniform_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic exactly-k sample, oracle-exact: priority = first 52
     bits of sha256(str(doc_id)||'#0') / 2^52 — every step exactly
@@ -1304,6 +1359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mg_top_terms": q_mg_top_terms,
         "hash_split": q_hash_split,
         "uniform_sample": q_uniform_sample,
+        "streaming_topk": q_streaming_topk,
         "sql_udf_membership": q_sql_udf_membership,
         "mixture_sample": q_mixture_sample,
         "stratified_sample": q_stratified_sample,
@@ -1494,6 +1550,9 @@ def oracle_sql() -> dict[str, str]:
         "sql_udf_membership": (
             "SELECT COUNT(DISTINCT text) AS n_probed, "
             "COUNT(DISTINCT text) AS n_contained FROM documents"),
+        "streaming_topk": (
+            "SELECT COUNT(DISTINCT event_type) AS n_types, "
+            "COUNT(*) AS n_events, TRUE AS mg_bounds_ok FROM events"),
         "uniform_sample": (
             # recompute the 52-bit sha256-derived priority exactly:
             # CAST('0x'||hex13 AS BIGINT) / 2^52 is precise in float64

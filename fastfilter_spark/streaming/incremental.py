@@ -409,3 +409,89 @@ def dedup_stream(stream: DataFrame, key_col: str,
         return (stream.withWatermark(event_time_col, watermark)
                 .dropDuplicatesWithinWatermark([key_col]))
     return stream.dropDuplicates([key_col])
+
+
+_STREAM_SKETCHES = {
+    # kind -> (factory kwargs -> sketch, filename). Every entry is a
+    # MERGEABLE sketch, so batch-partial ⊕ state is exact regardless of
+    # micro-batch boundaries (the invariant this sink relies on).
+    "hll": (lambda **kw: __import__(
+        "fastfilter_spark.sketches", fromlist=["HyperLogLog"])
+        .HyperLogLog(kw.get("p", 14)), "hll.bin"),
+    "cms": (lambda **kw: __import__(
+        "fastfilter_spark.sketches", fromlist=["CountMinSketch"])
+        .CountMinSketch(kw.get("eps", 1e-4), kw.get("delta", 0.01)),
+        "cms.bin"),
+    "theta": (lambda **kw: __import__(
+        "fastfilter_spark.sketches", fromlist=["ThetaSketch"])
+        .ThetaSketch(kw.get("k", 4096)), "theta.bin"),
+    "mg": (lambda **kw: __import__(
+        "fastfilter_spark.sketches", fromlist=["MisraGries"])
+        .MisraGries(kw.get("k", 64)), "mg.bin"),
+}
+
+
+def incremental_any_sketch_sink(stream_keys: DataFrame, state_dir: str,
+                                kind: str = "hll", key_col: str = "key",
+                                checkpoint_dir: str | None = None,
+                                trigger_available_now: bool = True,
+                                **sketch_kwargs):
+    """Generalized :func:`incremental_sketch_sink`: fold each
+    micro-batch's keys into ANY mergeable sketch (hll / cms / theta /
+    mg) — same exactly-once batch-id marker, same distributed
+    partial-per-partition → driver-merge shape (the shuffle-free
+    streaming analogue of the batch two-phase aggregation)."""
+    if kind not in _STREAM_SKETCHES:
+        raise ValueError(f"unknown sketch kind {kind!r}: "
+                         f"{sorted(_STREAM_SKETCHES)}")
+    make, fname = _STREAM_SKETCHES[kind]
+    os.makedirs(state_dir, exist_ok=True)
+    blob_path = os.path.join(state_dir, fname)
+    meta_path = os.path.join(state_dir, "state.json")
+    _guard_marker_without_checkpoint(meta_path, checkpoint_dir)
+    cls = type(make(**sketch_kwargs))
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                if json.load(fh).get("last_batch", -1) >= batch_id:
+                    return  # replayed batch — already folded
+
+        def _partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            sk = make(**sketch_kwargs)
+            seen = False
+            for pdf in batches:
+                if len(pdf):
+                    sk.add(pd_to_u64(pdf[key_col].dropna()))
+                    seen = True
+            if seen:
+                yield pd.DataFrame({"blob": [sk.to_bytes()]})
+
+        partials = (batch_df.select(key_col)
+                    .where(F.col(key_col).isNotNull())
+                    .mapInPandas(_partial, "blob binary").collect())
+        acc = (cls.from_bytes(open(blob_path, "rb").read())
+               if os.path.exists(blob_path) else make(**sketch_kwargs))
+        for row in partials:
+            acc = acc.merge(cls.from_bytes(bytes(row.blob)))
+        tmp = blob_path + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(acc.to_bytes())
+        os.replace(tmp, blob_path)
+        with open(meta_path, "w") as fh:
+            json.dump({"last_batch": batch_id}, fh)
+
+    writer = stream_keys.writeStream.foreachBatch(_fold)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_incremental_sketch(state_dir: str, kind: str):
+    """Load the folded sketch object back (estimate/query on it)."""
+    make, fname = _STREAM_SKETCHES[kind]
+    cls = type(make())
+    with open(os.path.join(state_dir, fname), "rb") as fh:
+        return cls.from_bytes(fh.read())

@@ -323,3 +323,46 @@ def test_windowed_hll_restart_from_checkpoint(spark, tmp_path):
     # state survived the restart: estimates reflect BOTH halves
     for w, c in exact.items():
         assert abs(last[w] - c) / c < 0.1, (w, c)
+
+
+def test_incremental_any_sketch_sink_kinds(spark, events_stream_dir,
+                                           tmp_path):
+    """The generic sink folds any mergeable sketch across micro-batch
+    boundaries exactly: theta distinct ≈ exact; MG totals are exact and
+    bounds hold; replay (restart, no new data) changes nothing."""
+    from fastfilter_spark.streaming import (incremental_any_sketch_sink,
+                                            read_incremental_sketch)
+
+    batch = spark.read.parquet(events_stream_dir)
+    exact_users = batch.select("user_id").distinct().count()
+    n_rows = batch.count()
+
+    def mkstream():
+        return (spark.readStream.schema(batch.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(events_stream_dir)
+                .select(F.xxhash64("user_id").alias("key")))
+
+    st = str(tmp_path / "theta_state")
+    q = incremental_any_sketch_sink(mkstream(), st, kind="theta",
+                                    checkpoint_dir=str(tmp_path / "ckt"))
+    q.awaitTermination(120)
+    theta = read_incremental_sketch(st, "theta")
+    assert abs(theta.estimate() - exact_users) / exact_users < 0.1
+
+    sm = str(tmp_path / "mg_state")
+    q2 = incremental_any_sketch_sink(mkstream(), sm, kind="mg", k=32,
+                                     checkpoint_dir=str(tmp_path / "ckm"))
+    q2.awaitTermination(120)
+    mg = read_incremental_sketch(sm, "mg")
+    assert mg.n_total == n_rows            # totals exact across batches
+
+    # replay: restart over the same checkpoint, sketch unchanged
+    q3 = incremental_any_sketch_sink(mkstream(), sm, kind="mg", k=32,
+                                     checkpoint_dir=str(tmp_path / "ckm"))
+    q3.awaitTermination(120)
+    assert read_incremental_sketch(sm, "mg").to_bytes() == mg.to_bytes()
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown sketch kind"):
+        incremental_any_sketch_sink(mkstream(), st, kind="nope")
