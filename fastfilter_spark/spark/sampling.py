@@ -181,10 +181,18 @@ def mixture_sample(df: DataFrame, group_col: str, fractions: dict,
     for g, f in fractions.items():
         if not 0.0 <= f <= 1.0:
             raise ValueError(f"fraction for {g!r} must be in [0,1], got {f}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction must be in [0,1], "
+                         f"got {default_fraction}")
     spark = df.sparkSession
+    # the fractions table uses df's OWN group dtype: a hardcoded string
+    # key against e.g. an int domain-id column would equi-join through
+    # implicit casts (precision loss past 2^53, or ANSI mismatches) and
+    # silently drop groups to the default fraction
+    gtype = df.schema[group_col].dataType.simpleString()
     frac_df = spark.createDataFrame(
         [(g, float(f)) for g, f in fractions.items()],
-        f"{group_col} string, __frac double")
+        f"`{group_col}` {gtype}, __frac double")
     pri = sample_priority(id_col, seed)
     return (df.join(F.broadcast(frac_df), group_col, "left")
             .withColumn("__frac",

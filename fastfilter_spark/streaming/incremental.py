@@ -56,53 +56,16 @@ def incremental_sketch_sink(stream_keys: DataFrame, state_dir: str,
                             key_col: str = "key", p: int = 14,
                             checkpoint_dir: str | None = None,
                             trigger_available_now: bool = True):
-    """foreachBatch sink folding each micro-batch into one HLL blob.
-
-    Returns the StreamingQuery. State file: {state_dir}/hll.bin, with
-    the last applied batch id in {state_dir}/state.json (idempotent
-    re-application on restart → exactly-once folding).
-    """
-    os.makedirs(state_dir, exist_ok=True)
-    blob_path = os.path.join(state_dir, "hll.bin")
-    meta_path = os.path.join(state_dir, "state.json")
-    _guard_marker_without_checkpoint(meta_path, checkpoint_dir)
-
-    def _fold(batch_df: DataFrame, batch_id: int) -> None:
-        if os.path.exists(meta_path):
-            with open(meta_path) as fh:
-                if json.load(fh).get("last_batch", -1) >= batch_id:
-                    return  # replayed batch — already folded
-        # distributed partial: one HLL per partition via mapInPandas,
-        # driver merges the tiny register blobs
-        def _partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            h = HyperLogLog(p)
-            seen = False
-            for pdf in batches:
-                if len(pdf):
-                    h.add(pd_to_u64(pdf[key_col]))
-                    seen = True
-            if seen:
-                yield pd.DataFrame({"blob": [h.to_bytes()]})
-
-        partials = batch_df.select(key_col).mapInPandas(
-            _partial, "blob binary").collect()
-        acc = (HyperLogLog.from_bytes(open(blob_path, "rb").read())
-               if os.path.exists(blob_path) else HyperLogLog(p))
-        for row in partials:
-            acc = acc.merge(HyperLogLog.from_bytes(bytes(row.blob)))
-        tmp = blob_path + ".tmp"
-        with open(tmp, "wb") as fh:
-            fh.write(acc.to_bytes())
-        os.replace(tmp, blob_path)
-        with open(meta_path, "w") as fh:
-            json.dump({"last_batch": batch_id, "estimate": acc.estimate()}, fh)
-
-    writer = stream_keys.writeStream.foreachBatch(_fold)
-    if checkpoint_dir:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    if trigger_available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    """foreachBatch sink folding each micro-batch into one HLL blob —
+    the original HLL-specific entry point, now a thin wrapper over
+    :func:`incremental_any_sketch_sink` (kind="hll") keeping its
+    historical state layout ({state_dir}/hll.bin +
+    {state_dir}/state.json batch marker)."""
+    return incremental_any_sketch_sink(
+        stream_keys, state_dir, kind="hll", key_col=key_col,
+        checkpoint_dir=checkpoint_dir,
+        trigger_available_now=trigger_available_now,
+        _marker_name="state.json", p=p)
 
 
 def read_incremental_estimate(state_dir: str) -> float:
@@ -412,22 +375,23 @@ def dedup_stream(stream: DataFrame, key_col: str,
 
 
 _STREAM_SKETCHES = {
-    # kind -> (factory kwargs -> sketch, filename). Every entry is a
-    # MERGEABLE sketch, so batch-partial ⊕ state is exact regardless of
-    # micro-batch boundaries (the invariant this sink relies on).
+    # kind -> (factory kwargs -> sketch, filename, allowed kwargs).
+    # Every entry is a MERGEABLE sketch, so batch-partial ⊕ state is
+    # exact regardless of micro-batch boundaries (the invariant this
+    # sink relies on).
     "hll": (lambda **kw: __import__(
         "fastfilter_spark.sketches", fromlist=["HyperLogLog"])
-        .HyperLogLog(kw.get("p", 14)), "hll.bin"),
+        .HyperLogLog(kw.get("p", 14)), "hll.bin", {"p"}),
     "cms": (lambda **kw: __import__(
         "fastfilter_spark.sketches", fromlist=["CountMinSketch"])
         .CountMinSketch(kw.get("eps", 1e-4), kw.get("delta", 0.01)),
-        "cms.bin"),
+        "cms.bin", {"eps", "delta"}),
     "theta": (lambda **kw: __import__(
         "fastfilter_spark.sketches", fromlist=["ThetaSketch"])
-        .ThetaSketch(kw.get("k", 4096)), "theta.bin"),
+        .ThetaSketch(kw.get("k", 4096)), "theta.bin", {"k"}),
     "mg": (lambda **kw: __import__(
         "fastfilter_spark.sketches", fromlist=["MisraGries"])
-        .MisraGries(kw.get("k", 64)), "mg.bin"),
+        .MisraGries(kw.get("k", 64)), "mg.bin", {"k"}),
 }
 
 
@@ -435,19 +399,31 @@ def incremental_any_sketch_sink(stream_keys: DataFrame, state_dir: str,
                                 kind: str = "hll", key_col: str = "key",
                                 checkpoint_dir: str | None = None,
                                 trigger_available_now: bool = True,
+                                _marker_name: str | None = None,
                                 **sketch_kwargs):
     """Generalized :func:`incremental_sketch_sink`: fold each
     micro-batch's keys into ANY mergeable sketch (hll / cms / theta /
     mg) — same exactly-once batch-id marker, same distributed
     partial-per-partition → driver-merge shape (the shuffle-free
-    streaming analogue of the batch two-phase aggregation)."""
+    streaming analogue of the batch two-phase aggregation).
+
+    The batch marker is per-kind (``{kind}.state.json``): different
+    kinds can coexist in one ``state_dir``, each fed by its own
+    checkpoint — a shared marker would make the second kind's fresh
+    batch ids compare ≤ the first's and silently fold nothing."""
     if kind not in _STREAM_SKETCHES:
         raise ValueError(f"unknown sketch kind {kind!r}: "
                          f"{sorted(_STREAM_SKETCHES)}")
-    make, fname = _STREAM_SKETCHES[kind]
+    make, fname, allowed = _STREAM_SKETCHES[kind]
+    unknown = set(sketch_kwargs) - allowed
+    if unknown:
+        # silently falling back to defaults would hand the user e.g. a
+        # 100× looser CMS than the epsilon= typo intended
+        raise TypeError(f"unknown kwargs for sketch kind {kind!r}: "
+                        f"{sorted(unknown)} (accepted: {sorted(allowed)})")
     os.makedirs(state_dir, exist_ok=True)
     blob_path = os.path.join(state_dir, fname)
-    meta_path = os.path.join(state_dir, "state.json")
+    meta_path = os.path.join(state_dir, _marker_name or f"{kind}.state.json")
     _guard_marker_without_checkpoint(meta_path, checkpoint_dir)
     cls = type(make(**sketch_kwargs))
 
@@ -491,7 +467,7 @@ def incremental_any_sketch_sink(stream_keys: DataFrame, state_dir: str,
 
 def read_incremental_sketch(state_dir: str, kind: str):
     """Load the folded sketch object back (estimate/query on it)."""
-    make, fname = _STREAM_SKETCHES[kind]
+    make, fname, _allowed = _STREAM_SKETCHES[kind]
     cls = type(make())
     with open(os.path.join(state_dir, fname), "rb") as fh:
         return cls.from_bytes(fh.read())

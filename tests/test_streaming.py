@@ -363,6 +363,17 @@ def test_incremental_any_sketch_sink_kinds(spark, events_stream_dir,
     q3.awaitTermination(120)
     assert read_incremental_sketch(sm, "mg").to_bytes() == mg.to_bytes()
 
+    # two kinds coexist in ONE state_dir: per-kind markers mean the
+    # second kind's fresh batch ids are not shadowed by the first's
+    q4 = incremental_any_sketch_sink(mkstream(), sm, kind="theta",
+                                     checkpoint_dir=str(tmp_path / "ckc"))
+    q4.awaitTermination(120)
+    th2 = read_incremental_sketch(sm, "theta")
+    assert abs(th2.estimate() - exact_users) / exact_users < 0.1
+
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unknown sketch kind"):
         incremental_any_sketch_sink(mkstream(), st, kind="nope")
+    with _pytest.raises(TypeError, match="unknown kwargs"):
+        incremental_any_sketch_sink(mkstream(), st, kind="cms",
+                                    epsilon=1e-6)

@@ -260,6 +260,12 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
                     for p in (p15b, p15c))
     checks.append(("pack/stratified windows shuffle on the group column "
                    "(no single-partition global sort)", ok_window))
+    from fastfilter_spark.spark import mixture_sample
+    p15e = plan_of(mixture_sample(docs, "lang", {"en": 0.5}, "doc_id"))
+    checks.append(("mixture_sample: fractions broadcast-joined, data "
+                   "never shuffles",
+                   "BroadcastHashJoin" in p15e
+                   and len(re.findall(r"\(\d+\) Exchange", p15e)) == 0))
     e15 = docs.select(F.col("doc_id").alias("u"),
                       (F.col("doc_id") % 50).alias("v"))
     l15 = e15.select(F.col("u").alias("id")).distinct() \
