@@ -56,6 +56,11 @@ def connected_components(edges: DataFrame, src: str = "id_a",
            .union(edges.select(F.col(dst).alias("u"),
                                F.col(src).alias("v")))
            .distinct())
+    # materialize the symmetric edge list ONCE: it is joined every
+    # round, and without this the union+distinct (two edge scans + a
+    # dedup shuffle — the operator's most expensive stage) would
+    # re-execute per round
+    sym = sym.localCheckpoint(eager=True)
     labels = (sym.select(F.col("u").alias("id")).distinct()
               .withColumn("comp", F.col("id")))
     labels = labels.localCheckpoint(eager=True)

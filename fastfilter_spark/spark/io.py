@@ -208,6 +208,14 @@ def build_filter_sidecar(keys_df: DataFrame, sidecar_path: str,
             "build_params.json to verify them against — rebuild with "
             "resume=False")
     else:
+        # fresh build: drop stale partials BEFORE writing the new
+        # params — writing first would leave a crash window where the
+        # new params sit next to old incompatible partials, and a later
+        # resume would adopt them as done_pids (the exact mixed-blob
+        # corruption the guard exists to prevent)
+        if not resume and os.path.isdir(parts_dir):
+            import shutil
+            shutil.rmtree(parts_dir)
         with open(params_path, "w") as fh:
             json.dump(params, fh)
 
@@ -218,9 +226,6 @@ def build_filter_sidecar(keys_df: DataFrame, sidecar_path: str,
                          .select("pid").distinct().collect()}
         except AnalysisException:
             done_pids = set()  # nothing committed yet
-    elif os.path.isdir(parts_dir):
-        import shutil
-        shutil.rmtree(parts_dir)  # fresh build: drop stale partials
 
     pid_col = F.pmod(F.col("route"), F.lit(P))
     bounds = [round(b * P / batches) for b in range(batches + 1)]

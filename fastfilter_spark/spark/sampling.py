@@ -103,7 +103,13 @@ def sample_priority(id_col, seed: int = 0, weight_col=None) -> Column:
         return u
     w = (F.col(weight_col) if isinstance(weight_col, str)
          else weight_col).cast("double")
-    return -F.log(u) / w
+    # NULL / non-positive weights mean "never sample this row": their
+    # priority is +inf so they sort LAST. Without this, a NULL weight
+    # (e.g. after a left join) gives a NULL priority — and Spark's ASC
+    # NULLS FIRST would return exactly the garbage-weight rows as the
+    # sample; a negative weight would flip the E-S key's sign likewise.
+    return F.when(w.isNotNull() & (w > 0), -F.log(u) / w) \
+            .otherwise(F.lit(float("inf")))
 
 
 def deterministic_sample(df: DataFrame, k: int, id_col: str,

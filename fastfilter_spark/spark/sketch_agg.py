@@ -79,14 +79,18 @@ def _two_phase(df: DataFrame, groups: Sequence[str], value_col: str,
     # A group whose values are ALL NULL must still emit a row (SQL
     # GROUP BY keeps it with e.g. COUNT(DISTINCT v) = 0; the JVM-side
     # null filter above would otherwise drop the whole group): seed one
-    # EMPTY partial per observed group. Merging an empty sketch is the
-    # identity, the distinct scans only the column-pruned group columns
-    # (it never re-runs the fold), and the global variant seeds a single
+    # EMPTY partial per group THAT HAS NULL ROWS — a group needs a seed
+    # iff it has null values (non-null rows already produce partials),
+    # so the distinct runs over the null-filtered slice (empty in the
+    # common no-null case thanks to pushdown) instead of scanning the
+    # whole input and shipping an empty blob per group. Merging an
+    # empty sketch is the identity; the global variant seeds a single
     # empty partial so an empty/all-null input still yields the one row
     # SQL's global aggregate does.
     empty_blob = to_blob(make_sketch())
     if groups:
-        seed = (df.select(*groups).distinct()
+        seed = (df.where(F.col(value_col).isNull())
+                .select(*groups).distinct()
                 .withColumn("partial", F.lit(bytes(empty_blob))))
     else:
         seed = df.sparkSession.range(1).select(

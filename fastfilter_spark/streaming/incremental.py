@@ -374,25 +374,24 @@ def dedup_stream(stream: DataFrame, key_col: str,
     return stream.dropDuplicates([key_col])
 
 
-_STREAM_SKETCHES = {
-    # kind -> (factory kwargs -> sketch, filename, allowed kwargs).
-    # Every entry is a MERGEABLE sketch, so batch-partial ⊕ state is
-    # exact regardless of micro-batch boundaries (the invariant this
-    # sink relies on).
-    "hll": (lambda **kw: __import__(
-        "fastfilter_spark.sketches", fromlist=["HyperLogLog"])
-        .HyperLogLog(kw.get("p", 14)), "hll.bin", {"p"}),
-    "cms": (lambda **kw: __import__(
-        "fastfilter_spark.sketches", fromlist=["CountMinSketch"])
-        .CountMinSketch(kw.get("eps", 1e-4), kw.get("delta", 0.01)),
-        "cms.bin", {"eps", "delta"}),
-    "theta": (lambda **kw: __import__(
-        "fastfilter_spark.sketches", fromlist=["ThetaSketch"])
-        .ThetaSketch(kw.get("k", 4096)), "theta.bin", {"k"}),
-    "mg": (lambda **kw: __import__(
-        "fastfilter_spark.sketches", fromlist=["MisraGries"])
-        .MisraGries(kw.get("k", 64)), "mg.bin", {"k"}),
-}
+def _stream_sketches() -> dict:
+    """kind -> (factory, filename, allowed kwargs). Every entry is a
+    MERGEABLE sketch, so batch-partial ⊕ state is exact regardless of
+    micro-batch boundaries (the invariant the generic sink relies on).
+    Function-level import: this module keeps a lean import graph (only
+    HyperLogLog loads at module import, for the legacy estimate reader)."""
+    from ..sketches import CountMinSketch, MisraGries, ThetaSketch
+    return {
+        "hll": (lambda **kw: HyperLogLog(kw.get("p", 14)),
+                "hll.bin", {"p"}),
+        "cms": (lambda **kw: CountMinSketch(kw.get("eps", 1e-4),
+                                            kw.get("delta", 0.01)),
+                "cms.bin", {"eps", "delta"}),
+        "theta": (lambda **kw: ThetaSketch(kw.get("k", 4096)),
+                  "theta.bin", {"k"}),
+        "mg": (lambda **kw: MisraGries(kw.get("k", 64)),
+               "mg.bin", {"k"}),
+    }
 
 
 def incremental_any_sketch_sink(stream_keys: DataFrame, state_dir: str,
@@ -411,10 +410,11 @@ def incremental_any_sketch_sink(stream_keys: DataFrame, state_dir: str,
     kinds can coexist in one ``state_dir``, each fed by its own
     checkpoint — a shared marker would make the second kind's fresh
     batch ids compare ≤ the first's and silently fold nothing."""
-    if kind not in _STREAM_SKETCHES:
+    sketches = _stream_sketches()
+    if kind not in sketches:
         raise ValueError(f"unknown sketch kind {kind!r}: "
-                         f"{sorted(_STREAM_SKETCHES)}")
-    make, fname, allowed = _STREAM_SKETCHES[kind]
+                         f"{sorted(sketches)}")
+    make, fname, allowed = sketches[kind]
     unknown = set(sketch_kwargs) - allowed
     if unknown:
         # silently falling back to defaults would hand the user e.g. a
@@ -467,7 +467,7 @@ def incremental_any_sketch_sink(stream_keys: DataFrame, state_dir: str,
 
 def read_incremental_sketch(state_dir: str, kind: str):
     """Load the folded sketch object back (estimate/query on it)."""
-    make, fname, _allowed = _STREAM_SKETCHES[kind]
+    make, fname, _allowed = _stream_sketches()[kind]
     cls = type(make())
     with open(os.path.join(state_dir, fname), "rb") as fh:
         return cls.from_bytes(fh.read())

@@ -260,6 +260,13 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
                     for p in (p15b, p15c))
     checks.append(("pack/stratified windows shuffle on the group column "
                    "(no single-partition global sort)", ok_window))
+    from fastfilter_spark.pipeline import repetition_stats
+    p15r = plan_of(repetition_stats(docs, "text", "doc_id"))
+    rep_keys = set(re.findall(r"hashpartitioning\((\w+)", p15r))
+    checks.append((f"repetition_stats: shuffles keyed on the doc id only "
+                   f"({sorted(rep_keys)}, no SinglePartition)",
+                   rep_keys <= {"id", "b"}
+                   and "SinglePartition" not in p15r))
     from fastfilter_spark.spark import mixture_sample
     p15e = plan_of(mixture_sample(docs, "lang", {"en": 0.5}, "doc_id"))
     checks.append(("mixture_sample: fractions broadcast-joined, data "
