@@ -130,6 +130,18 @@ class BinaryFuseFilter:
             keys = np.unique(keys)
         n = int(keys.size)
         geom = FuseGeometry.for_size(n, arity)
+        if geom.array_length > 2**31 - 1:       # n ≳ 1.9e9 single-partition
+            # the peel kernel's slot positions are int32 (element width
+            # sets DRAM-bound multi-core throughput); past 2^31 slots
+            # they would wrap and the build would die deep in bincount.
+            # A single partition this big is a sharding mistake anyway —
+            # the distributed builders split keys across pids precisely
+            # so per-partition n stays cache-friendly.
+            raise ValueError(
+                f"{n} keys need {geom.array_length} slots > int32 range; "
+                "split the build across more partitions "
+                "(e.g. build_partitioned_filter/build_filter_sidecar "
+                "with a larger num_partitions)")
         dtype = _DTYPES[width]
         rng = SplitMix64(rng_state)
 

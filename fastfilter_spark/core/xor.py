@@ -78,6 +78,12 @@ class XorFilter:
             keys = np.unique(keys)
         n = int(keys.size)
         capacity, bl = _xor_capacity(n)
+        if capacity > 2**31 - 1:                # n ≳ 1.7e9 single-partition
+            # the shared peel kernel uses int32 slot positions — see the
+            # matching guard in BinaryFuseFilter.populate
+            raise ValueError(
+                f"{n} keys need {capacity} slots > int32 range; split the "
+                "build across more partitions (larger num_partitions)")
         dtype = _DTYPES[width]
         rng = SplitMix64(rng_state)
         if n == 0:

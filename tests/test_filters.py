@@ -208,3 +208,21 @@ class TestCuckoo:
         assert f.contains(keys).all()
         g = CuckooFilter.from_bytes(f.to_bytes())   # stash survives serde
         assert g.contains(keys).all()
+
+
+def test_int32_slot_guard_fires_before_allocation():
+    """A single-partition build past 2^31 slots must raise a CLEAR error
+    (the peel kernel's int32 positions would otherwise die deep inside
+    bincount) — and must raise BEFORE allocating the fingerprint array.
+    Uses a broadcast view so the 2e9-'key' input costs no memory."""
+    import numpy as np
+    import pytest
+
+    from fastfilter_spark.core.binaryfuse import BinaryFuseFilter
+    from fastfilter_spark.core.xor import XorFilter
+
+    fake = np.broadcast_to(np.uint64(0), (2_000_000_000,))
+    with pytest.raises(ValueError, match="int32 range"):
+        BinaryFuseFilter.populate(fake, 8, assume_unique=True)
+    with pytest.raises(ValueError, match="int32 range"):
+        XorFilter.populate(fake, 8, assume_unique=True)
