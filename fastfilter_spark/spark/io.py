@@ -208,14 +208,24 @@ def build_filter_sidecar(keys_df: DataFrame, sidecar_path: str,
             "build_params.json to verify them against — rebuild with "
             "resume=False")
     else:
-        # fresh build: drop stale partials BEFORE writing the new
-        # params — writing first would leave a crash window where the
-        # new params sit next to old incompatible partials, and a later
-        # resume would adopt them as done_pids (the exact mixed-blob
-        # corruption the guard exists to prevent)
-        if not resume and os.path.isdir(parts_dir):
-            import shutil
-            shutil.rmtree(parts_dir)
+        # fresh build: drop the OLD manifest first, then stale partials,
+        # THEN write the new params. Manifest first: a crash after
+        # rmtree but before the new manifest would otherwise leave a
+        # complete-looking manifest (old P/salt/blob_bytes) next to
+        # new-generation partials, and every reader would happily probe
+        # new blobs with old params — silent false negatives. With the
+        # manifest gone, readers reject the sidecar until the rebuild
+        # completes (manifest is written LAST). Partials before params
+        # for the same reason as before: new params next to old
+        # partials would let a resume adopt them as done_pids.
+        if not resume:
+            manifest_path = os.path.join(sidecar_path,
+                                         "filter_manifest.json")
+            if os.path.exists(manifest_path):
+                os.remove(manifest_path)
+            if os.path.isdir(parts_dir):
+                import shutil
+                shutil.rmtree(parts_dir)
         with open(params_path, "w") as fh:
             json.dump(params, fh)
 

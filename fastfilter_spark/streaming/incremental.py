@@ -69,8 +69,7 @@ def incremental_sketch_sink(stream_keys: DataFrame, state_dir: str,
 
 
 def read_incremental_estimate(state_dir: str) -> float:
-    with open(os.path.join(state_dir, "hll.bin"), "rb") as fh:
-        return HyperLogLog.from_bytes(fh.read()).estimate()
+    return read_incremental_sketch(state_dir, "hll").estimate()
 
 
 _OUT_SCHEMA = T.StructType([
@@ -394,6 +393,34 @@ def _stream_sketches() -> dict:
     }
 
 
+_STATE_MAGIC = b"FFS1"
+
+
+def _write_sink_state(path: str, last_batch: int, blob: bytes) -> None:
+    """Marker + blob in ONE file, published by a single os.replace: a
+    crash can never leave a new blob next to an old marker (the replayed
+    batch would be folded AGAIN — double-counting for non-idempotent
+    sketches like CMS/MG) or vice versa."""
+    import struct
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        fh.write(_STATE_MAGIC + struct.pack("<q", last_batch) + blob)
+    os.replace(tmp, path)
+
+
+def _read_sink_state(path: str):
+    """-> (last_batch, blob bytes) or None if absent/foreign."""
+    import struct
+    if not os.path.exists(path):
+        return None
+    with open(path, "rb") as fh:
+        raw = fh.read()
+    if len(raw) < 12 or raw[:4] != _STATE_MAGIC:
+        raise ValueError(f"corrupt sink state file {path!r}")
+    (last_batch,) = struct.unpack_from("<q", raw, 4)
+    return last_batch, raw[12:]
+
+
 def incremental_any_sketch_sink(stream_keys: DataFrame, state_dir: str,
                                 kind: str = "hll", key_col: str = "key",
                                 checkpoint_dir: str | None = None,
@@ -406,10 +433,15 @@ def incremental_any_sketch_sink(stream_keys: DataFrame, state_dir: str,
     partial-per-partition → driver-merge shape (the shuffle-free
     streaming analogue of the batch two-phase aggregation).
 
-    The batch marker is per-kind (``{kind}.state.json``): different
-    kinds can coexist in one ``state_dir``, each fed by its own
-    checkpoint — a shared marker would make the second kind's fresh
-    batch ids compare ≤ the first's and silently fold nothing."""
+    State is per-kind (``{kind}.state.bin``): different kinds can
+    coexist in one ``state_dir``, each fed by its own checkpoint — a
+    shared marker would make the second kind's fresh batch ids compare
+    ≤ the first's and silently fold nothing. The batch marker and the
+    blob live in ONE file committed by a single atomic os.replace, so
+    exactly-once holds for every kind: with a separate marker written
+    after the blob, a crash between the two would fold the replayed
+    batch again — harmless for idempotent HLL/theta register merges,
+    but a double-count for CMS and MG."""
     sketches = _stream_sketches()
     if kind not in sketches:
         raise ValueError(f"unknown sketch kind {kind!r}: "
@@ -422,16 +454,32 @@ def incremental_any_sketch_sink(stream_keys: DataFrame, state_dir: str,
         raise TypeError(f"unknown kwargs for sketch kind {kind!r}: "
                         f"{sorted(unknown)} (accepted: {sorted(allowed)})")
     os.makedirs(state_dir, exist_ok=True)
-    blob_path = os.path.join(state_dir, fname)
-    meta_path = os.path.join(state_dir, _marker_name or f"{kind}.state.json")
-    _guard_marker_without_checkpoint(meta_path, checkpoint_dir)
+    state_path = os.path.join(state_dir, f"{kind}.state.bin")
+    # legacy (pre-atomic) layout: separate blob + json marker. Read for
+    # migration; never written again.
+    legacy_blob = os.path.join(state_dir, fname)
+    legacy_meta = os.path.join(state_dir,
+                               _marker_name or f"{kind}.state.json")
+    _guard_marker_without_checkpoint(state_path, checkpoint_dir)
+    _guard_marker_without_checkpoint(legacy_meta, checkpoint_dir)
     cls = type(make(**sketch_kwargs))
 
+    def _load_state():
+        st = _read_sink_state(state_path)
+        if st is not None:
+            return st
+        if os.path.exists(legacy_meta):            # migrate old layout
+            with open(legacy_meta) as fh:
+                last = json.load(fh).get("last_batch", -1)
+            blob = (open(legacy_blob, "rb").read()
+                    if os.path.exists(legacy_blob) else b"")
+            return last, blob
+        return -1, b""
+
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
-        if os.path.exists(meta_path):
-            with open(meta_path) as fh:
-                if json.load(fh).get("last_batch", -1) >= batch_id:
-                    return  # replayed batch — already folded
+        last_batch, blob = _load_state()
+        if last_batch >= batch_id:
+            return  # replayed batch — already folded
 
         def _partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             sk = make(**sketch_kwargs)
@@ -446,16 +494,10 @@ def incremental_any_sketch_sink(stream_keys: DataFrame, state_dir: str,
         partials = (batch_df.select(key_col)
                     .where(F.col(key_col).isNotNull())
                     .mapInPandas(_partial, "blob binary").collect())
-        acc = (cls.from_bytes(open(blob_path, "rb").read())
-               if os.path.exists(blob_path) else make(**sketch_kwargs))
+        acc = cls.from_bytes(blob) if blob else make(**sketch_kwargs)
         for row in partials:
             acc = acc.merge(cls.from_bytes(bytes(row.blob)))
-        tmp = blob_path + ".tmp"
-        with open(tmp, "wb") as fh:
-            fh.write(acc.to_bytes())
-        os.replace(tmp, blob_path)
-        with open(meta_path, "w") as fh:
-            json.dump({"last_batch": batch_id}, fh)
+        _write_sink_state(state_path, batch_id, acc.to_bytes())
 
     writer = stream_keys.writeStream.foreachBatch(_fold)
     if checkpoint_dir:
@@ -469,5 +511,8 @@ def read_incremental_sketch(state_dir: str, kind: str):
     """Load the folded sketch object back (estimate/query on it)."""
     make, fname, _allowed = _stream_sketches()[kind]
     cls = type(make())
-    with open(os.path.join(state_dir, fname), "rb") as fh:
+    st = _read_sink_state(os.path.join(state_dir, f"{kind}.state.bin"))
+    if st is not None:
+        return cls.from_bytes(st[1])
+    with open(os.path.join(state_dir, fname), "rb") as fh:  # legacy layout
         return cls.from_bytes(fh.read())

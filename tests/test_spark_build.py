@@ -720,6 +720,41 @@ def test_sidecar_resume_refuses_unverifiable_partials(spark, corpus_df,
                              batches=4, resume=True)
 
 
+def test_sidecar_fresh_rebuild_removes_stale_manifest(spark, corpus_df,
+                                                      tmp_path):
+    """A fresh (resume=False) rebuild over a COMPLETED sidecar must
+    drop the old filter_manifest.json before anything else: a crash
+    mid-rebuild would otherwise leave a complete-looking manifest (old
+    P/salt/blob_bytes) next to new-generation partials, and readers
+    would silently probe new blobs with old params (ADVICE r3)."""
+    import os
+
+    import pytest as _pytest
+
+    from fastfilter_spark.spark import build_filter_sidecar, read_filter_sidecar
+
+    keys = keys_from_content(corpus_df, "content")
+    sc = str(tmp_path / "sc_rebuild")
+    build_filter_sidecar(keys, sc, kind="bf8", num_partitions=16)
+    assert os.path.exists(os.path.join(sc, "filter_manifest.json"))
+
+    # rebuild with DIFFERENT params, crashed before any batch commits:
+    # the old manifest must already be gone — readers reject the sidecar
+    out = build_filter_sidecar(keys, sc, kind="bf8", num_partitions=32,
+                               batches=4, _stop_after=1)
+    assert out is None
+    assert not os.path.exists(os.path.join(sc, "filter_manifest.json"))
+    with _pytest.raises(FileNotFoundError):
+        read_filter_sidecar(sc)
+
+    # completing the rebuild restores a consistent sidecar at the NEW P
+    m = build_filter_sidecar(keys, sc, kind="bf8", num_partitions=32,
+                             batches=4, resume=True)
+    assert m["P"] == 32
+    pf = read_filter_sidecar(sc)
+    assert pf.with_contains(keys, "key").where("NOT contained").count() == 0
+
+
 def test_deterministic_sample_partitioning_independent(spark):
     """deterministic_sample must select the SAME rows regardless of
     partitioning (the failure mode of DataFrame.sample's

@@ -377,3 +377,55 @@ def test_incremental_any_sketch_sink_kinds(spark, events_stream_dir,
     with _pytest.raises(TypeError, match="unknown kwargs"):
         incremental_any_sketch_sink(mkstream(), st, kind="cms",
                                     epsilon=1e-6)
+
+
+def test_sink_state_atomic_and_legacy_migration(spark, events_stream_dir,
+                                                tmp_path):
+    """ADVICE r3: the blob and the applied-batch marker must commit in
+    ONE atomic replace — a separate marker written after the blob left a
+    crash window where a replayed batch double-folds into CMS/MG. The
+    state file round-trips, rejects corruption, and a pre-atomic
+    (separate blob + json marker) layout is migrated on resume."""
+    import json
+    import os
+
+    from fastfilter_spark.sketches import MisraGries
+    from fastfilter_spark.streaming import (incremental_any_sketch_sink,
+                                            read_incremental_sketch)
+    from fastfilter_spark.streaming.incremental import (_read_sink_state,
+                                                        _write_sink_state)
+
+    # unit: round-trip + corruption rejection
+    p = str(tmp_path / "s.bin")
+    _write_sink_state(p, 7, b"\x01\x02\x03")
+    assert _read_sink_state(p) == (7, b"\x01\x02\x03")
+    assert _read_sink_state(str(tmp_path / "absent.bin")) is None
+    with open(p, "wb") as fh:
+        fh.write(b"JUNK")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="corrupt sink state"):
+        _read_sink_state(p)
+
+    # legacy layout (separate blob + marker): the sink must adopt the
+    # old state — replayed batches ≤ the legacy marker are skipped and
+    # the legacy blob seeds the fold — then write the atomic layout
+    batch = spark.read.parquet(events_stream_dir)
+    st = str(tmp_path / "legacy_state")
+    os.makedirs(st)
+    seeded = MisraGries(32)
+    seeded.add(__import__("numpy").arange(100, dtype="uint64"))
+    with open(os.path.join(st, "mg.bin"), "wb") as fh:
+        fh.write(seeded.to_bytes())
+    with open(os.path.join(st, "mg.state.json"), "w") as fh:
+        json.dump({"last_batch": -1}, fh)     # nothing applied yet
+
+    stream = (spark.readStream.schema(batch.schema)
+              .option("maxFilesPerTrigger", 1).parquet(events_stream_dir)
+              .select(F.xxhash64("user_id").alias("key")))
+    q = incremental_any_sketch_sink(stream, st, kind="mg", k=32,
+                                    checkpoint_dir=str(tmp_path / "ckl"))
+    q.awaitTermination(120)
+    mg = read_incremental_sketch(st, "mg")
+    # folded on TOP of the legacy blob: totals = seeded 100 + stream rows
+    assert mg.n_total == 100 + batch.count()
+    assert os.path.exists(os.path.join(st, "mg.state.bin"))
