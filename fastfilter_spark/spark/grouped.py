@@ -110,8 +110,10 @@ def build_grouped_filters(
     base_rng_state: int = 0x726B2B9D438B9D4D,
     bloom_n_expected_per_group: Optional[int] = None,
     bloom_fpp: float = 0.01,
+    max_groups: int = 100_000,
 ) -> GroupedFilters:
-    """One filter per distinct (group_cols) value.
+    """One filter per distinct (group_cols) value — for BOUNDED group
+    domains (lang, event_type, region…), enforced by ``max_groups``.
 
     The exchange is the groupBy shuffle only; dedupe is the in-task
     np.unique (global per group, same argument as the pid build). The
@@ -119,6 +121,16 @@ def build_grouped_filters(
     so rebuilds are byte-identical regardless of parallelism.
     NULL group values are excluded (concat_ws drops NULLs, which would
     alias groups) — filter them upstream if they are meaningful.
+
+    ``max_groups``: every group's blob is collected to the driver for
+    broadcast querying, so a mistakenly-unbounded group column (user_id,
+    doc_id…) would OOM the driver exactly the way the ungrouped build
+    did at 1e9 keys before the sidecar path. The domain is probed with
+    a bounded ``distinct().limit(max_groups+1)`` job (the cuckoo_update
+    pattern — no count() full scan) and the build fails fast with
+    guidance instead. For genuinely high-cardinality group domains use
+    the composite-key path (module docstring): hash the group INTO the
+    key and build ONE partitioned filter — no per-group blob.
     """
     from .. import workerside
 
@@ -137,6 +149,19 @@ def build_grouped_filters(
               .select(_gkey_expr(group_cols).alias("gkey"),
                       F.col(key_col).alias("key"))
               .where(F.col("key").isNotNull()))
+
+    # bounded cardinality probe: one job over the slim gkey column; the
+    # limit stops the scan as soon as max_groups+1 distinct values exist
+    n_probe = placed.select("gkey").distinct().limit(max_groups + 1).count()
+    if n_probe > max_groups:
+        raise ValueError(
+            f"build_grouped_filters: group domain exceeds max_groups="
+            f"{max_groups} (every group's blob is collected driver-side "
+            "— an unbounded domain OOMs the driver). For high-cardinality"
+            " group columns fold the group INTO the key instead: "
+            "build_partitioned_filter over xxhash64(group..., key) "
+            "composite keys (the bf8_composite_grouped query shape, see "
+            "module docstring), or raise max_groups deliberately.")
 
     def _build(tbl):
         return workerside.build_group_arrow(tbl, kind, base_rng_state,

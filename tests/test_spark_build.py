@@ -215,6 +215,26 @@ def test_grouped_filters_zero_fn_and_exactness(spark, corpus_df):
     assert filt.contains(keys).all()
 
 
+def test_grouped_filters_max_groups_guard(spark, corpus_df):
+    """VERDICT r3 #3: an unbounded group column (doc_id-like) must fail
+    fast with guidance instead of collecting one blob per row to the
+    driver (the exact OOM shape the ungrouped build had at 1e9 pre-
+    sidecar). The probe is bounded (limit max_groups+1), so the guard
+    itself cannot become the expensive part."""
+    import pytest as _pytest
+
+    from fastfilter_spark.spark import build_grouped_filters
+    docs = corpus_df.withColumn("key", content_key("content"))
+    # group by path = one group per row — the misuse shape
+    with _pytest.raises(ValueError, match="exceeds max_groups"):
+        build_grouped_filters(docs.select("path", "key"), ["path"],
+                              kind="bf8", max_groups=10)
+    # raising the bound deliberately still works
+    gf = build_grouped_filters(docs.select("lang", "key"), ["lang"],
+                               kind="bf8", max_groups=100)
+    assert gf.n_groups == docs.select("lang").distinct().count()
+
+
 def test_grouped_filters_unknown_group_and_determinism(spark, corpus_df):
     from fastfilter_spark.spark import build_grouped_filters
     docs = corpus_df.withColumn("key", content_key("content"))
