@@ -244,7 +244,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
     # vertex id (one aggregate exchange + the join exchanges on id/v —
     # no SortMergeJoin on a non-vertex key, no SinglePartition).
     from fastfilter_spark.pipeline import contamination_flags
-    from fastfilter_spark.pipeline.graph import _propagation_round
+    from fastfilter_spark.pipeline.graph import _large_star, _small_star
     from fastfilter_spark.spark import pack_into_shards, stratified_sample
     p15a = plan_of(contamination_flags(docs, docs.limit(20), "text",
                                        "doc_id", shingle_k=8))
@@ -273,15 +273,15 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
                    "never shuffles",
                    "BroadcastHashJoin" in p15e
                    and len(re.findall(r"\(\d+\) Exchange", p15e)) == 0))
-    e15 = docs.select(F.col("doc_id").alias("u"),
+    e15 = docs.select((F.col("doc_id") + 50).alias("u"),
                       (F.col("doc_id") % 50).alias("v"))
-    l15 = e15.select(F.col("u").alias("id")).distinct() \
-             .withColumn("comp", F.col("id"))
-    p15d = plan_of(_propagation_round(e15, l15))
+    p15d = plan_of(_small_star(_large_star(e15)))
     part_keys = set(re.findall(r"hashpartitioning\((\w+)", p15d))
-    checks.append((f"CC round: exchanges keyed on vertex cols only "
-                   f"({sorted(part_keys)})",
-                   part_keys <= {"u", "v", "id", "comp"}))
+    checks.append((f"CC round (large-star∘small-star): exchanges keyed "
+                   f"on vertex cols only ({sorted(part_keys)}, "
+                   "no SinglePartition)",
+                   part_keys <= {"u", "v"}
+                   and "SinglePartition" not in p15d))
 
     # 16. lsh_topk candidate join AT SCALE (VERDICT r3 #1): same claim
     # as check 12 for the ANN path — the index/probe bucket caps are
