@@ -1280,19 +1280,43 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling plumbing (JVM-side explode of the sampled
-    frame index sequence): fake videos get a deterministic per-id frame
-    count (id % 7 + 1), every 2nd frame is sampled, and the payload
-    length is structural (sha256 digest × 16 = 512 B) — all of which
-    the oracle recomputes from the corpus alone."""
+    """REAL video decode: the fake videos are genuine uncompressed-DIB
+    RIFF/AVI payloads (doc_id%7+1 frames of 16×16 whose pixel bytes
+    tile sha256(str(id)) — 24 whole digest copies per frame). Every 2nd
+    frame is decoded (decode_avi walks hdrl/strl/movi, de-pads rows,
+    verifies the header frame count) and emitted with its exact pixel
+    mean — which collapses to mean(digest bytes), recomputable by
+    DuckDB from the digest hex. The payload size is affine in the frame
+    count (RIFF header + one '00db' chunk per frame); the oracle
+    recomputes both."""
     from fastfilter_spark.pipeline import frame_sample, make_fake_media
     docs = _docs(spark, sf_dir).where("doc_id < 100")
     media = make_fake_media(docs, "doc_id", kind="video")
-    return (frame_sample(media, every_n=2)
-            .select("media_id", "kind",
-                    F.col("frame_idx").cast("int").alias("frame_idx"),
-                    F.length("payload").cast("int").alias("payload_bytes"))
+    return (frame_sample(media, every_n=2, decode=True)
+            .select("media_id", "kind", "frame_idx", "payload_bytes",
+                    "frame_mean", "decode_ok")
             .orderBy("media_id", "frame_idx"))
+
+
+def q_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode through the pooled-feature path: each fake AVI
+    decodes to n_frames×16×16×3 pixels tiling sha256(str(id)); every
+    8-block pool is a whole number of digest copies, so each feature
+    dim is exactly digest_sum/32 (float32-representable; IEEE division
+    returns it exactly) — DuckDB recomputes feat_mean from the digest
+    hex. Scalar columns only (driver canonicalizer can't sort arrays)."""
+    from fastfilter_spark.pipeline import extract_features, make_fake_media
+    docs = _docs(spark, sf_dir).where("doc_id < 300")
+    media = make_fake_media(docs, "doc_id", kind="video")
+    feats = extract_features(media, feat_dim=8)
+    return (feats.select(
+        "media_id", "kind",
+        F.size("feat").cast("int").alias("n_dims"),
+        F.round(F.aggregate("feat", F.lit(0.0),
+                            lambda acc, x: acc + x.cast("double"))
+                / F.size("feat"), 6).alias("feat_mean"),
+        "decode_ok")
+        .orderBy("media_id"))
 
 
 # ---------------------------------------------------------------------------
@@ -1358,6 +1382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": q_lsh_ann_topk,
         "multimodal_features": q_multimodal_features,
         "audio_features": q_audio_features,
+        "video_features": q_video_features,
         "frame_sample": q_frame_sample,
         "mg_top_terms": q_mg_top_terms,
         "hash_split": q_hash_split,
@@ -1376,6 +1401,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _TOKENS_SQL = r"list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"
+
+# sum of the 32 bytes of a sha256 digest given as hex in column `hx`
+_DIGEST_BYTE_SUM = (
+    "list_sum(list_transform(range(0,32), i -> "
+    "(strpos('0123456789abcdef', substr(hx, CAST(2*i+1 AS INTEGER), 1))-1)*16 "
+    "+ strpos('0123456789abcdef', substr(hx, CAST(2*i+2 AS INTEGER), 1))-1))")
+
+
+def _avi_size_consts() -> tuple:
+    """Fixture-AVI payload size is affine in the frame count:
+    len = A + B·n_frames. Derive (A, B) by encoding two reference AVIs
+    at the fixture geometry — the oracle then recomputes payload sizes
+    without a video decoder."""
+    import numpy as np
+    from fastfilter_spark.pipeline.multimodal import (VIDEO_H, VIDEO_W,
+                                                      encode_avi)
+    z1 = len(encode_avi(np.zeros((1, VIDEO_H, VIDEO_W, 3), np.uint8), fps=4))
+    z2 = len(encode_avi(np.zeros((2, VIDEO_H, VIDEO_W, 3), np.uint8), fps=4))
+    return 2 * z1 - z2, z2 - z1
+
+
+_AVI_A, _AVI_B = _avi_size_consts()
 
 # distinct 3-word shingle strings, matching pipeline.text.shingles(k=3):
 # windows 1..max(n_tokens-2, 1); short docs yield one truncated shingle
@@ -1747,11 +1794,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT COUNT(*) AS n_vecs, TRUE AS lsh_recall_ok "
             "FROM embeddings"),
         "frame_sample": (
+            # real AVI decode: payload size is affine in the frame
+            # count (A + B·nf, constants from encoding two reference
+            # AVIs at the fixture geometry), and every decoded frame's
+            # pixel mean equals mean(sha256 digest bytes) because each
+            # 768-byte frame is 24 whole digest copies
+            "WITH b AS (SELECT doc_id, sha256(CAST(doc_id AS VARCHAR)) "
+            "AS hx, (doc_id % 7) + 1 AS nf FROM documents "
+            "WHERE doc_id < 100) "
             "SELECT doc_id AS media_id, 'video' AS kind, "
-            "CAST(unnest(range(0, (doc_id % 7) + 1, 2)) AS INTEGER) "
-            "AS frame_idx, CAST(512 AS INTEGER) AS payload_bytes "
-            "FROM documents WHERE doc_id < 100 "
-            "ORDER BY media_id, frame_idx"),
+            "CAST(unnest(range(0, nf, 2)) AS INTEGER) AS frame_idx, "
+            f"CAST({_AVI_A} + {_AVI_B} * nf AS INTEGER) AS payload_bytes, "
+            f"ROUND({_DIGEST_BYTE_SUM} / 32.0, 6) AS frame_mean, "
+            "TRUE AS decode_ok FROM b ORDER BY media_id, frame_idx"),
+        "video_features": (
+            # same digest-mean collapse as multimodal_features, through
+            # the real AVI decode (8 pools × whole digest copies)
+            "WITH b AS (SELECT doc_id, sha256(CAST(doc_id AS VARCHAR)) "
+            "AS hx FROM documents WHERE doc_id < 300) "
+            "SELECT doc_id AS media_id, 'video' AS kind, "
+            "CAST(8 AS INTEGER) AS n_dims, "
+            f"ROUND({_DIGEST_BYTE_SUM} / 32.0, 6) AS feat_mean, "
+            "TRUE AS decode_ok FROM b ORDER BY media_id"),
         "mg_top_terms": (
             f"WITH t AS (SELECT unnest({_TOKENS_SQL}) AS token "
             "FROM documents) "
@@ -1791,10 +1855,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) "
             "SELECT doc_id AS media_id, 'image' AS kind, "
             "CAST(8 AS INTEGER) AS n_dims, "
-            "ROUND(list_sum(list_transform(range(0,32), i -> "
-            "(strpos('0123456789abcdef', substr(hx, CAST(2*i+1 AS INTEGER), 1))-1)*16 "
-            "+ strpos('0123456789abcdef', substr(hx, CAST(2*i+2 AS INTEGER), 1))-1"
-            ")) / 32.0, 6) AS feat_mean, "
+            f"ROUND({_DIGEST_BYTE_SUM} / 32.0, 6) AS feat_mean, "
             "TRUE AS decode_ok FROM b ORDER BY media_id"),
         "audio_features": (
             # Recompute the WAV pipeline: 3072 int16 samples = the 16

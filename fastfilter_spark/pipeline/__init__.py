@@ -11,8 +11,8 @@ from .dedup import (
     ngram_jaccard_pairs, simhash, simhash128, simhash_candidates,
 )
 from .multimodal import (
-    decode_bmp, decode_wav, encode_bmp, encode_wav, extract_features,
-    frame_sample, make_fake_media,
+    decode_avi, decode_bmp, decode_wav, encode_avi, encode_bmp, encode_wav,
+    extract_features, frame_sample, make_fake_media,
 )
 from .text import (
     repetition_stats,

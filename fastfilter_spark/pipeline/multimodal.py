@@ -1,21 +1,24 @@
 """Multimodal column plumbing: image/audio/video as opaque binary.
 
-Images and audio are decoded for REAL — zero-dependency pure-numpy
-codecs for the two formats that need no external library:
+All three modalities are decoded for REAL — zero-dependency pure-numpy
+codecs for the formats that need no external library:
 
 * ``decode_bmp`` / ``encode_bmp`` — uncompressed 24-bpp Windows BMP
   (BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up rows, 4-byte row
   padding, BGR byte order).
 * ``decode_wav`` / ``encode_wav`` — RIFF/WAVE with 16-bit little-endian
   PCM (the canonical `fmt `/`data` chunk layout).
+* ``decode_avi`` / ``encode_avi`` — uncompressed RIFF/AVI ('DIB '
+  video stream: avih/strh/strf headers, one '00db' chunk of bottom-up
+  padded BGR rows per frame — the same DIB pixel layout as BMP).
+  Compressed codecs (H.264 etc.) still need an external library; this
+  decoder raises a clear error on a non-'DIB ' stream so production
+  can swap in ffmpeg behind the same function.
 
-``make_fake_media`` emits real, deterministic BMP/WAV payloads (pixel /
-sample bytes derived from sha256 of the id), so ``extract_features``
-exercises genuine header parsing, row de-padding and sample decoding
-end-to-end. Only **video** remains a stub (``_decode_video_stub``):
-every mainstream video codec requires a real decoder library that does
-not exist in this container — swap it for ffmpeg/torchvision in
-production.
+``make_fake_media`` emits real, deterministic BMP/WAV/AVI payloads
+(pixel / sample bytes derived from sha256 of the id), so
+``extract_features`` and ``frame_sample`` exercise genuine header
+parsing, chunk walking, row de-padding and frame extraction end-to-end.
 
 Pattern: ``mapInPandas`` so one Arrow batch of binary payloads is
 processed per call (bounded memory regardless of blob size skew);
@@ -42,6 +45,42 @@ FEATURE_SCHEMA = ("media_id long, kind string, feat array<float>, "
 
 
 # ---------------------------------------------------------------------------
+# DIB pixel array (shared by BMP and uncompressed AVI) — pure numpy
+# ---------------------------------------------------------------------------
+
+def _pack_dib(pixels: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → DIB pixel array bytes: BGR byte order, rows
+    bottom-up, each row padded to a 4-byte boundary."""
+    h, w, _ = pixels.shape
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    rows = pixels[::-1, :, ::-1].reshape(h, row_bytes)
+    if pad:
+        rows = np.concatenate(
+            [rows, np.zeros((h, pad), dtype=np.uint8)], axis=1)
+    return rows.tobytes()
+
+
+def _unpack_dib(data: bytes, w: int, h: int, offset: int = 0,
+                bottom_up: bool = True, what: str = "DIB") -> np.ndarray:
+    """DIB pixel array bytes → (H, W, 3) uint8 RGB (top-down). Raises on
+    short pixel data — decoding a short slice would silently yield wrong
+    pixels with decode_ok=True."""
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    need = offset + stride * h
+    if len(data) < need:
+        raise ValueError(
+            f"truncated {what} pixel data ({len(data)} < {need})")
+    rows = np.frombuffer(data, dtype=np.uint8,
+                         count=stride * h, offset=offset).reshape(h, stride)
+    bgr = rows[:, :row_bytes].reshape(h, w, 3)
+    if bottom_up:
+        bgr = bgr[::-1]
+    return np.ascontiguousarray(bgr[:, :, ::-1])   # BGR → RGB
+
+
+# ---------------------------------------------------------------------------
 # BMP (24-bpp uncompressed) — pure numpy
 # ---------------------------------------------------------------------------
 
@@ -50,15 +89,7 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
     if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
         raise ValueError("encode_bmp needs (H, W, 3) uint8")
     h, w, _ = pixels.shape
-    row_bytes = w * 3
-    pad = (-row_bytes) % 4
-    # BGR on disk, rows bottom-up, each row padded to a 4-byte boundary
-    bgr = pixels[::-1, :, ::-1]
-    rows = bgr.reshape(h, row_bytes)
-    if pad:
-        rows = np.concatenate(
-            [rows, np.zeros((h, pad), dtype=np.uint8)], axis=1)
-    data = rows.tobytes()
+    data = _pack_dib(pixels)
     info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
                        2835, 2835, 0, 0)
     header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 54)
@@ -81,17 +112,8 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     h = abs(h)
     if w <= 0 or h <= 0:
         raise ValueError("bad BMP dimensions")
-    row_bytes = w * 3
-    stride = row_bytes + ((-row_bytes) % 4)
-    need = offset + stride * h
-    if len(payload) < need:
-        raise ValueError(f"truncated BMP pixel data ({len(payload)} < {need})")
-    rows = np.frombuffer(payload, dtype=np.uint8,
-                         count=stride * h, offset=offset).reshape(h, stride)
-    bgr = rows[:, :row_bytes].reshape(h, w, 3)
-    if flip:
-        bgr = bgr[::-1]
-    return np.ascontiguousarray(bgr[:, :, ::-1])   # BGR → RGB
+    return _unpack_dib(payload, w, h, offset=offset, bottom_up=flip,
+                       what="BMP")
 
 
 # ---------------------------------------------------------------------------
@@ -153,20 +175,143 @@ def decode_wav(payload: bytes) -> Tuple[int, np.ndarray]:
 
 
 # ---------------------------------------------------------------------------
+# AVI (uncompressed 'DIB ' 24-bpp video) — pure numpy
+# ---------------------------------------------------------------------------
+
+def _riff_chunk(cid: bytes, body: bytes) -> bytes:
+    # RIFF chunks are word-aligned: odd-length bodies get a pad byte
+    return cid + struct.pack("<I", len(body)) + body + \
+        (b"\x00" if len(body) % 2 else b"")
+
+
+def _riff_list(subtype: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", subtype + body)
+
+
+def _riff_walk(buf: bytes, pos: int, end: int):
+    """Yield (chunk_id, body) over a RIFF chunk sequence with the same
+    truncation discipline as decode_wav: a declared length past the
+    buffer is corruption, not a short read."""
+    while pos + 8 <= end:
+        cid = buf[pos:pos + 4]
+        (clen,) = struct.unpack_from("<I", buf, pos + 4)
+        body_end = pos + 8 + clen
+        if body_end > end:
+            raise ValueError(
+                f"truncated AVI chunk {cid!r}: declares {clen} bytes, "
+                f"{end - pos - 8} present")
+        yield cid, buf[pos + 8:body_end]
+        pos = body_end + (clen % 2)
+
+
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """(N, H, W, 3) uint8 RGB frames → uncompressed RIFF/AVI bytes
+    ('vids'/'DIB ' stream, one '00db' DIB chunk per frame)."""
+    frames = np.asarray(frames)
+    if frames.ndim != 4 or frames.shape[3] != 3 or \
+            frames.dtype != np.uint8 or frames.shape[0] < 1:
+        raise ValueError("encode_avi needs (N>=1, H, W, 3) uint8")
+    n, h, w, _ = frames.shape
+    stride = w * 3 + ((-(w * 3)) % 4)
+    frame_bytes = stride * h
+    avih = struct.pack("<14I", 1_000_000 // fps, frame_bytes * fps, 0,
+                       0x10, n, 0, 1, frame_bytes, w, h, 0, 0, 0, 0)
+    strh = struct.pack("<4s4sIHHIIIIIIiIhhhh", b"vids", b"DIB ", 0, 0, 0,
+                       0, 1, fps, 0, n, frame_bytes, -1, 0, 0, 0, w, h)
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes,
+                       0, 0, 0, 0)
+    hdrl = _riff_list(b"hdrl", _riff_chunk(b"avih", avih)
+                      + _riff_list(b"strl", _riff_chunk(b"strh", strh)
+                                   + _riff_chunk(b"strf", strf)))
+    movi = _riff_list(b"movi", b"".join(
+        _riff_chunk(b"00db", _pack_dib(f)) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(payload: bytes) -> np.ndarray:
+    """Uncompressed RIFF/AVI bytes → (N, H, W, 3) uint8 RGB frames.
+
+    Walks the real chunk structure (hdrl for geometry, strf for the
+    codec check, movi for frames — including frames nested in 'rec '
+    grouping lists, which real muxers emit for interleaving). Raises on
+    compressed streams, truncated chunks, and a frame count that
+    disagrees with the avih header (a silently-dropped tail would
+    otherwise pass as a shorter video)."""
+    if payload is None or len(payload) < 12:
+        raise ValueError("truncated AVI header")
+    if payload[0:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("bad RIFF/AVI magic")
+    (declared,) = struct.unpack_from("<I", payload, 4)
+    end = 8 + declared
+    if len(payload) < end:
+        raise ValueError(
+            f"truncated AVI file ({len(payload)} < {end} declared)")
+    n_declared = w = h = None
+    bpp, comp = 24, 0
+    frames: list = []
+
+    def _movi_frames(body: bytes) -> None:
+        for cid, sub in _riff_walk(body, 0, len(body)):
+            if cid == b"LIST" and sub[:4] == b"rec ":
+                _movi_frames(sub[4:])
+            elif cid[2:4] == b"db":       # uncompressed DIB frame
+                frames.append(sub)
+            elif cid[2:4] == b"dc":
+                raise ValueError("compressed AVI frame ('##dc') — only "
+                                 "uncompressed 'DIB ' streams supported")
+
+    for cid, body in _riff_walk(payload, 12, end):
+        if cid != b"LIST":
+            continue                      # idx1/JUNK etc. — not needed
+        subtype = body[:4]
+        if subtype == b"hdrl":
+            for c2, b2 in _riff_walk(body, 4, len(body)):
+                if c2 == b"avih":
+                    vals = struct.unpack_from("<14I", b2, 0)
+                    n_declared, w, h = vals[4], vals[8], vals[9]
+                elif c2 == b"LIST" and b2[:4] == b"strl":
+                    for c3, b3 in _riff_walk(b2, 4, len(b2)):
+                        if c3 == b"strf":
+                            _, _, _, _, bpp, comp = \
+                                struct.unpack_from("<IiiHHI", b3, 0)
+        elif subtype == b"movi":
+            _movi_frames(body[4:])
+    if n_declared is None or w is None:
+        raise ValueError("missing avih header")
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported AVI (bpp={bpp}, compression={comp})"
+                         " — only uncompressed 24-bpp DIB")
+    if w <= 0 or h <= 0 or n_declared < 1:
+        raise ValueError("bad AVI geometry")
+    if len(frames) != n_declared:
+        raise ValueError(f"AVI frame count mismatch: header declares "
+                         f"{n_declared}, movi holds {len(frames)}")
+    return np.stack([_unpack_dib(f, w, h, what="AVI frame")
+                     for f in frames])
+
+
+# ---------------------------------------------------------------------------
 # deterministic fixtures (real payloads, seeded by id)
 # ---------------------------------------------------------------------------
+
+VIDEO_W = VIDEO_H = 16          # fixture frame geometry: 16×16×3 = 768 B
+                                # = 24 whole sha256 digests per frame, so
+                                # per-frame pixel means stay oracle-exact
+
 
 def make_fake_media(df: DataFrame, id_col: str, kind: str = "image",
                     width: int = 64, height: int = 64,
                     n_samples: int = 3072) -> DataFrame:
     """Deterministic media blobs (seeded by id): REAL encoded payloads
-    for image (24-bpp BMP) and audio (16-bit PCM WAV); video keeps an
-    opaque 512-byte payload (no video codec exists in this sandbox —
-    frame sampling is structural plumbing over n_frames).
+    for image (24-bpp BMP), audio (16-bit PCM WAV) and video
+    (uncompressed DIB AVI, id%7+1 frames of 16×16).
 
     Seed = sha256 of the DECIMAL-STRING id (not packed bytes): any
     engine with sha256(VARCHAR) — e.g. the DuckDB oracle — can recompute
-    the pixel/sample statistics end-to-end.
+    the pixel/sample statistics end-to-end. Video frames tile the digest
+    across all frames; 768 B/frame is a whole number of digest copies,
+    so every frame's pixel mean equals mean(digest bytes) exactly.
     """
     @F.pandas_udf("binary")
     def _blob(ids: pd.Series) -> pd.Series:
@@ -182,32 +327,26 @@ def make_fake_media(df: DataFrame, id_col: str, kind: str = "image",
                 raw = digest * (n_samples * 2 // 32 + 1)
                 samples = np.frombuffer(raw, dtype="<i2")[:n_samples].copy()
                 out.append(encode_wav(samples))
-            else:                         # video: opaque deterministic blob
-                out.append(digest * 16)
+            else:                         # video: real uncompressed AVI
+                nf = int(i) % 7 + 1
+                n = nf * VIDEO_H * VIDEO_W * 3
+                px = np.frombuffer(digest * (n // 32 + 1), dtype=np.uint8)
+                out.append(encode_avi(
+                    px[:n].reshape(nf, VIDEO_H, VIDEO_W, 3).copy(), fps=4))
         return pd.Series(out)
 
+    if kind == "video":
+        width, height = VIDEO_W, VIDEO_H
     return df.select(
         F.col(id_col).cast("long").alias("media_id"),
         F.lit(kind).alias("kind"),
         _blob(F.col(id_col)).alias("payload"),
-        (F.lit(width) if kind == "image" else F.lit(0)).alias("width"),
-        (F.lit(height) if kind == "image" else F.lit(0)).alias("height"),
+        (F.lit(width) if kind != "audio" else F.lit(0)).alias("width"),
+        (F.lit(height) if kind != "audio" else F.lit(0)).alias("height"),
         # deterministic per-id frame count (1..7) so video sampling
         # plumbing has real variation to chew on
         (F.col(id_col).cast("long") % 7 + 1).cast("int").alias("n_frames")
         if kind == "video" else F.lit(1).alias("n_frames"))
-
-
-def _decode_video_stub(payload: bytes) -> np.ndarray:
-    """STUB: video needs a codec library (ffmpeg etc.) that this
-    container doesn't have. Deterministic fake frame from payload bytes
-    keeps the plumbing testable; production swaps this single function."""
-    if payload is None:
-        raise ValueError("no payload")
-    raw = np.frombuffer(payload, dtype=np.uint8)
-    if raw.size == 0:
-        raise ValueError("empty payload")
-    return np.tile(raw, int(np.ceil(4096 / raw.size)))[:4096].reshape(64, 64)
 
 
 def _decode_any(kind: str, payload: bytes) -> np.ndarray:
@@ -217,7 +356,7 @@ def _decode_any(kind: str, payload: bytes) -> np.ndarray:
     if kind == "audio":
         return decode_wav(payload)[1]
     if kind == "video":
-        return _decode_video_stub(payload).ravel()
+        return decode_avi(payload).ravel()
     raise ValueError(f"unknown media kind {kind!r}")
 
 
@@ -262,12 +401,63 @@ def extract_features(media: DataFrame, feat_dim: int = 16) -> DataFrame:
     return media.mapInPandas(_extract, FEATURE_SCHEMA)
 
 
-def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
-    """Video frame sampling plumbing: expands n_frames into sampled frame
-    indices JVM-side (decoding each frame still needs the video stub)."""
-    return (media
-            .withColumn("frame_idx",
-                        F.explode(F.sequence(F.lit(0),
-                                             F.greatest(F.col("n_frames") - 1, F.lit(0)),
-                                             F.lit(every_n))))
-            .select("media_id", "kind", "frame_idx", "payload"))
+SAMPLED_FRAME_SCHEMA = ("media_id long, kind string, frame_idx int, "
+                        "payload_bytes int, frame_mean double, "
+                        "decode_ok boolean")
+
+
+def frame_sample(media: DataFrame, every_n: int = 2,
+                 decode: bool = False) -> DataFrame:
+    """Video frame sampling, two shapes:
+
+    * ``decode=False`` (default): pure-JVM plumbing — explode the
+      sampled frame-index sequence from the ``n_frames`` metadata
+      column; no Python, no decode. The cheap shape when downstream
+      only needs (video, frame_idx) work items.
+    * ``decode=True``: REAL decode — one Arrow batch of AVI payloads at
+      a time, each video decoded once (``decode_avi``), every
+      ``every_n``-th frame emitted with its pixel mean. Sampling is
+      driven by the DECODED frame count (decode_avi verifies it against
+      the avih header), not the metadata column. Per-row error
+      isolation: a corrupt payload yields one row with
+      ``decode_ok=false`` / ``frame_idx=-1`` instead of killing the
+      task."""
+    if not decode:
+        return (media
+                .withColumn("frame_idx",
+                            F.explode(F.sequence(
+                                F.lit(0),
+                                F.greatest(F.col("n_frames") - 1, F.lit(0)),
+                                F.lit(every_n))))
+                .select("media_id", "kind", "frame_idx", "payload"))
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, kinds, idxs, nbytes, means, oks = [], [], [], [], [], []
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"],
+                                          pdf["payload"]):
+                pb = 0 if payload is None else len(payload)
+                try:
+                    frames = decode_avi(payload)
+                    for fi in range(0, frames.shape[0], every_n):
+                        mids.append(mid)
+                        kinds.append(kind)
+                        idxs.append(fi)
+                        nbytes.append(pb)
+                        means.append(round(
+                            float(frames[fi].mean(dtype=np.float64)), 6))
+                        oks.append(True)
+                except Exception:  # noqa: BLE001 — isolate THIS row
+                    mids.append(mid)
+                    kinds.append(kind)
+                    idxs.append(-1)
+                    nbytes.append(pb)
+                    means.append(None)
+                    oks.append(False)
+            yield pd.DataFrame({
+                "media_id": mids, "kind": kinds, "frame_idx": idxs,
+                "payload_bytes": nbytes, "frame_mean": means,
+                "decode_ok": oks})
+
+    return (media.select("media_id", "kind", "payload")
+            .mapInPandas(_sample, SAMPLED_FRAME_SCHEMA))

@@ -564,6 +564,87 @@ def test_wav_decode_rejects_truncated_chunks():
         decode_wav(good[:20])
 
 
+def test_avi_codec_roundtrip_and_rejects_corruption():
+    """The pure-numpy AVI codec must round-trip arbitrary frame stacks
+    (incl. odd widths → padded DIB rows) and raise — never silently
+    mis-decode — on truncation, wrong form type, frame-count mismatch
+    and compressed streams."""
+    import struct as _struct
+    from fastfilter_spark.pipeline import decode_avi, encode_avi
+
+    rng = np.random.default_rng(11)
+    for n, h, w in [(1, 16, 16), (7, 9, 7), (3, 1, 1), (4, 5, 2)]:
+        fr = rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_avi(encode_avi(fr, fps=4)), fr)
+
+    good = encode_avi(rng.integers(0, 256, (3, 16, 16, 3), dtype=np.uint8))
+    for bad, why in [(None, "none"), (b"", "empty"),
+                     (good[:40], "truncated file"),
+                     (good[:-10], "truncated tail"),
+                     (b"RIFF" + good[4:8] + b"WAVE" + good[12:], "form")]:
+        with pytest.raises(ValueError):
+            decode_avi(bad), why
+    # header/frame-count mismatch (a silently dropped tail must raise)
+    flipped = bytearray(good)
+    _struct.pack_into("<I", flipped, good.find(b"avih") + 8 + 16, 5)
+    with pytest.raises(ValueError, match="frame count mismatch"):
+        decode_avi(bytes(flipped))
+    # compressed frames are out of scope and must say so
+    comp = good.replace(b"00db", b"00dc")
+    with pytest.raises(ValueError, match="compressed"):
+        decode_avi(comp)
+
+
+def test_video_real_decode_and_error_isolation(spark):
+    """make_fake_media(kind='video') emits REAL uncompressed AVIs:
+    frame_sample(decode=True) must decode the true frame count, match
+    the analytic per-frame mean, and isolate corrupt payloads per-row;
+    extract_features pools video to the digest mean like image/audio."""
+    import hashlib
+    from fastfilter_spark.pipeline import decode_avi, frame_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = make_fake_media(docs.limit(15), "doc_id", kind="video")
+    rows = media.orderBy("media_id").collect()
+    for r in rows[:4]:
+        frames = decode_avi(bytes(r.payload))
+        assert frames.shape == (r.media_id % 7 + 1, 16, 16, 3)
+        digest = np.frombuffer(
+            hashlib.sha256(str(r.media_id).encode()).digest(), np.uint8)
+        assert np.array_equal(frames.ravel(),
+                              np.tile(digest, frames.size // 32))
+
+    fs = frame_sample(media, every_n=2, decode=True).toPandas()
+    assert fs.decode_ok.all()
+    for _, row in fs.iterrows():
+        digest = np.frombuffer(
+            hashlib.sha256(str(row.media_id).encode()).digest(), np.uint8)
+        assert row.frame_mean == round(float(digest.mean()), 6)
+        assert row.frame_idx % 2 == 0
+    # sampled count = ceil(n_frames / 2), driven by the DECODED count
+    got = fs.groupby("media_id").size()
+    for r in rows:
+        assert got[r.media_id] == -(-(r.media_id % 7 + 1) // 2)
+
+    vf = extract_features(media, feat_dim=8).toPandas()
+    assert vf.decode_ok.all()
+    for _, row in vf.iterrows():
+        digest = np.frombuffer(
+            hashlib.sha256(str(row.media_id).encode()).digest(), np.uint8)
+        assert np.allclose(row.feat, digest.mean(), atol=0)  # exact
+
+    # corrupt one payload: that row fails, others survive
+    victim = rows[0].media_id
+    corrupted = media.withColumn(
+        "payload", F.when(F.col("media_id") == victim,
+                          F.lit(b"garbage")).otherwise(F.col("payload")))
+    cf = (frame_sample(corrupted, every_n=2, decode=True).toPandas()
+          .set_index("media_id"))
+    bad = cf.loc[victim]
+    assert not bad.decode_ok and bad.frame_idx == -1
+    assert cf.drop(index=victim).decode_ok.all()
+
+
 def test_contamination_flags_exact(spark):
     """Planted benchmark overlap must be found exactly: n_hits equals
     the true distinct-shingle intersection (filter FP candidates are

@@ -171,3 +171,13 @@ def test_wav_roundtrip_any_length(n, rate, seed):
     s = rng.integers(-32768, 32768, size=n, dtype=np.int16)
     r, back = decode_wav(encode_wav(s, rate))
     assert r == rate and np.array_equal(back, s)
+
+
+@settings(max_examples=40, deadline=None)
+@given(n=st.integers(1, 9), h=st.integers(1, 10), w=st.integers(1, 10),
+       fps=st.sampled_from([1, 4, 30]), seed=st.integers(0, 2**31))
+def test_avi_roundtrip_any_dims(n, h, w, fps, seed):
+    from fastfilter_spark.pipeline import decode_avi, encode_avi
+    rng = np.random.default_rng(seed)
+    fr = rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_avi(encode_avi(fr, fps=fps)), fr)
