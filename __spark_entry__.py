@@ -265,6 +265,25 @@ def q_sql_udf_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         "AS n_contained FROM ffsk_probe_q")
 
 
+def q_sql_sidecar_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-function surface at the SIDECAR tier (the ≥10⁹-key serve
+    shape where blobs never transit the driver): the filter is built
+    driver-bypass, then registered as a one-argument SQL boolean whose
+    workers read the sidecar directly. Zero-FN makes the counts exact."""
+    from fastfilter_spark.spark import (build_filter_sidecar,
+                                        register_sql_sidecar)
+    keys = _doc_keys(spark, sf_dir).dropDuplicates(["key"]).cache()
+    # fixed path, overwritten per run (see q_sidecar_routed_membership)
+    sc = "/tmp/ffsk_q_sidecar_sql/sidecar"
+    build_filter_sidecar(keys, sc, kind="bf8", num_partitions=16)
+    register_sql_sidecar(spark, sc, "ffsk_contains_sc_q")
+    keys.createOrReplaceTempView("ffsk_probe_sc_q")
+    return spark.sql(
+        "SELECT COUNT(*) AS n_probed, "
+        "SUM(CASE WHEN ffsk_contains_sc_q(key) THEN 1 ELSE 0 END) "
+        "AS n_contained FROM ffsk_probe_sc_q")
+
+
 def q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming frequency sketch: events replayed with availableNow
     through the generic incremental sink (Misra-Gries over
@@ -1389,6 +1408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uniform_sample": q_uniform_sample,
         "streaming_topk": q_streaming_topk,
         "sql_udf_membership": q_sql_udf_membership,
+        "sql_sidecar_membership": q_sql_sidecar_membership,
         "mixture_sample": q_mixture_sample,
         "stratified_sample": q_stratified_sample,
         "pack_shards": q_pack_shards,
@@ -1598,6 +1618,9 @@ def oracle_sql() -> dict[str, str]:
             "WHEN 'fr' THEN 0.1 ELSE 0.05 END "
             "GROUP BY lang ORDER BY lang"),
         "sql_udf_membership": (
+            "SELECT COUNT(DISTINCT text) AS n_probed, "
+            "COUNT(DISTINCT text) AS n_contained FROM documents"),
+        "sql_sidecar_membership": (
             "SELECT COUNT(DISTINCT text) AS n_probed, "
             "COUNT(DISTINCT text) AS n_contained FROM documents"),
         "streaming_topk": (

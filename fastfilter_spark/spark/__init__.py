@@ -2,7 +2,8 @@ from .build import (PartitionedFilter, add_keys, build_partitioned_filter,
                     cuckoo_update)
 from .grouped import GroupedFilters, build_grouped_filters
 from .io import (build_filter_sidecar, contains_via_sidecar, read_corpus,
-                 read_filter_sidecar, write_bucketed, write_filter_sidecar)
+                 read_filter_sidecar, register_sql_sidecar, write_bucketed,
+                 write_filter_sidecar)
 from .keys import content_key, keys_from_content, partition_id, pd_to_u64
 from .asof import asof_join
 from .rangejoin import interval_join
@@ -22,7 +23,7 @@ __all__ = [
     "hll_agg", "cms_agg", "cms_query", "kll_agg", "tdigest_agg", "theta_agg",
     "read_corpus", "write_filter_sidecar", "read_filter_sidecar", "contains_via_sidecar",
     "write_bucketed", "salted_join", "asof_join", "interval_join",
-    "build_filter_sidecar", "cuckoo_update",
+    "build_filter_sidecar", "cuckoo_update", "register_sql_sidecar",
     "mg_agg", "hash_sample", "hash_sample_pred", "hash_split",
     "deterministic_sample", "sample_priority", "stratified_sample",
     "pack_into_shards", "mixture_sample",

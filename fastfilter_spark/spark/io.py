@@ -356,6 +356,59 @@ def contains_via_sidecar(probes: DataFrame, sidecar_path: str,
     return routed.mapInArrow(_probe, out_schema)
 
 
+def register_sql_sidecar(spark: SparkSession, sidecar_path: str,
+                         name: str = "ffsk_contains_sidecar",
+                         max_local_bytes: int = 2 << 30) -> str:
+    """SQL-only membership over a SIDECAR filter — the ≥10⁹-key tier,
+    where blobs never transit the driver. After
+    ``register_sql_sidecar(spark, path, "f")``, plain
+    ``spark.sql("SELECT * FROM t WHERE f(key)")`` probes the sidecar.
+
+    Unlike :meth:`PartitionedFilter.register_sql` (broadcast blobs,
+    requires the driver to hold the filter), the workers read the
+    sidecar directly from shared storage: driver memory stays O(1)
+    regardless of filter size, and each worker PROCESS pays one load
+    per sidecar generation (the mtime/size/inode cache token — a
+    rebuild at the same path is never answered from stale blobs, and a
+    rebuild with different P/salt raises instead of silently routing to
+    wrong pids). The pid is recomputed in-kernel (bit-exact numpy
+    replica of the JVM route expression), so the UDF takes ONE argument
+    and composes anywhere a boolean can.
+
+    A scalar UDF cannot shuffle, so this is the LOCAL probe shape:
+    every worker holds all blobs. ``max_local_bytes`` (default 2 GB —
+    a fat-executor budget, vs the 128 MB auto-threshold of
+    ``contains_via_sidecar``) guards against registering a sidecar too
+    big for worker memory; beyond it, use ``contains_via_sidecar``'s
+    routed path and join its output instead. Requires the sidecar path
+    to be visible to every executor (shared FS / object store — the
+    same requirement the probe paths already have)."""
+    import pyspark.sql.functions as F
+
+    from .. import workerside
+    from .keys import ROUTING_XXHASH_PMOD
+
+    with open(os.path.join(sidecar_path, "filter_manifest.json")) as fh:
+        m = json.load(fh)
+    if m["routing"] != ROUTING_XXHASH_PMOD:
+        raise ValueError("sidecar SQL function requires xxhash_pmod routing")
+    blob_bytes = m.get("blob_bytes", 0)
+    if blob_bytes > max_local_bytes:
+        raise ValueError(
+            f"sidecar blobs total {blob_bytes} bytes > max_local_bytes="
+            f"{max_local_bytes}: too big to hold per-worker for a scalar "
+            "SQL UDF — probe via contains_via_sidecar (routed path) and "
+            "join, or raise max_local_bytes for fat executors")
+    P, salt = m["P"], m["salt"]
+
+    @F.pandas_udf("boolean")
+    def _contains_sidecar_sql(key: pd.Series) -> pd.Series:
+        return workerside.contains_sidecar_series(sidecar_path, P, salt, key)
+
+    spark.udf.register(name, _contains_sidecar_sql)
+    return name
+
+
 def read_filter_sidecar(path: str) -> PartitionedFilter:
     import pyarrow.parquet as pq
     with open(os.path.join(path, "filter_manifest.json")) as fh:

@@ -393,6 +393,59 @@ def _sidecar_filters(sidecar_path: str, P: int) -> List:
     return filters
 
 
+_SIDECAR_PARAMS: Dict[tuple, tuple] = {}
+
+
+def sidecar_params(sidecar_path: str) -> tuple:
+    """(P, salt) of the sidecar's CURRENT manifest, cached per
+    generation (same token as the blob cache). One os.stat per call —
+    cheap enough for long-lived closures (the SQL UDF surface) to
+    verify their captured params against every batch, so a rebuild at
+    the same path with different P/salt raises instead of routing keys
+    to the wrong pid (silent false negatives)."""
+    import json
+    import os
+
+    token = sidecar_cache_token(sidecar_path)
+    params = _SIDECAR_PARAMS.get(token)
+    if params is None:
+        with open(os.path.join(sidecar_path, "filter_manifest.json")) as fh:
+            m = json.load(fh)
+        params = (int(m["P"]), int(m["salt"]))
+        _SIDECAR_PARAMS[token] = params
+        while len(_SIDECAR_PARAMS) > 8:
+            _SIDECAR_PARAMS.pop(next(iter(_SIDECAR_PARAMS)))
+    return params
+
+
+def contains_sidecar_series(sidecar_path: str, P: int, salt: int,
+                            key: pd.Series) -> pd.Series:
+    """Series-shaped sidecar probe for the SQL-function surface: same
+    process-cached whole-sidecar load as contains_sidecar_local, same
+    NULL semantics as contains_kernel (NULL key ⇒ False). Raises if the
+    sidecar was rebuilt with different (P, salt) after registration."""
+    from .core.hashing import route_pid
+
+    if sidecar_params(sidecar_path) != (P, salt):
+        raise ValueError(
+            f"sidecar at {sidecar_path} was rebuilt with different "
+            "partitioning since the SQL function was registered — "
+            "re-run register_sql_sidecar")
+    filters = _sidecar_filters(sidecar_path, P)
+    keys = pd_to_u64(key)
+    pids = route_pid(keys, salt, P)
+    out = np.zeros(len(keys), dtype=bool)
+    for pid in np.unique(pids):
+        f = filters[int(pid)]
+        if f is not None:
+            m = pids == pid
+            out[m] = f.contains(keys[m])
+    na = key.isna().to_numpy()
+    if na.any():
+        out[na] = False
+    return pd.Series(out)
+
+
 def contains_sidecar_local(batches, sidecar_path: str, P: int, salt: int,
                            key_name: str = "key"):
     """No-shuffle sidecar probe (mapInArrow directly on the input

@@ -775,6 +775,48 @@ def test_sidecar_fresh_rebuild_removes_stale_manifest(spark, corpus_df,
     assert pf.with_contains(keys, "key").where("NOT contained").count() == 0
 
 
+def test_register_sql_sidecar(spark, corpus_df, tmp_path):
+    """register_sql_sidecar exposes SIDECAR membership to SQL-only
+    users (VERDICT r3 #9): zero FN on members, NULL → False, oversize
+    guard raises, and a rebuild with different P/salt after
+    registration raises instead of silently probing wrong pids."""
+    import pytest as _pytest
+
+    from fastfilter_spark.spark import (build_filter_sidecar,
+                                        register_sql_sidecar)
+
+    keys = keys_from_content(corpus_df, "content").cache()
+    sc = str(tmp_path / "sc_sql")
+    build_filter_sidecar(keys, sc, kind="bf8", num_partitions=16)
+    name = register_sql_sidecar(spark, sc, "ffsk_sc_t")
+    assert name == "ffsk_sc_t"
+    keys.createOrReplaceTempView("sc_sql_probe")
+    n_keys = keys.count()
+    row = spark.sql(
+        "SELECT SUM(CASE WHEN ffsk_sc_t(key) THEN 1 ELSE 0 END) AS hit, "
+        "SUM(CASE WHEN ffsk_sc_t(CAST(NULL AS BIGINT)) THEN 1 ELSE 0 END) "
+        "AS null_hit FROM sc_sql_probe").collect()[0]
+    assert row.hit == n_keys                 # zero FN through SQL
+    assert row.null_hit == 0                 # NULL is never a member
+
+    # oversize sidecars must be refused for the scalar-UDF (local) shape
+    with _pytest.raises(ValueError, match="max_local_bytes"):
+        register_sql_sidecar(spark, sc, "nope", max_local_bytes=1)
+
+    # rebuild with different partitioning → captured params are stale;
+    # the kernel must raise, not probe wrong pids (silent FN)
+    build_filter_sidecar(keys, sc, kind="bf8", num_partitions=32)
+    with _pytest.raises(Exception, match="re-run register_sql_sidecar"):
+        spark.sql("SELECT SUM(CASE WHEN ffsk_sc_t(key) THEN 1 ELSE 0 END) "
+                  "FROM sc_sql_probe").collect()
+    # re-registering against the rebuilt sidecar works again
+    register_sql_sidecar(spark, sc, "ffsk_sc_t")
+    row2 = spark.sql(
+        "SELECT SUM(CASE WHEN ffsk_sc_t(key) THEN 1 ELSE 0 END) AS hit "
+        "FROM sc_sql_probe").collect()[0]
+    assert row2.hit == n_keys
+
+
 def test_deterministic_sample_partitioning_independent(spark):
     """deterministic_sample must select the SAME rows regardless of
     partitioning (the failure mode of DataFrame.sample's
