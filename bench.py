@@ -114,6 +114,15 @@ def main() -> None:
     extra["sidecar_probe_keys_per_sec"] = round(
         n_big / timings["sidecar_probe_1e7"])
     assert n_in >= n_big * 0.9
+    # ROUTED probe shape (max_local_bytes=0 forces the shuffle):
+    # this is the ≥1e9-tier serve path — regression-gate it explicitly
+    # instead of only the small-sidecar local path (VERDICT r3 #8)
+    n_rt = timed("sidecar_probe_routed_1e7",
+                 lambda: contains_via_sidecar(big, sc_dir, max_local_bytes=0)
+                 .where("contained").count())
+    extra["sidecar_probe_routed_keys_per_sec"] = round(
+        n_big / timings["sidecar_probe_routed_1e7"])
+    assert n_rt >= n_big * 0.9
     shutil.rmtree(os.path.dirname(sc_dir), ignore_errors=True)
     big.unpersist()
 
