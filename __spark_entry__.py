@@ -839,6 +839,23 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_queries long, ivf_recall_ok boolean")
 
 
+def q_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-skew telemetry (VERDICT r3 #7) as a self-verifying
+    invariant row: every vector lands in exactly one cell (n_rows ==
+    corpus count — the exact part), the quantizer must spread the
+    corpus over >1 cell, and no cell may hold ≥60% of it (the
+    retrain/split alert threshold ivf_cell_stats documents)."""
+    from fastfilter_spark.pipeline import (ivf_assign, ivf_cell_stats,
+                                           train_ivf_centroids)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = train_ivf_centroids(emb, "embedding", "vec_id", n_cells=16)
+    stats = ivf_cell_stats(ivf_assign(emb, cents, "embedding"))
+    return stats.select(
+        "n_rows",
+        (F.col("n_cells_used") > 1).alias("multi_cell"),
+        (F.col("max_cell_frac") < 0.6).alias("balanced"))
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, exact mode: the cosine is
     a Catalyst zip_with/aggregate fold over a broadcast self-join (no
@@ -1392,6 +1409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_pipeline": q_training_pipeline,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
+        "ivf_cell_stats": q_ivf_cell_stats,
         "embedding_near_dups": q_embedding_near_dups,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_candidates": q_simhash_candidates,
@@ -1775,6 +1793,9 @@ def oracle_sql() -> dict[str, str]:
         "ivf_ann_topk": (
             "SELECT COUNT(*) AS n_queries, TRUE AS ivf_recall_ok "
             "FROM embeddings WHERE vec_id < 10"),
+        "ivf_cell_stats": (
+            "SELECT COUNT(*) AS n_rows, TRUE AS multi_cell, "
+            "TRUE AS balanced FROM embeddings"),
         "embedding_near_dups": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
             "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id "

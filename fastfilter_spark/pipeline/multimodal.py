@@ -251,10 +251,12 @@ def decode_avi(payload: bytes) -> np.ndarray:
     bpp, comp = 24, 0
     frames: list = []
 
-    def _movi_frames(body: bytes) -> None:
+    def _movi_frames(body: bytes, depth: int = 0) -> None:
+        if depth > 32:      # crafted nesting must fail cleanly, not blow
+            raise ValueError("AVI 'rec ' lists nested too deeply")
         for cid, sub in _riff_walk(body, 0, len(body)):
             if cid == b"LIST" and sub[:4] == b"rec ":
-                _movi_frames(sub[4:])
+                _movi_frames(sub[4:], depth + 1)
             elif cid[2:4] == b"db":       # uncompressed DIB frame
                 frames.append(sub)
             elif cid[2:4] == b"dc":
@@ -268,11 +270,21 @@ def decode_avi(payload: bytes) -> np.ndarray:
         if subtype == b"hdrl":
             for c2, b2 in _riff_walk(body, 4, len(body)):
                 if c2 == b"avih":
+                    if len(b2) < 56:
+                        raise ValueError("short avih chunk")
                     vals = struct.unpack_from("<14I", b2, 0)
                     n_declared, w, h = vals[4], vals[8], vals[9]
                 elif c2 == b"LIST" and b2[:4] == b"strl":
+                    # adopt strf only from the VIDEO stream's strl — a
+                    # real AVI interleaves an audio strl whose strf is
+                    # a WAVEFORMAT, not a BITMAPINFOHEADER
+                    is_vids = False
                     for c3, b3 in _riff_walk(b2, 4, len(b2)):
-                        if c3 == b"strf":
+                        if c3 == b"strh":
+                            is_vids = b3[:4] == b"vids"
+                        elif c3 == b"strf" and is_vids:
+                            if len(b3) < 40:
+                                raise ValueError("short strf chunk")
                             _, _, _, _, bpp, comp = \
                                 struct.unpack_from("<IiiHHI", b3, 0)
         elif subtype == b"movi":

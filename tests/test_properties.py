@@ -181,3 +181,23 @@ def test_avi_roundtrip_any_dims(n, h, w, fps, seed):
     rng = np.random.default_rng(seed)
     fr = rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
     assert np.array_equal(decode_avi(encode_avi(fr, fps=fps)), fr)
+
+
+@settings(max_examples=60, deadline=None)
+@given(pos=st.integers(0, 1 << 30), val=st.integers(0, 255),
+       trunc=st.integers(0, 1 << 30), seed=st.integers(0, 2**31))
+def test_avi_decode_mutation_never_crashes(pos, val, trunc, seed):
+    """A flipped byte / truncated tail must either decode (pixel-area
+    mutations are format-valid) or raise ValueError — never any other
+    exception type: extract_features/frame_sample rely on that contract
+    for per-row corruption isolation."""
+    from fastfilter_spark.pipeline import decode_avi, encode_avi
+    rng = np.random.default_rng(seed)
+    buf = bytearray(encode_avi(
+        rng.integers(0, 256, size=(2, 8, 8, 3), dtype=np.uint8)))
+    buf[pos % len(buf)] = val
+    payload = bytes(buf[:len(buf) - trunc % len(buf)])
+    try:
+        decode_avi(payload)
+    except ValueError:
+        pass
