@@ -66,7 +66,16 @@ def _partial_topk(sims: np.ndarray, cids: np.ndarray, m: int,
     for j in cols:
         s = sims[:, j]
         if len(s) > m:
-            sel = np.lexsort((cids, -s))[:m]
+            # O(n) argpartition to the top-m by value, then lexsort only
+            # the boundary-tied candidate set (a full per-query lexsort
+            # of the batch was O(n log n) × nq). Ties at the m-th value
+            # must ALL enter the candidate set: argpartition splits
+            # equal-to-pivot rows arbitrarily, and dropping one with a
+            # smaller id would break the (cos desc, id asc) bit-identity
+            # with the final window.
+            v = s[np.argpartition(-s, m - 1)[:m]].min()
+            cand = np.nonzero(s >= v)[0]
+            sel = cand[np.lexsort((cids[cand], -s[cand]))[:m]]
         else:
             sel = np.arange(len(s))
         bi_parts.append(sel)

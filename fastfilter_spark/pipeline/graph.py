@@ -102,7 +102,24 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     (d ≤ 2^20 hops). Raises if the star fixpoint is not reached.
     ``stats`` (optional dict) receives {"rounds": n} for observability.
     """
-    cur = _canonical(edges, src, dst).localCheckpoint(eager=True)
+    # materialize the RAW edge projection once: both the canonical star
+    # graph and the degenerate-vertex recovery below derive from it, and
+    # without this the (often expensive) upstream pair-generation stage
+    # — shingle explode + band join for dedup callers — would execute a
+    # second time when the returned plan is consumed
+    raw = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+           .localCheckpoint(eager=True))
+    cur = _canonical(raw, "s", "d").localCheckpoint(eager=True)
+    # vertices that never enter the star graph: self-loops and edges
+    # with a NULL endpoint (greatest/least skip NULLs, so (x, NULL)
+    # canonicalizes to a dropped self-loop) — they are still vertices
+    # of the input and label themselves
+    degenerate = (raw.where(F.col("s").eqNullSafe(F.col("d"))
+                            | F.col("s").isNull() | F.col("d").isNull())
+                  .select(F.coalesce("s", "d").alias("id"))
+                  .where(F.col("id").isNotNull())
+                  .distinct().localCheckpoint(eager=True))
+    _free(raw)
     rounds = 0
     if not cur.isEmpty():
         for rounds in range(1, max_iter + 1):
@@ -124,11 +141,6 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     labels = (cur.select(F.col("u").alias("id"), F.col("v").alias("comp"))
               .union(cur.select(F.col("v").alias("id"),
                                 F.col("v").alias("comp")).distinct()))
-    # vertices appearing ONLY in self-loop edges never enter the star
-    # graph (self-loops are dropped at canonicalization) but are still
-    # vertices of the input — they label themselves
-    loop_only = (edges.where(F.col(src) == F.col(dst))
-                 .select(F.col(src).alias("id")).distinct()
-                 .join(labels, "id", "left_anti"))
+    loop_only = degenerate.join(labels, "id", "left_anti")
     return labels.union(
         loop_only.select("id", F.col("id").alias("comp")))

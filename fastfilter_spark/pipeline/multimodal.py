@@ -434,6 +434,12 @@ def frame_sample(media: DataFrame, every_n: int = 2,
       isolation: a corrupt payload yields one row with
       ``decode_ok=false`` / ``frame_idx=-1`` instead of killing the
       task."""
+    # caller bugs fail LOUD at plan time: inside the decode try/except
+    # a bad step would be misreported as per-row data corruption
+    # (decode_ok=False on every video), and the decode=False JVM path
+    # would likewise fail per-task — validate once here for both
+    if not isinstance(every_n, int) or every_n < 1:
+        raise ValueError(f"every_n must be a positive int, got {every_n!r}")
     if not decode:
         return (media
                 .withColumn("frame_idx",
@@ -449,23 +455,26 @@ def frame_sample(media: DataFrame, every_n: int = 2,
             for mid, kind, payload in zip(pdf["media_id"], pdf["kind"],
                                           pdf["payload"]):
                 pb = 0 if payload is None else len(payload)
+                # buffer this payload's rows and commit them only after
+                # the whole video sampled cleanly — a mid-loop failure
+                # must not leave one media_id with both decode_ok=True
+                # frame rows AND a failure row
+                rows = []
                 try:
                     frames = decode_avi(payload)
                     for fi in range(0, frames.shape[0], every_n):
-                        mids.append(mid)
-                        kinds.append(kind)
-                        idxs.append(fi)
-                        nbytes.append(pb)
-                        means.append(round(
-                            float(frames[fi].mean(dtype=np.float64)), 6))
-                        oks.append(True)
+                        rows.append((fi, round(
+                            float(frames[fi].mean(dtype=np.float64)), 6),
+                            True))
                 except Exception:  # noqa: BLE001 — isolate THIS row
+                    rows = [(-1, None, False)]
+                for fi, mean, ok in rows:
                     mids.append(mid)
                     kinds.append(kind)
-                    idxs.append(-1)
+                    idxs.append(fi)
                     nbytes.append(pb)
-                    means.append(None)
-                    oks.append(False)
+                    means.append(mean)
+                    oks.append(ok)
             yield pd.DataFrame({
                 "media_id": mids, "kind": kinds, "frame_idx": idxs,
                 "payload_bytes": nbytes, "frame_mean": means,

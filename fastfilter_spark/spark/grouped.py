@@ -125,12 +125,18 @@ def build_grouped_filters(
     ``max_groups``: every group's blob is collected to the driver for
     broadcast querying, so a mistakenly-unbounded group column (user_id,
     doc_id…) would OOM the driver exactly the way the ungrouped build
-    did at 1e9 keys before the sidecar path. The domain is probed with
-    a bounded ``distinct().limit(max_groups+1)`` job (the cuckoo_update
-    pattern — no count() full scan) and the build fails fast with
-    guidance instead. For genuinely high-cardinality group domains use
-    the composite-key path (module docstring): hash the group INTO the
-    key and build ONE partitioned filter — no per-group blob.
+    did at 1e9 keys before the sidecar path. The cap is enforced on the
+    build output itself — ``limit(max_groups+1)`` above the grouped
+    build, checked before any blob beyond the cap reaches the driver —
+    so the happy path pays NO extra scan (a separate
+    distinct().limit() probe job would re-read the whole input before
+    the build reads it again; limits above an aggregate don't
+    short-circuit the partial aggregation). On the error path the
+    executors may build the over-cap groups before the driver refuses —
+    the rare case pays, not the common one. For genuinely
+    high-cardinality group domains use the composite-key path (module
+    docstring): hash the group INTO the key and build ONE partitioned
+    filter — no per-group blob.
     """
     from .. import workerside
 
@@ -150,10 +156,16 @@ def build_grouped_filters(
                       F.col(key_col).alias("key"))
               .where(F.col("key").isNotNull()))
 
-    # bounded cardinality probe: one job over the slim gkey column; the
-    # limit stops the scan as soon as max_groups+1 distinct values exist
-    n_probe = placed.select("gkey").distinct().limit(max_groups + 1).count()
-    if n_probe > max_groups:
+    def _build(tbl):
+        return workerside.build_group_arrow(tbl, kind, base_rng_state,
+                                            bloom_args)
+
+    # cap enforced ON the build output: at most max_groups+1 blob rows
+    # ever reach the driver (bounded memory even for an unbounded
+    # domain), and the happy path pays zero extra input scans
+    rows = (placed.groupBy("gkey").applyInArrow(_build, _GROUPED_SCHEMA)
+            .limit(max_groups + 1).toPandas())
+    if len(rows) > max_groups:
         raise ValueError(
             f"build_grouped_filters: group domain exceeds max_groups="
             f"{max_groups} (every group's blob is collected driver-side "
@@ -162,13 +174,6 @@ def build_grouped_filters(
             "build_partitioned_filter over xxhash64(group..., key) "
             "composite keys (the bf8_composite_grouped query shape, see "
             "module docstring), or raise max_groups deliberately.")
-
-    def _build(tbl):
-        return workerside.build_group_arrow(tbl, kind, base_rng_state,
-                                            bloom_args)
-
-    rows = placed.groupBy("gkey").applyInArrow(_build, _GROUPED_SCHEMA) \
-                 .toPandas()
     blob_map = {r["gkey"]: bytes(r["blob"]) for _, r in rows.iterrows()}
     return GroupedFilters(kind, list(group_cols), blob_map,
                           rows.drop(columns=["blob"]))

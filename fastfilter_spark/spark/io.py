@@ -392,7 +392,18 @@ def register_sql_sidecar(spark: SparkSession, sidecar_path: str,
         m = json.load(fh)
     if m["routing"] != ROUTING_XXHASH_PMOD:
         raise ValueError("sidecar SQL function requires xxhash_pmod routing")
-    blob_bytes = m.get("blob_bytes", 0)
+    blob_bytes = m.get("blob_bytes")
+    if blob_bytes is None:
+        # driver-written sidecars (write_filter_sidecar) predate the
+        # blob_bytes manifest field — size the guard from the partials
+        # files themselves (blobs are high-entropy, so file size ≈ blob
+        # bytes). Defaulting to 0 would silently bypass the guard in
+        # exactly the too-big case it exists for.
+        parts = os.path.join(sidecar_path, "partials.parquet")
+        blob_bytes = (sum(os.path.getsize(os.path.join(r, f))
+                          for r, _, fs in os.walk(parts) for f in fs)
+                      if os.path.isdir(parts)
+                      else os.path.getsize(parts))
     if blob_bytes > max_local_bytes:
         raise ValueError(
             f"sidecar blobs total {blob_bytes} bytes > max_local_bytes="

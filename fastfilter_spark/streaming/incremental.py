@@ -58,9 +58,12 @@ def incremental_sketch_sink(stream_keys: DataFrame, state_dir: str,
                             trigger_available_now: bool = True):
     """foreachBatch sink folding each micro-batch into one HLL blob —
     the original HLL-specific entry point, now a thin wrapper over
-    :func:`incremental_any_sketch_sink` (kind="hll") keeping its
-    historical state layout ({state_dir}/hll.bin +
-    {state_dir}/state.json batch marker)."""
+    :func:`incremental_any_sketch_sink` (kind="hll"). A pre-existing
+    legacy state layout ({state_dir}/hll.bin + {state_dir}/state.json
+    batch marker) is read once, migrated into the atomic
+    hll.state.bin on the first fold, and the stale legacy files are
+    deleted — read state via :func:`read_incremental_estimate`, never
+    from hll.bin directly."""
     return incremental_any_sketch_sink(
         stream_keys, state_dir, kind="hll", key_col=key_col,
         checkpoint_dir=checkpoint_dir,
@@ -498,6 +501,17 @@ def incremental_any_sketch_sink(stream_keys: DataFrame, state_dir: str,
         for row in partials:
             acc = acc.merge(cls.from_bytes(bytes(row.blob)))
         _write_sink_state(state_path, batch_id, acc.to_bytes())
+        # the migrated legacy files are now strictly BEHIND the atomic
+        # state: delete them, or (a) a reader of the old layout gets
+        # silently stale estimates forever and (b) a rollback to the
+        # pre-atomic code would resume from the stale legacy marker and
+        # re-fold already-applied batches (the double-count the atomic
+        # file exists to prevent)
+        for stale in (legacy_blob, legacy_meta):
+            try:
+                os.remove(stale)
+            except FileNotFoundError:
+                pass
 
     writer = stream_keys.writeStream.foreachBatch(_fold)
     if checkpoint_dir:

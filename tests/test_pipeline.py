@@ -703,11 +703,12 @@ def test_connected_components_chain_and_isolates(spark):
         [(1, 2), (2, 3), (3, 4),          # chain → component 1
          (10, 11),                         # separate pair → component 10
          (20, 21), (21, 22), (20, 22),     # triangle → component 20
-         (30, 30)],                        # self-loop only → singleton
+         (30, 30),                         # self-loop only → singleton
+         (40, None), (None, None)],        # NULL-paired → singleton 40
         "id_a long, id_b long")
     got = {r.id: r.comp for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
-                   20: 20, 21: 20, 22: 20, 30: 30}
+                   20: 20, 21: 20, 22: 20, 30: 30, 40: 40}
 
     # non-convergence guard fires on an adversarial bound
     import pytest as _pytest

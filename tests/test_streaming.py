@@ -429,3 +429,9 @@ def test_sink_state_atomic_and_legacy_migration(spark, events_stream_dir,
     # folded on TOP of the legacy blob: totals = seeded 100 + stream rows
     assert mg.n_total == 100 + batch.count()
     assert os.path.exists(os.path.join(st, "mg.state.bin"))
+    # migrated legacy files must be GONE: a reader of the old layout
+    # would otherwise see frozen pre-migration state forever, and a
+    # rollback to pre-atomic code would resume from the stale legacy
+    # marker and double-fold already-applied batches
+    assert not os.path.exists(os.path.join(st, "mg.bin"))
+    assert not os.path.exists(os.path.join(st, "mg.state.json"))

@@ -52,6 +52,13 @@ def main(sf_dir: str = "/root/testdata/sf0.01", *only: str,
 
     qs, oracles = e.queries(), e.oracle_sql()
     if only:
+        unknown = [n for n in only if n not in qs]
+        if unknown:
+            # a typo'd name must fail loud — silently filtering to zero
+            # queries would print "0/0 OK" and exit green having
+            # verified nothing
+            raise SystemExit(f"unknown query names: {unknown} "
+                             f"(available: {sorted(qs)})")
         qs = {k: v for k, v in qs.items() if k in only}
     failures = []
     report = {}
@@ -116,9 +123,15 @@ def main(sf_dir: str = "/root/testdata/sf0.01", *only: str,
 
 
 if __name__ == "__main__":
-    argv = sys.argv[1:]
-    out = None
-    if argv and argv[0] == "--json":
-        out = argv[1]
-        argv = argv[2:]
+    argv, out = [], None
+    it = iter(sys.argv[1:])
+    for a in it:                       # accept --json anywhere in argv
+        if a == "--json":
+            out = next(it, None)
+            if out is None:
+                raise SystemExit("--json requires an output path")
+        elif a.startswith("--"):
+            raise SystemExit(f"unknown flag {a!r}")
+        else:
+            argv.append(a)
     sys.exit(main(*argv, json_out=out))
