@@ -192,6 +192,31 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub with exact cross-engine parity: deterministic PII is
+    planted per doc_id (email / phone / IPv4 suffixes), redact_pii
+    counts and replaces them with a Java↔RE2-identical regex subset,
+    and DuckDB re-runs the identical plant + sequential redaction —
+    full row parity on counts and redacted length."""
+    from fastfilter_spark.pipeline import redact_pii
+    docs = _docs(spark, sf_dir)
+    planted = docs.withColumn("t", F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 10 == 0,
+               F.concat(F.lit(" mail bob"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com ok")))
+         .when(F.col("doc_id") % 10 == 1,
+               F.lit(" call +1 415 555 0199 now"))
+         .when(F.col("doc_id") % 10 == 2,
+               F.lit(" from 10.0.0.1 host"))
+         .otherwise(F.lit(""))))
+    out = redact_pii(planted, "t")
+    return (out.select("doc_id", "n_email", "n_ip", "n_phone",
+                       F.length("redacted").alias("n_chars_red"))
+            .orderBy("doc_id"))
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs → clusters: connected components (min-label propagation)
     over the exact blocked n-gram Jaccard pair edges. The oracle
@@ -1431,6 +1456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "pack_shards": q_pack_shards,
         "dedup_clusters": q_dedup_clusters,
+        "pii_redaction": q_pii_redaction,
         "repetition_stats": q_repetition_stats,
         "decontamination": q_decontamination,
         "streaming_dedup": q_streaming_dedup,
@@ -1445,6 +1471,29 @@ _DIGEST_BYTE_SUM = (
     "list_sum(list_transform(range(0,32), i -> "
     "(strpos('0123456789abcdef', substr(hx, CAST(2*i+1 AS INTEGER), 1))-1)*16 "
     "+ strpos('0123456789abcdef', substr(hx, CAST(2*i+2 AS INTEGER), 1))-1))")
+
+
+def _pii_oracle() -> str:
+    """DuckDB re-implementation of q_pii_redaction generated from the
+    SAME PII_PATTERNS tuple (one source of truth): identical plant
+    expression, then one CTE per pattern applying count + global
+    replace sequentially — the cross-engine regex subset makes the
+    redacted text byte-identical."""
+    from fastfilter_spark.pipeline.text import PII_PATTERNS
+    sql = ("WITH s0 AS (SELECT doc_id, text || CASE "
+           "WHEN doc_id % 10 = 0 THEN ' mail bob' || "
+           "CAST(doc_id AS VARCHAR) || '@example.com ok' "
+           "WHEN doc_id % 10 = 1 THEN ' call +1 415 555 0199 now' "
+           "WHEN doc_id % 10 = 2 THEN ' from 10.0.0.1 host' "
+           "ELSE '' END AS t FROM documents)")
+    for i, (name, pat, token) in enumerate(PII_PATTERNS, 1):
+        sql += (f", s{i} AS (SELECT * EXCLUDE (t), "
+                f"len(regexp_extract_all(t, '{pat}')) AS n_{name}, "
+                f"regexp_replace(t, '{pat}', '{token}', 'g') AS t "
+                f"FROM s{i - 1})")
+    return (sql + f" SELECT doc_id, n_email, n_ip, n_phone, "
+            f"length(t) AS n_chars_red FROM s{len(PII_PATTERNS)} "
+            "ORDER BY doc_id")
 
 
 def _avi_size_consts() -> tuple:
@@ -1803,6 +1852,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(b.embedding AS DOUBLE[])) >= 0.35 "
             "ORDER BY id_a, id_b"),
         "lang_id": _lang_id_oracle(),
+        "pii_redaction": _pii_oracle(),
         "minhash_near_dups": (
             # exact rep-pair shingle Jaccard ≥ 0.8; the shared-shingle
             # prefilter is lossless (J > 0 ⇒ ≥1 shared shingle)

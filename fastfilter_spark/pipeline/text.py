@@ -64,6 +64,42 @@ def stopword_count(col, stopwords=("the", "a", "of", "and", "to", "in",
     return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
 
 
+# PII redaction — patterns deliberately restricted to the regex subset
+# Java (Spark) and RE2 (DuckDB/Go tooling) match IDENTICALLY: character
+# classes, bounded/greedy quantifiers, non-capturing groups, \b — no
+# alternation ambiguity, no backreferences, no lookaround. That keeps
+# the operator exactly cross-engine-verifiable (the driver oracle) and
+# portable to scan-side pushdown later. Order matters and is applied
+# sequentially: emails first (their digit runs must not be half-eaten
+# by the phone pattern), then IPs (dotted digit runs), then phones.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)+",
+     "<EMAIL>"),
+    ("ip", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()\- ]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               out_col: str = "redacted") -> DataFrame:
+    """Redact emails / IPv4s / phone-shaped digit runs with typed
+    placeholder tokens — the standard scrub before training text leaves
+    the pipeline. Pure Catalyst (regexp chain, whole-stage-codegen'd,
+    no Python); adds ``n_email/n_ip/n_phone`` match counts (counted on
+    the progressively-redacted text, so an IP inside an already-redacted
+    email is not double-counted) and ``out_col`` with the scrubbed text.
+    """
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append((f"n_{name}",
+                       F.size(F.regexp_extract_all(cur, F.lit(pat), 0))))
+        cur = F.regexp_replace(cur, pat, token)
+    for cname, expr in counts:
+        df = df.withColumn(cname, expr)
+    return df.withColumn(out_col, cur)
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Standard quality-scoring feature set, all JVM-side."""
     return (df

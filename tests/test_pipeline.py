@@ -692,6 +692,34 @@ def test_repetition_stats_flags_degenerate_docs(spark):
     assert out.loc[3, "top_bigram_frac"] == 0.0
 
 
+def test_redact_pii_exact(spark):
+    """redact_pii must scrub emails/IPs/phone runs with typed tokens,
+    count per kind, leave clean text byte-identical, and pass NULL
+    through (SQL semantics)."""
+    from fastfilter_spark.pipeline import redact_pii
+
+    rows = [
+        (0, "write to alice.smith+x@sub.example.co.uk today"),
+        (1, "server at 192.168.0.254 port"),
+        (2, "call +44 (0)20-7946 0958 or 555 123 4567"),
+        (3, "no pii here"),
+        (4, "mix a@b.io then 10.0.0.1 then +1 202 555 0101"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert out[0].redacted == "write to <EMAIL> today"
+    assert out[0].n_email == 1 and out[0].n_ip == 0 and out[0].n_phone == 0
+    assert out[1].redacted == "server at <IP> port"
+    assert out[2].n_phone == 2
+    assert "0958" not in out[2].redacted and "4567" not in out[2].redacted
+    assert out[3].redacted == "no pii here"
+    assert (out[3].n_email, out[3].n_ip, out[3].n_phone) == (0, 0, 0)
+    assert out[4].redacted == "mix <EMAIL> then <IP> then <PHONE>"
+    assert out[4].n_email == 1 and out[4].n_ip == 1 and out[4].n_phone == 1
+    assert out[5].redacted is None and out[5].n_email is None
+
+
 def test_connected_components_chain_and_isolates(spark):
     """Alternating large-star/small-star must close transitive chains
     (a-b, b-c → one component), keep disjoint components apart, be
