@@ -864,6 +864,33 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_queries long, ivf_recall_ok boolean")
 
 
+def q_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe against the PERSISTED cell-partitioned index — the
+    disk-pruning serve shape (a probe reads ~nprobe/n_cells of the
+    bytes): same deterministic recall invariant as ivf_ann_topk, plus
+    an explicit check that the scan plan prunes on the cell partition
+    column (PartitionFilters)."""
+    import re
+    from fastfilter_spark.pipeline import (brute_force_topk,
+                                           ivf_topk_from_index,
+                                           write_ivf_index)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # fixed path, overwritten per run (see q_sidecar_routed_membership)
+    idx = "/tmp/ffsk_q_ivf_index/idx"
+    write_ivf_index(emb, idx, n_cells=16)
+    q = emb.where("vec_id < 10")
+    approx = ivf_topk_from_index(spark, idx, q, k=3, nprobe=8)
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    pruned = bool(re.search(r"PartitionFilters: \[[^\]]*cell", plan))
+    exact = brute_force_topk(emb, q, k=3).select("query_id", "neighbor_id")
+    nq = q.count()
+    hits = (approx.select("query_id", "neighbor_id")
+            .join(exact, ["query_id", "neighbor_id"], "left_semi").count())
+    return spark.createDataFrame(
+        [(int(nq), bool(hits / (3.0 * nq) >= 0.5), pruned)],
+        "n_queries long, ivf_recall_ok boolean, partition_pruned boolean")
+
+
 def q_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF cell-skew telemetry (VERDICT r3 #7) as a self-verifying
     invariant row: every vector lands in exactly one cell (n_rows ==
@@ -1434,6 +1461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_pipeline": q_training_pipeline,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
+        "ivf_index_topk": q_ivf_index_topk,
         "ivf_cell_stats": q_ivf_cell_stats,
         "embedding_near_dups": q_embedding_near_dups,
         "minhash_near_dups": q_minhash_near_dups,
@@ -1845,6 +1873,9 @@ def oracle_sql() -> dict[str, str]:
         "ivf_cell_stats": (
             "SELECT COUNT(*) AS n_rows, TRUE AS multi_cell, "
             "TRUE AS balanced FROM embeddings"),
+        "ivf_index_topk": (
+            "SELECT COUNT(*) AS n_queries, TRUE AS ivf_recall_ok, "
+            "TRUE AS partition_pruned FROM embeddings WHERE vec_id < 10"),
         "embedding_near_dups": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
             "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id "

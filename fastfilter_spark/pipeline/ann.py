@@ -359,48 +359,35 @@ def ivf_assign(corpus: DataFrame, centroids: np.ndarray,
     return corpus.withColumn("cell", _cell(F.col(vec_col)))
 
 
-def ivf_topk(corpus: DataFrame, queries: DataFrame,
-             vec_col: str = "embedding", id_col: str = "vec_id",
-             k: int = 5, n_cells: int = 16, nprobe: int = 8,
-             train_limit: int = 4096, kmeans_iters: int = 15,
-             seed: int = 42, exclude_self: bool = True,
-             centroids: Optional[np.ndarray] = None) -> DataFrame:
-    """IVF approximate cosine top-k: (query_id, neighbor_id, cos_sim, rank).
-
-    Each query scores only vectors in its ``nprobe`` nearest cells. The
-    corpus-side prefilter is a JVM `cell IN (union of probed cells)`
-    predicate — pushdown/partition-prunable — and the per-(row, query)
-    cell mask is applied vectorized inside the scoring UDF, so a row is
-    never scored against a query that did not probe its cell."""
-    spark = corpus.sparkSession
-    if centroids is None:
-        centroids = train_ivf_centroids(corpus, vec_col, id_col, n_cells,
-                                        train_limit, kmeans_iters, seed)
+def _ivf_probe_plan(queries: DataFrame, centroids: np.ndarray,
+                    vec_col: str, id_col: str, nprobe: int):
+    """Driver-side probe plan: which cells each query visits.
+    -> (qids, unit qmat, (n_cells, nq) membership mask, probed cells)"""
     n_cells = len(centroids)
     nprobe = min(nprobe, n_cells)
-
     qrows = queries.select(id_col, vec_col).collect()
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = _unit(np.vstack([np.asarray(r[1], dtype=np.float64)
                             for r in qrows]))
-    # (nq, nprobe) probed cells per query + (n_cells, nq) membership mask
     order = np.argsort(-(qmat @ centroids.T), axis=1)[:, :nprobe]
     probe_mask = np.zeros((n_cells, len(qids)), dtype=bool)
     for qi in range(len(qids)):
         probe_mask[order[qi], qi] = True
     probed_cells = sorted({int(c) for c in order.ravel()})
+    return qids, qmat, probe_mask, probed_cells
+
+
+def _ivf_score(assigned: DataFrame, qids: np.ndarray, qmat: np.ndarray,
+               probe_mask: np.ndarray, vec_col: str, id_col: str,
+               k: int, exclude_self: bool, dim: int) -> DataFrame:
+    """Score an already cell-filtered corpus against the probe plan:
+    partial top-k per Arrow batch (same reduction as brute_force_topk);
+    non-probed (row, query) pairs are masked to -inf so they can never
+    enter a query's top m, then masked rows that still slipped into an
+    under-full selection are dropped."""
+    spark = assigned.sparkSession
     bc = spark.sparkContext.broadcast((qids, qmat, probe_mask))
-
-    assigned = ivf_assign(corpus, centroids, vec_col).where(
-        F.col("cell").isin(probed_cells))
-
     out_schema = "query_id long, neighbor_id long, cos_sim double"
-    dim = centroids.shape[1]
-
-    # partial top-k per batch (same reduction as brute_force_topk):
-    # non-probed (row, query) pairs are masked to -inf so they can
-    # never enter a query's top m, then masked rows that still slipped
-    # into an under-full selection are dropped
     m = k + (1 if exclude_self else 0)
 
     def _score(batches):
@@ -432,6 +419,95 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame,
         F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             k: int = 5, n_cells: int = 16, nprobe: int = 8,
+             train_limit: int = 4096, kmeans_iters: int = 15,
+             seed: int = 42, exclude_self: bool = True,
+             centroids: Optional[np.ndarray] = None) -> DataFrame:
+    """IVF approximate cosine top-k: (query_id, neighbor_id, cos_sim, rank).
+
+    Each query scores only vectors in its ``nprobe`` nearest cells. The
+    corpus-side prefilter is a JVM `cell IN (union of probed cells)`
+    predicate — pushdown/partition-prunable — and the per-(row, query)
+    cell mask is applied vectorized inside the scoring UDF, so a row is
+    never scored against a query that did not probe its cell. For a
+    corpus probed repeatedly, persist the assignment once with
+    :func:`write_ivf_index` and query via :func:`ivf_topk_from_index` —
+    the cell predicate then prunes whole parquet partitions on disk."""
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, vec_col, id_col, n_cells,
+                                        train_limit, kmeans_iters, seed)
+    qids, qmat, probe_mask, probed_cells = _ivf_probe_plan(
+        queries, centroids, vec_col, id_col, nprobe)
+    assigned = ivf_assign(corpus, centroids, vec_col).where(
+        F.col("cell").isin(probed_cells))
+    return _ivf_score(assigned, qids, qmat, probe_mask, vec_col, id_col,
+                      k, exclude_self, centroids.shape[1])
+
+
+IVF_CENTROIDS_FILE = "_ivf_centroids.npy"
+
+
+def write_ivf_index(corpus: DataFrame, path: str,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    n_cells: int = 16, train_limit: int = 4096,
+                    kmeans_iters: int = 15, seed: int = 42,
+                    centroids: Optional[np.ndarray] = None) -> np.ndarray:
+    """Persist the corpus as a CELL-PARTITIONED parquet IVF index: train
+    (or take) the coarse quantizer, assign every vector, write
+    ``partitionBy("cell")`` plus the centroids as an underscore-prefixed
+    sidecar (ignored by Spark's reader). This pays the assignment once;
+    every later probe reads ONLY its nprobe cells' directories — the
+    `cell IN (...)` predicate becomes plan-time partition pruning, so a
+    query touches ~nprobe/n_cells of the bytes on disk (the 100 TB serve
+    shape). The centroids sidecar is written LAST and required by the
+    reader, so an interrupted write is never mistaken for a complete
+    index (same discipline as the filter-sidecar manifest)."""
+    import os
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, vec_col, id_col, n_cells,
+                                        train_limit, kmeans_iters, seed)
+    (ivf_assign(corpus, centroids, vec_col)
+     .select(id_col, vec_col, "cell")
+     .write.mode("overwrite").partitionBy("cell").parquet(path))
+    tmp = os.path.join(path, IVF_CENTROIDS_FILE + ".tmp")
+    with open(tmp, "wb") as fh:
+        np.save(fh, centroids)
+    os.replace(tmp, os.path.join(path, IVF_CENTROIDS_FILE))
+    return centroids
+
+
+def read_ivf_index(spark, path: str):
+    """-> (cell-partitioned corpus DataFrame, centroids). Raises on an
+    index whose centroids sidecar is missing (interrupted write)."""
+    import os
+    f = os.path.join(path, IVF_CENTROIDS_FILE)
+    if not os.path.exists(f):
+        raise FileNotFoundError(
+            f"{path} has no {IVF_CENTROIDS_FILE} — incomplete or not an "
+            "IVF index (the sidecar is written last; rebuild with "
+            "write_ivf_index)")
+    return spark.read.parquet(path), np.load(f)
+
+
+def ivf_topk_from_index(spark, path: str, queries: DataFrame,
+                        vec_col: str = "embedding", id_col: str = "vec_id",
+                        k: int = 5, nprobe: int = 8,
+                        exclude_self: bool = True) -> DataFrame:
+    """IVF top-k against a :func:`write_ivf_index` index: no assignment
+    UDF at query time (cells are read from the partition column), and
+    the cell predicate prunes whole partitions at plan time — the scan
+    lists only the probed cells' directories (plan-audited:
+    tools/explain_plans.py checks `PartitionFilters: [cell IN ...]`)."""
+    corpus, centroids = read_ivf_index(spark, path)
+    qids, qmat, probe_mask, probed_cells = _ivf_probe_plan(
+        queries, centroids, vec_col, id_col, nprobe)
+    assigned = corpus.where(F.col("cell").isin(probed_cells))
+    return _ivf_score(assigned, qids, qmat, probe_mask, vec_col, id_col,
+                      k, exclude_self, centroids.shape[1])
 
 
 def ivf_cell_stats(assigned: DataFrame) -> DataFrame:

@@ -692,6 +692,39 @@ def test_repetition_stats_flags_degenerate_docs(spark):
     assert out.loc[3, "top_bigram_frac"] == 0.0
 
 
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    """write_ivf_index → ivf_topk_from_index must (a) return exactly
+    what the in-memory ivf_topk returns for the same centroids, (b)
+    prune the scan on the cell PARTITION column at plan time — the
+    whole point of persisting the assignment — and (c) refuse an
+    incomplete index (missing centroids sidecar)."""
+    import os
+    import re
+
+    from fastfilter_spark.pipeline import (ivf_topk, ivf_topk_from_index,
+                                           read_ivf_index, write_ivf_index)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "ivf_idx")
+    cents = write_ivf_index(emb, idx, n_cells=8, seed=42)
+    q = emb.where("vec_id < 5")
+    got = ivf_topk_from_index(spark, idx, q, k=3, nprobe=4)
+    want = ivf_topk(emb, q, k=3, nprobe=4, centroids=cents)
+    cols = ["query_id", "neighbor_id", "rank"]
+    gp = got.toPandas().sort_values(cols)[cols].reset_index(drop=True)
+    wp = want.toPandas().sort_values(cols)[cols].reset_index(drop=True)
+    assert gp.equals(wp)
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*cell", plan), plan[:2000]
+
+    # interrupted write (sidecar is written last) must be refused
+    os.remove(os.path.join(idx, "_ivf_centroids.npy"))
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError, match="incomplete"):
+        read_ivf_index(spark, idx)
+
+
 def test_redact_pii_exact(spark):
     """redact_pii must scrub emails/IPs/phone runs with typed tokens,
     count per kind, leave clean text byte-identical, and pass NULL

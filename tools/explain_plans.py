@@ -304,6 +304,22 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
                    f"Exchange ({n16u} uncapped vs {n16c} capped)",
                    n16c <= n16u))
 
+    # 17. the persisted IVF index: a probe's cell IN (...) predicate
+    # must land as a PARTITION filter on the scan (whole cell
+    # directories pruned at plan time — the disk-level nprobe/n_cells
+    # read-reduction write_ivf_index exists for).
+    import tempfile
+
+    from fastfilter_spark.pipeline import ivf_topk_from_index, write_ivf_index
+    ivf_dir = tempfile.mkdtemp(prefix="ffsk_plans_ivf_") + "/idx"
+    write_ivf_index(emb16, ivf_dir, n_cells=8)
+    p17 = plan_of(ivf_topk_from_index(spark, ivf_dir,
+                                      emb16.where("vec_id < 5"),
+                                      k=3, nprobe=4))
+    checks.append(("IVF index probe: cell IN (...) is a PartitionFilter "
+                   "(scan prunes cell directories)",
+                   bool(re.search(r"PartitionFilters: \[[^\]]*cell", p17))))
+
     print(p2)
     print(p3[:3000])
     ok = True
