@@ -212,9 +212,11 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.lit(" from 10.0.0.1 host"))
          .otherwise(F.lit(""))))
     out = redact_pii(planted, "t")
-    return (out.select("doc_id", "n_email", "n_ip", "n_phone",
-                       F.length("redacted").alias("n_chars_red"))
-            .orderBy("doc_id"))
+    return (out.select(
+        "doc_id", "n_email", "n_ip",
+        (F.col("n_phone_intl") + F.col("n_phone_nanp")).alias("n_phone"),
+        F.length("redacted").alias("n_chars_red"))
+        .orderBy("doc_id"))
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1519,7 +1521,8 @@ def _pii_oracle() -> str:
                 f"len(regexp_extract_all(t, '{pat}')) AS n_{name}, "
                 f"regexp_replace(t, '{pat}', '{token}', 'g') AS t "
                 f"FROM s{i - 1})")
-    return (sql + f" SELECT doc_id, n_email, n_ip, n_phone, "
+    return (sql + f" SELECT doc_id, n_email, n_ip, "
+            f"n_phone_intl + n_phone_nanp AS n_phone, "
             f"length(t) AS n_chars_red FROM s{len(PII_PATTERNS)} "
             "ORDER BY doc_id")
 

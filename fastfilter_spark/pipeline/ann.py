@@ -72,10 +72,20 @@ def _partial_topk(sims: np.ndarray, cids: np.ndarray, m: int,
             # must ALL enter the candidate set: argpartition splits
             # equal-to-pivot rows arbitrarily, and dropping one with a
             # smaller id would break the (cos desc, id asc) bit-identity
-            # with the final window.
+            # with the final window. -inf rows are masked non-results
+            # (ivf_topk) and can never be returned — when the m-th value
+            # is -inf (a query whose probed cells contribute < m rows to
+            # this batch), select the finite rows directly instead of
+            # letting `s >= -inf` sweep the whole batch back into the
+            # lexsort.
             v = s[np.argpartition(-s, m - 1)[:m]].min()
-            cand = np.nonzero(s >= v)[0]
-            sel = cand[np.lexsort((cids[cand], -s[cand]))[:m]]
+            if v == -np.inf:
+                sel = np.nonzero(s > -np.inf)[0]
+                if len(sel) > 1:
+                    sel = sel[np.lexsort((cids[sel], -s[sel]))[:m]]
+            else:
+                cand = np.nonzero(s >= v)[0]
+                sel = cand[np.lexsort((cids[cand], -s[cand]))[:m]]
         else:
             sel = np.arange(len(s))
         bi_parts.append(sel)

@@ -437,9 +437,14 @@ def frame_sample(media: DataFrame, every_n: int = 2,
     # caller bugs fail LOUD at plan time: inside the decode try/except
     # a bad step would be misreported as per-row data corruption
     # (decode_ok=False on every video), and the decode=False JVM path
-    # would likewise fail per-task — validate once here for both
-    if not isinstance(every_n, int) or every_n < 1:
+    # would likewise fail per-task — validate once here for both.
+    # np.integer accepted (steps often come from numpy config math);
+    # bool rejected (isinstance(True, int) is True but True is a flag
+    # typo, not a step of 1).
+    if (isinstance(every_n, bool)
+            or not isinstance(every_n, (int, np.integer)) or every_n < 1):
         raise ValueError(f"every_n must be a positive int, got {every_n!r}")
+    every_n = int(every_n)
     if not decode:
         return (media
                 .withColumn("frame_idx",

@@ -66,28 +66,43 @@ def stopword_count(col, stopwords=("the", "a", "of", "and", "to", "in",
 
 # PII redaction — patterns deliberately restricted to the regex subset
 # Java (Spark) and RE2 (DuckDB/Go tooling) match IDENTICALLY: character
-# classes, bounded/greedy quantifiers, non-capturing groups, \b — no
-# alternation ambiguity, no backreferences, no lookaround. That keeps
-# the operator exactly cross-engine-verifiable (the driver oracle) and
-# portable to scan-side pushdown later. Order matters and is applied
-# sequentially: emails first (their digit runs must not be half-eaten
-# by the phone pattern), then IPs (dotted digit runs), then phones.
+# classes, bounded/greedy quantifiers, non-capturing groups with
+# first-character-disjoint alternatives (no ambiguity between the
+# leftmost-first vs leftmost-longest engines), \b — no backreferences,
+# no lookaround. That keeps the operator exactly cross-engine-
+# verifiable (the driver oracle) and portable to scan-side pushdown
+# later. Order matters and is applied sequentially: emails first (their
+# digit runs must not be half-eaten by the phone patterns), then IPs
+# (dotted digit runs), then phones.
+#
+# The phone patterns require phone STRUCTURE — a leading +country code,
+# or a (NANP) 3-3-4 separated grouping — rather than "any long digit
+# run": a bare [0-9 ()-]{8,} class destroyed every date, timestamp,
+# numeric ID and decimal expansion in the corpus and merged adjacent
+# unrelated numbers into one match (a scrub that corrupts the data it
+# protects). Known non-match: single-run internationals like
+# "+33 612345678" (one group) — widening to them re-admits "+1 2024".
 PII_PATTERNS = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)+",
      "<EMAIL>"),
     ("ip", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
-    ("phone", r"\+?[0-9][0-9()\- ]{6,}[0-9]", "<PHONE>"),
+    ("phone_intl", r"\+[0-9]{1,3}(?:[ \-()]{1,2}[0-9]{1,4}){2,5}",
+     "<PHONE>"),
+    ("phone_nanp",
+     r"(?:\([0-9]{3}\)[ \-]?[0-9]{3}|\b[0-9]{3}[ \-][0-9]{3})[ \-][0-9]{4}\b",
+     "<PHONE>"),
 )
 
 
 def redact_pii(df: DataFrame, text_col: str = "text",
                out_col: str = "redacted") -> DataFrame:
-    """Redact emails / IPv4s / phone-shaped digit runs with typed
-    placeholder tokens — the standard scrub before training text leaves
-    the pipeline. Pure Catalyst (regexp chain, whole-stage-codegen'd,
-    no Python); adds ``n_email/n_ip/n_phone`` match counts (counted on
-    the progressively-redacted text, so an IP inside an already-redacted
-    email is not double-counted) and ``out_col`` with the scrubbed text.
+    """Redact emails / IPv4s / phone numbers with typed placeholder
+    tokens — the standard scrub before training text leaves the
+    pipeline. Pure Catalyst (regexp chain, whole-stage-codegen'd, no
+    Python); adds per-pattern match counts (``n_email/n_ip/
+    n_phone_intl/n_phone_nanp``, counted on the progressively-redacted
+    text, so an IP inside an already-redacted email is not
+    double-counted) and ``out_col`` with the scrubbed text.
     """
     cur = F.col(text_col)
     counts = []

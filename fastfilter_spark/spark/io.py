@@ -400,10 +400,16 @@ def register_sql_sidecar(spark: SparkSession, sidecar_path: str,
         # bytes). Defaulting to 0 would silently bypass the guard in
         # exactly the too-big case it exists for.
         parts = os.path.join(sidecar_path, "partials.parquet")
-        blob_bytes = (sum(os.path.getsize(os.path.join(r, f))
-                          for r, _, fs in os.walk(parts) for f in fs)
-                      if os.path.isdir(parts)
-                      else os.path.getsize(parts))
+        if os.path.isdir(parts):
+            blob_bytes = sum(os.path.getsize(os.path.join(r, f))
+                             for r, _, fs in os.walk(parts) for f in fs)
+        elif os.path.exists(parts):
+            blob_bytes = os.path.getsize(parts)
+        else:
+            raise ValueError(
+                f"sidecar at {sidecar_path} has a manifest but no "
+                "partials.parquet — incomplete or partially copied; "
+                "rebuild with build_filter_sidecar/write_filter_sidecar")
     if blob_bytes > max_local_bytes:
         raise ValueError(
             f"sidecar blobs total {blob_bytes} bytes > max_local_bytes="

@@ -726,9 +726,10 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
 
 
 def test_redact_pii_exact(spark):
-    """redact_pii must scrub emails/IPs/phone runs with typed tokens,
-    count per kind, leave clean text byte-identical, and pass NULL
-    through (SQL semantics)."""
+    """redact_pii must scrub emails/IPs/phones with typed tokens, count
+    per kind, pass NULL through (SQL semantics) — and must NOT destroy
+    non-PII numerics (dates, timestamps, IDs, decimals): a scrub that
+    corrupts the data it protects is worse than none."""
     from fastfilter_spark.pipeline import redact_pii
 
     rows = [
@@ -738,19 +739,28 @@ def test_redact_pii_exact(spark):
         (3, "no pii here"),
         (4, "mix a@b.io then 10.0.0.1 then +1 202 555 0101"),
         (5, None),
+        (6, "date 2024-01-02 03:04 id 12345678 pi=3.14159265 v2.10.3"),
+        (7, "(555) 123-4567 x2"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.doc_id: r for r in redact_pii(df).collect()}
+
+    def phones(r):
+        return r.n_phone_intl + r.n_phone_nanp
+
     assert out[0].redacted == "write to <EMAIL> today"
-    assert out[0].n_email == 1 and out[0].n_ip == 0 and out[0].n_phone == 0
+    assert out[0].n_email == 1 and out[0].n_ip == 0 and phones(out[0]) == 0
     assert out[1].redacted == "server at <IP> port"
-    assert out[2].n_phone == 2
+    assert phones(out[2]) == 2
     assert "0958" not in out[2].redacted and "4567" not in out[2].redacted
     assert out[3].redacted == "no pii here"
-    assert (out[3].n_email, out[3].n_ip, out[3].n_phone) == (0, 0, 0)
+    assert (out[3].n_email, out[3].n_ip, phones(out[3])) == (0, 0, 0)
     assert out[4].redacted == "mix <EMAIL> then <IP> then <PHONE>"
-    assert out[4].n_email == 1 and out[4].n_ip == 1 and out[4].n_phone == 1
+    assert out[4].n_email == 1 and out[4].n_ip == 1 and phones(out[4]) == 1
     assert out[5].redacted is None and out[5].n_email is None
+    # non-PII numerics survive byte-identical (the r4 review regression)
+    assert out[6].redacted == rows[6][1] and phones(out[6]) == 0
+    assert out[7].redacted == "<PHONE> x2" and phones(out[7]) == 1
 
 
 def test_connected_components_chain_and_isolates(spark):

@@ -308,14 +308,18 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
     # must land as a PARTITION filter on the scan (whole cell
     # directories pruned at plan time — the disk-level nprobe/n_cells
     # read-reduction write_ivf_index exists for).
+    import shutil
     import tempfile
 
     from fastfilter_spark.pipeline import ivf_topk_from_index, write_ivf_index
-    ivf_dir = tempfile.mkdtemp(prefix="ffsk_plans_ivf_") + "/idx"
-    write_ivf_index(emb16, ivf_dir, n_cells=8)
-    p17 = plan_of(ivf_topk_from_index(spark, ivf_dir,
-                                      emb16.where("vec_id < 5"),
-                                      k=3, nprobe=4))
+    ivf_tmp = tempfile.mkdtemp(prefix="ffsk_plans_ivf_")
+    try:
+        write_ivf_index(emb16, ivf_tmp + "/idx", n_cells=8)
+        p17 = plan_of(ivf_topk_from_index(spark, ivf_tmp + "/idx",
+                                          emb16.where("vec_id < 5"),
+                                          k=3, nprobe=4))
+    finally:
+        shutil.rmtree(ivf_tmp, ignore_errors=True)
     checks.append(("IVF index probe: cell IN (...) is a PartitionFilter "
                    "(scan prunes cell directories)",
                    bool(re.search(r"PartitionFilters: \[[^\]]*cell", p17))))
