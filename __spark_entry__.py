@@ -596,6 +596,50 @@ def q_hll_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("lang"))
 
 
+def q_sketch_sidecar_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resumable driver-bypass HLL build (the north_rule's checkpoint
+    path, sketch analog of the filter sidecar): P deterministic per-pid
+    partials committed executor-side, per-partition lineage, manifest
+    last. A crash is simulated mid-build (_stop_after) and the resumed
+    build's merged blob must be BYTE-IDENTICAL to an uninterrupted one.
+    Exactness surface: rows_ingested + lineage conservation are exact;
+    the estimate bound (p=14 → ~0.8% rel err, checked at 5%) and the
+    byte-identity are booleans the oracle asserts TRUE."""
+    import shutil as _sh
+    from fastfilter_spark.spark import (build_sketch_sidecar,
+                                        read_sketch_sidecar,
+                                        sketch_sidecar_lineage)
+    keys = (_doc_keys(spark, sf_dir)
+            .where(F.col("key").isNotNull()).cache())
+    n_keys = keys.count()
+    n_distinct = keys.distinct().count()
+    base = "/tmp/ffsk_q_sketch_sidecar"   # fixed path, rebuilt per run
+    _sh.rmtree(base, ignore_errors=True)
+    one, two = f"{base}/oneshot", f"{base}/resumed"
+    build_sketch_sidecar(keys, one, kind="hll", col="key",
+                         num_partitions=16, p=14)
+    # crash after 1 of 4 committed batches, then resume to completion
+    crashed = build_sketch_sidecar(keys, two, kind="hll", col="key",
+                                   num_partitions=16, batches=4,
+                                   _stop_after=1, p=14)
+    build_sketch_sidecar(keys, two, kind="hll", col="key",
+                         num_partitions=16, batches=4, resume=True, p=14)
+    sk1, m1 = read_sketch_sidecar(one)
+    sk2, _ = read_sketch_sidecar(two)
+    lin = (sketch_sidecar_lineage(spark, one)
+           .agg(F.sum("n_rows").alias("n"), F.count("*").alias("pids"))
+           .collect()[0])
+    est = sk1.estimate()
+    return spark.createDataFrame(
+        [(int(n_keys), int(n_distinct),
+          bool(abs(est - n_distinct) / max(n_distinct, 1) <= 0.05),
+          bool(crashed is None and sk1.to_bytes() == sk2.to_bytes()),
+          bool(m1["rows_ingested"] == n_keys == int(lin.n)
+               and m1["pids_built"] == int(lin.pids)))],
+        "n_keys long, n_distinct long, hll_ok boolean, "
+        "resume_identical boolean, lineage_ok boolean")
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastfilter_spark.spark import cms_agg, cms_query
     from fastfilter_spark.pipeline import tokens
@@ -1446,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf8_grouped_membership": q_bf8_grouped_membership,
         "bf8_composite_grouped": q_bf8_composite_grouped,
         "hll_by_lang": q_hll_by_lang,
+        "sketch_sidecar_hll": q_sketch_sidecar_hll,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "kll_quantiles": q_kll_quantiles,
         "tdigest_quantiles": q_tdigest_quantiles,
@@ -1791,6 +1836,11 @@ def oracle_sql() -> dict[str, str]:
         "hll_by_lang": ("SELECT lang, COUNT(DISTINCT text) AS n_exact, "
                         "TRUE AS hll_ok FROM documents GROUP BY lang "
                         "ORDER BY lang"),
+        "sketch_sidecar_hll": (
+            "SELECT COUNT(text) AS n_keys, "
+            "COUNT(DISTINCT text) AS n_distinct, TRUE AS hll_ok, "
+            "TRUE AS resume_identical, TRUE AS lineage_ok "
+            "FROM documents WHERE text IS NOT NULL"),
         "cms_heavy_hitters": (
             f"WITH t AS (SELECT unnest({_TOKENS_SQL}) AS token "
             "FROM documents) "

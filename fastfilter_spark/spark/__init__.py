@@ -15,6 +15,8 @@ from .sampling import (deterministic_sample, hash_sample,
                        sample_priority, stratified_sample)
 from .sketch_agg import (cms_agg, cms_query, hll_agg, kll_agg, mg_agg,
                          tdigest_agg, theta_agg)
+from .sketch_sidecar import (build_sketch_sidecar, read_sketch_sidecar,
+                             sketch_sidecar_lineage)
 
 __all__ = [
     "get_spark", "content_key", "keys_from_content", "partition_id",
@@ -27,4 +29,5 @@ __all__ = [
     "mg_agg", "hash_sample", "hash_sample_pred", "hash_split",
     "deterministic_sample", "sample_priority", "stratified_sample",
     "pack_into_shards", "mixture_sample",
+    "build_sketch_sidecar", "read_sketch_sidecar", "sketch_sidecar_lineage",
 ]
