@@ -520,6 +520,53 @@ def q_salted_join_hot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+def q_auto_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MG-targeted skew join (sketch→planner synergy): one Misra-Gries
+    pass over the fact side detects the hot user_ids (deterministic
+    no-miss guarantee above the threshold), and ONLY those keys are
+    salted — dim replication shrinks from |dim|·salt_n to |hot|·salt_n.
+    Result is row-identical to the plain join, so the oracle is the
+    exact relational answer."""
+    from fastfilter_spark.spark import auto_salted_join
+    ev = _events(spark, sf_dir)
+    dim = ev.groupBy("user_id").agg(F.count("*").alias("n_ev"))
+    joined = auto_salted_join(ev, dim, "user_id", salt_n=8,
+                              threshold=0.01)
+    return (joined.groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("n_ev").alias("sum_user_events"),
+                 F.round(F.sum("value"), 6).alias("sum_value"))
+            .orderBy("event_type"))
+
+
+def q_kll_range_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass KLL range repartition (no bound-sampling job — Spark's
+    repartitionByRange re-executes upstream lineage to sample bounds;
+    this derives them from the mergeable KLL agg and lands each bucket
+    on its own partition via hash-carrier values). Checked properties:
+    exact row conservation, partitions form disjoint ascending ranges,
+    sizes within the KLL rank-error balance bound."""
+    from fastfilter_spark.spark import kll_range_repartition
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select(F.col("l_extendedprice").cast("double").alias("v")))
+    n = li.count()
+    P = 8
+    per = (kll_range_repartition(li, "v", P, k=200)
+           .withColumn("pid", F.spark_partition_id())
+           .groupBy("pid").agg(F.count("*").alias("n"),
+                               F.min("v").alias("lo"),
+                               F.max("v").alias("hi"))
+           .orderBy("pid").collect())
+    order_ok = all(a.hi <= b.lo for a, b in zip(per, per[1:]))
+    err = 2 * 1.7 / (200.0 ** 0.5) + 0.05
+    balance_ok = all(r.n / n <= 1 / len(per) + err for r in per)
+    return spark.createDataFrame(
+        [(int(n), int(sum(r.n for r in per)), len(per),
+          bool(order_ok), bool(balance_ok))],
+        "n_rows long, n_after long, n_parts long, "
+        "order_ok boolean, balance_ok boolean")
+
+
 def q_asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (custom operator as a DataFrame composition — Spark
     lacks ASOF): each purchase event attaches the most recent preceding
@@ -1480,6 +1527,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf8_orders_semijoin": q_bf8_orders_semijoin,
         "bucketed_join_stats": q_bucketed_join_stats,
         "salted_join_hot_users": q_salted_join_hot_users,
+        "auto_salted_join": q_auto_salted_join,
+        "kll_range_partition": q_kll_range_partition,
         "asof_join_purchases": q_asof_join_purchases,
         "interval_join_error_windows": q_interval_join_error_windows,
         "q1_pricing_summary": q_q1_pricing_summary,
@@ -1681,6 +1730,18 @@ def oracle_sql() -> dict[str, str]:
             "WHERE user_id IN (SELECT user_id FROM events "
             "GROUP BY user_id HAVING COUNT(*) >= 60) "
             "GROUP BY event_type ORDER BY event_type"),
+        "auto_salted_join": (
+            "WITH d AS (SELECT user_id, COUNT(*) AS n_ev FROM events "
+            "GROUP BY user_id) "
+            "SELECT e.event_type, COUNT(*) AS n_events, "
+            "CAST(SUM(d.n_ev) AS BIGINT) AS sum_user_events, "
+            "ROUND(SUM(e.value), 6) AS sum_value "
+            "FROM events e JOIN d USING (user_id) "
+            "GROUP BY e.event_type ORDER BY e.event_type"),
+        "kll_range_partition": (
+            "SELECT COUNT(*) AS n_rows, COUNT(*) AS n_after, "
+            "8 AS n_parts, TRUE AS order_ok, TRUE AS balance_ok "
+            "FROM lineitem"),
         "bucketed_join_stats": (
             "SELECT lang, COUNT(*) AS n_en_shared FROM documents "
             "WHERE text IN (SELECT text FROM documents WHERE lang = 'en') "

@@ -17,6 +17,9 @@ from .sketch_agg import (cms_agg, cms_query, hll_agg, kll_agg, mg_agg,
                          tdigest_agg, theta_agg)
 from .sketch_sidecar import (build_sketch_sidecar, read_sketch_sidecar,
                              sketch_sidecar_lineage)
+from .partitioning import (auto_salted_join, detect_hot_keys,
+                           kll_partition_bounds, kll_range_repartition,
+                           range_bucket)
 
 __all__ = [
     "get_spark", "content_key", "keys_from_content", "partition_id",
@@ -30,4 +33,6 @@ __all__ = [
     "deterministic_sample", "sample_priority", "stratified_sample",
     "pack_into_shards", "mixture_sample",
     "build_sketch_sidecar", "read_sketch_sidecar", "sketch_sidecar_lineage",
+    "kll_partition_bounds", "kll_range_repartition", "range_bucket",
+    "detect_hot_keys", "auto_salted_join",
 ]

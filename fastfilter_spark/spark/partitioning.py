@@ -1,0 +1,218 @@
+"""Sketch-driven partitioning: one-pass range repartition and
+heavy-hitter-targeted salted joins (north_rule: "partitioning /
+shuffle / skew handled explicitly").
+
+Both operators close the loop between the sketch library and the
+engine's own shuffle planning — the sketches stop being read-only
+estimates and start steering physical layout:
+
+``kll_range_repartition``
+    Spark's ``repartitionByRange`` launches a SEPARATE sampling job to
+    find range bounds, re-executing everything upstream of the last
+    shuffle (measured here: the sidecar writer re-ran its whole build
+    reduce stage; 1e9-key build 378→283 s after removing it — see
+    CLAUDE.md). This operator computes the bounds from the mergeable
+    KLL aggregation instead: ONE pass, map-side partial sketches, a
+    KB-sized blob shuffle — then assigns buckets with an O(log P)-deep
+    Catalyst CASE tree and lands each bucket on its own partition via
+    carrier values chosen so ``pmod(hash(carrier), P) == bucket``. No
+    sampling job, no lineage re-execution, deterministic bounds
+    (KLLSketch is seeded), and the bounds are a reusable artifact: the
+    same list range-partitions every future frame of the table
+    identically, which is what keeps a layout stable ACROSS stages and
+    writes at 100 TB.
+
+``auto_salted_join``
+    :func:`fastfilter_spark.spark.skew.salted_join` defuses skew by
+    replicating the whole dim side ``salt_n`` times — correct, but the
+    replication cost is paid for every key even though only the hot
+    few need it. Here a Misra-Gries pass over the fact side's join key
+    (two-phase, tiny blob shuffle) detects the hot keys first — MG's
+    deterministic guarantee: any key with frequency > threshold·n is
+    in the candidate set, so no hot key is ever missed; false
+    positives merely salt a cold key, never affect correctness. The
+    join then splits: hot fact rows join a salt_n-replicated hot-only
+    dim slice; cold rows join the dim untouched. Result is row-for-row
+    identical to the plain join; dim replication shrinks from
+    |dim|·salt_n to |hot|·salt_n.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKET = "__ffsk_bucket"
+_CARRIER = "__ffsk_carrier"
+_KH = "__ffsk_keyhash"
+_SALT = "__ffsk_salt"
+
+
+# ---------------------------------------------------------------------------
+# KLL-driven range repartition
+# ---------------------------------------------------------------------------
+
+def kll_partition_bounds(df: DataFrame, col: str, num_partitions: int,
+                         k: int = 200) -> List[float]:
+    """P-1 ascending split points for ``col`` from one mergeable-KLL
+    pass (no sampling job — module docstring). Duplicate quantiles
+    (a value heavier than 1/P collapses neighbouring splits) are
+    dropped, so fewer than P-1 bounds means the data genuinely cannot
+    fill P distinct ranges."""
+    from .sketch_agg import kll_agg
+    from ..sketches import KLLSketch
+    if num_partitions < 1:
+        raise ValueError("num_partitions must be >= 1")
+    if num_partitions == 1:
+        return []
+    row = kll_agg(df, [], col, k=k).collect()[0]
+    sk = KLLSketch.from_bytes(bytes(row.sketch))
+    bounds: List[float] = []
+    for i in range(1, num_partitions):
+        q = float(sk.quantile(i / num_partitions))
+        if not bounds or q > bounds[-1]:
+            bounds.append(q)
+    return bounds
+
+
+def range_bucket(col, bounds: Sequence[float]) -> Column:
+    """Bucket index in [0, len(bounds)] for a value against ascending
+    ``bounds`` — a BALANCED ``when`` tree, so each row evaluates
+    O(log P) comparisons inside whole-stage codegen (a flat bounds-array
+    scan would be O(P)/row; Spark's own RangePartitioner does the same
+    binary search JVM-side). NULLs land in bucket 0, matching
+    range-partitioning's nulls-first order. Semantics: bucket i holds
+    bounds[i-1] <= v < bounds[i]."""
+    col = F.col(col) if isinstance(col, str) else col
+    if not bounds:
+        return F.lit(0)
+    if list(bounds) != sorted(set(bounds)):
+        raise ValueError("bounds must be strictly ascending")
+
+    def _bs(lo: int, hi: int) -> Column:
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return (F.when(col < F.lit(float(bounds[mid])), _bs(lo, mid))
+                .otherwise(_bs(mid + 1, hi)))
+
+    return F.when(col.isNull(), F.lit(0)).otherwise(_bs(0, len(bounds)))
+
+
+def _carriers(spark, num_partitions: int) -> List[int]:
+    """carriers[b] = an int with pmod(hash(carrier), P) == b, so
+    ``repartition(P, carrier_col)`` lands bucket b EXACTLY on partition
+    b (plain ``repartition(P, bucket)`` would pmod-hash the bucket id —
+    collisions merge buckets and leave other partitions empty).
+    ``F.hash`` is the same Murmur3(seed=42) HashPartitioning uses, so
+    the mapping is computed with Spark's own hash, not a replica."""
+    P = int(num_partitions)
+    found: dict = {}
+    lo = 0
+    while len(found) < P:
+        hi = lo + 64 * P
+        rows = (spark.range(lo, hi)
+                .select(F.col("id").cast("int").alias("c"),
+                        F.pmod(F.hash(F.col("id").cast("int")), F.lit(P))
+                        .alias("b"))
+                .groupBy("b").agg(F.min("c").alias("c")).collect())
+        for r in rows:
+            found.setdefault(int(r.b), int(r.c))
+        lo = hi
+        if lo > 64 * P * 32:   # pragma: no cover - astronomically unlikely
+            raise RuntimeError(f"no carrier found for all {P} partitions")
+    return [found[b] for b in range(P)]
+
+
+def kll_range_repartition(df: DataFrame, col: str, num_partitions: int,
+                          k: int = 200,
+                          bounds: Optional[Sequence[float]] = None,
+                          sort_within: bool = False) -> DataFrame:
+    """Range-repartition ``df`` on ``col`` into ``num_partitions``
+    without Spark's bound-sampling job (module docstring): partition i
+    holds exactly the rows of bucket i, buckets ascending in ``col``,
+    sizes balanced to the KLL rank error (~1.7/sqrt(k) per split).
+    Pass ``bounds`` (from :func:`kll_partition_bounds`, possibly of
+    another frame of the same table) to reuse a layout across stages;
+    ``sort_within=True`` adds a shuffle-free per-partition sort — the
+    pair is a global sort at one exchange."""
+    if bounds is None:
+        bounds = kll_partition_bounds(df, col, num_partitions, k=k)
+    P = len(bounds) + 1
+    carriers = _carriers(df.sparkSession, P)
+    out = (df.withColumn(_BUCKET, range_bucket(col, bounds))
+           .withColumn(_CARRIER, F.element_at(
+               F.array(*[F.lit(c) for c in carriers]),
+               F.col(_BUCKET) + 1))
+           .repartition(P, F.col(_CARRIER))
+           .drop(_BUCKET, _CARRIER))
+    if sort_within:
+        out = out.sortWithinPartitions(col)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries-driven skew join
+# ---------------------------------------------------------------------------
+
+def detect_hot_keys(df: DataFrame, on: str, threshold: float = 0.01,
+                    k: Optional[int] = None) -> dict:
+    """One MG pass over ``df[on]`` → the xxhash64 hashes of every join
+    key whose frequency COULD exceed ``threshold`` of the rows (MG
+    no-false-negative guarantee; k is auto-sized to ceil(2/threshold)
+    so the bound threshold > 1/(k+1) always holds). Returns
+    {"hashes": [int64...], "counts": [lower bounds...], "n_total": n}.
+    Hashes, not raw keys: the hot test downstream is
+    xxhash64(key) ∈ hashes, so no reverse lookup and any key type
+    works."""
+    from .sketch_agg import mg_agg
+    from ..sketches import MisraGries
+    if not (0.0 < threshold < 1.0):
+        raise ValueError("threshold must be in (0, 1)")
+    if k is None:
+        k = int(np.ceil(2.0 / threshold))
+    elif k + 1 <= 1.0 / threshold:
+        raise ValueError(f"k={k} cannot guarantee detection at "
+                         f"threshold={threshold}: need k > 1/threshold - 1")
+    keyed = df.select(F.xxhash64(F.col(on)).alias(_KH))
+    row = mg_agg(keyed, [], _KH, k=k).collect()[0]
+    mg = MisraGries.from_bytes(bytes(row.sketch))
+    hh, counts = mg.heavy_hitters(threshold)
+    return {"hashes": [int(h) for h in hh.view(np.int64)],
+            "counts": [int(c) for c in counts],
+            "n_total": int(mg.n_total)}
+
+
+def auto_salted_join(fact: DataFrame, dim: DataFrame, on: str,
+                     salt_n: int = 16, threshold: float = 0.01,
+                     k: Optional[int] = None, how: str = "inner",
+                     salt_by: Optional[List[str]] = None) -> DataFrame:
+    """Skew-defusing equi-join that salts ONLY the detected hot keys
+    (module docstring). Row-identical to ``fact.join(dim, on, how)``
+    for how ∈ {inner, left, left_semi}; dim replication cost is
+    |dim ⋉ hot| · salt_n instead of |dim| · salt_n."""
+    if how not in ("inner", "left", "left_semi"):
+        raise ValueError(f"auto_salted_join does not support how={how!r}")
+    if salt_by is None:
+        salt_by = [c for c in fact.columns if c != on]
+    if not salt_by:
+        raise ValueError("need at least one non-key column to salt by")
+    hot = detect_hot_keys(fact, on, threshold=threshold, k=k)["hashes"]
+    if not hot:
+        return fact.join(dim, on, how)
+    # coalesce: xxhash64(NULL) is NULL and `NULL.isin(...)` is NULL — a
+    # bare negation would drop NULL-key rows from BOTH branches (silent
+    # row loss under how="left"); coalesced, they take the cold path.
+    is_hot = F.coalesce(F.xxhash64(F.col(on)).isin(hot), F.lit(False))
+    f_hot = (fact.where(is_hot)
+             .withColumn(_SALT, F.pmod(F.xxhash64(*salt_by),
+                                       F.lit(salt_n)).cast("int")))
+    d_hot = (dim.where(is_hot)
+             .withColumn(_SALT, F.explode(
+                 F.array(*[F.lit(i) for i in range(salt_n)]))))
+    hot_join = f_hot.join(d_hot, [on, _SALT], how).drop(_SALT)
+    cold_join = fact.where(~is_hot).join(dim, on, how)
+    return hot_join.unionByName(cold_join)

@@ -324,6 +324,25 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
                    "(scan prunes cell directories)",
                    bool(re.search(r"PartitionFilters: \[[^\]]*cell", p17))))
 
+    # 18. KLL range repartition: the claim is "range layout WITHOUT the
+    # bound-sampling job" — the executed plan must contain a hash
+    # exchange (on the carrier) and NO RangePartitioning anywhere, and
+    # the bucket CASE tree must sit inside WholeStageCodegen.
+    from fastfilter_spark.spark import (kll_partition_bounds,
+                                        kll_range_repartition)
+    vals = docs.select(F.length("text").cast("double").alias("v"))
+    b18 = kll_partition_bounds(vals, "v", 8)
+    p18 = plan_of(kll_range_repartition(vals, "v", 8, bounds=b18))
+    checks.append(("KLL range repartition: no RangePartitioning/sampling "
+                   "in plan (hash exchange on carriers only)",
+                   "rangepartitioning" not in p18.lower()
+                   and "hashpartitioning" in p18.lower()))
+    checks.append(("KLL range repartition: single Exchange; bucket CASE "
+                   "tree is a plain Project (codegen-eligible, no UDF)",
+                   len(re.findall(r"\(\d+\) Exchange", p18)) == 1
+                   and "CASE WHEN" in p18
+                   and "pythonUDF" not in p18.lower()))
+
     print(p2)
     print(p3[:3000])
     ok = True
