@@ -45,6 +45,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+_CARRIER_CACHE: dict = {}
 _BUCKET = "__ffsk_bucket"
 _CARRIER = "__ffsk_carrier"
 _KH = "__ffsk_keyhash"
@@ -68,11 +69,15 @@ def kll_partition_bounds(df: DataFrame, col: str, num_partitions: int,
         raise ValueError("num_partitions must be >= 1")
     if num_partitions == 1:
         return []
-    row = kll_agg(df, [], col, k=k).collect()[0]
-    sk = KLLSketch.from_bytes(bytes(row.sketch))
+    rows = kll_agg(df, [], col, k=k).collect()
+    if not rows:
+        return []   # empty / all-NULL input: one partition, no splits
+    sk = KLLSketch.from_bytes(bytes(rows[0].sketch))
     bounds: List[float] = []
     for i in range(1, num_partitions):
         q = float(sk.quantile(i / num_partitions))
+        if np.isnan(q):
+            continue   # empty sketch (all values NaN-dropped)
         if not bounds or q > bounds[-1]:
             bounds.append(q)
     return bounds
@@ -108,8 +113,12 @@ def _carriers(spark, num_partitions: int) -> List[int]:
     b (plain ``repartition(P, bucket)`` would pmod-hash the bucket id —
     collisions merge buckets and leave other partitions empty).
     ``F.hash`` is the same Murmur3(seed=42) HashPartitioning uses, so
-    the mapping is computed with Spark's own hash, not a replica."""
+    the mapping is computed with Spark's own hash, not a replica.
+    Carriers are a pure function of P — cached, so the tiny discovery
+    job runs once per P per process, not once per repartition call."""
     P = int(num_partitions)
+    if P in _CARRIER_CACHE:
+        return _CARRIER_CACHE[P]
     found: dict = {}
     lo = 0
     while len(found) < P:
@@ -124,7 +133,8 @@ def _carriers(spark, num_partitions: int) -> List[int]:
         lo = hi
         if lo > 64 * P * 32:   # pragma: no cover - astronomically unlikely
             raise RuntimeError(f"no carrier found for all {P} partitions")
-    return [found[b] for b in range(P)]
+    _CARRIER_CACHE[P] = [found[b] for b in range(P)]
+    return _CARRIER_CACHE[P]
 
 
 def kll_range_repartition(df: DataFrame, col: str, num_partitions: int,
@@ -141,6 +151,11 @@ def kll_range_repartition(df: DataFrame, col: str, num_partitions: int,
     pair is a global sort at one exchange."""
     if bounds is None:
         bounds = kll_partition_bounds(df, col, num_partitions, k=k)
+    elif len(bounds) + 1 > num_partitions:
+        raise ValueError(
+            f"{len(bounds)} explicit bounds imply {len(bounds) + 1} "
+            f"partitions > num_partitions={num_partitions}; pass "
+            "num_partitions=len(bounds)+1")
     P = len(bounds) + 1
     carriers = _carriers(df.sparkSession, P)
     out = (df.withColumn(_BUCKET, range_bucket(col, bounds))
@@ -200,6 +215,17 @@ def auto_salted_join(fact: DataFrame, dim: DataFrame, on: str,
         salt_by = [c for c in fact.columns if c != on]
     if not salt_by:
         raise ValueError("need at least one non-key column to salt by")
+    # xxhash64 is TYPE-sensitive where an equi-join is not: int vs
+    # bigint key columns would implicit-cast in a plain join but hash
+    # differently here, classifying every hot dim row as cold — the
+    # hot fact slice then joins nothing and rows silently vanish.
+    ft = dict(fact.dtypes).get(on)
+    dt = dict(dim.dtypes).get(on)
+    if ft != dt:
+        raise ValueError(
+            f"join key {on!r} has different types on the two sides "
+            f"(fact {ft!r}, dim {dt!r}); hot-key hashes would not line "
+            "up — cast both sides to one type first")
     hot = detect_hot_keys(fact, on, threshold=threshold, k=k)["hashes"]
     if not hot:
         return fact.join(dim, on, how)

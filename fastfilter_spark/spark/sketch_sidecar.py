@@ -73,6 +73,14 @@ def _merge(kind: str, a, b):
     return a.union(b) if kind == "theta" else a.merge(b)
 
 
+def _has_partials(parts_dir: str) -> bool:
+    """True iff the partials dir holds at least one committed part file
+    (distinguishes 'nothing written yet' from a real read failure — the
+    two must not share an exception handler)."""
+    return (os.path.isdir(parts_dir)
+            and any(f.startswith("part-") for f in os.listdir(parts_dir)))
+
+
 def _fold_pid(kind: str, sketch_kwargs: dict, pdf: pd.DataFrame
               ) -> pd.DataFrame:
     """One pid's rows -> one (pid, n_rows, blob) lineage row. Sorting
@@ -121,16 +129,23 @@ def build_sketch_sidecar(df: DataFrame, sidecar_path: str,
             f"{kind} sidecar folds uint64 keys: column {col!r} must be "
             f"bigint (got {dt!r}) — derive keys with content_key()")
     if vk == "f64" and dt not in ("double", "float", "bigint", "int",
-                                  "smallint", "tinyint", "decimal"):
+                                  "smallint", "tinyint") \
+            and not (dt or "").startswith("decimal"):
         raise ValueError(
             f"{kind} sidecar folds float64 values: column {col!r} must "
             f"be numeric (got {dt!r})")
     spark = df.sparkSession
     P = int(num_partitions)
     sel = (df.select(F.col(col).alias("__v"))
-           .where(F.col("__v").isNotNull())
-           .withColumn("pid", F.pmod(F.xxhash64("__v", F.lit(salt)),
-                                     F.lit(P)).cast("int")))
+           .where(F.col("__v").isNotNull()))
+    if vk == "f64":
+        # drop NaN at INGEST (NaN is not NULL in Spark): the fold skips
+        # NaN anyway, so filtering here keeps routing and lineage in
+        # agreement — sum(lineage.n_rows) == rows actually folded.
+        sel = (sel.withColumn("__v", F.col("__v").cast("double"))
+               .where(~F.isnan("__v")))
+    sel = sel.withColumn("pid", F.pmod(F.xxhash64("__v", F.lit(salt)),
+                                       F.lit(P)).cast("int"))
     os.makedirs(sidecar_path, exist_ok=True)
     parts_dir = os.path.join(sidecar_path, "partials.parquet")
     manifest_path = os.path.join(sidecar_path, "sketch_manifest.json")
@@ -163,12 +178,12 @@ def build_sketch_sidecar(df: DataFrame, sidecar_path: str,
             json.dump(params, fh)
 
     done_pids: set = set()
-    if resume:
-        try:
-            done_pids = {r.pid for r in spark.read.parquet(parts_dir)
-                         .select("pid").distinct().collect()}
-        except Exception:
-            done_pids = set()  # nothing committed yet
+    if resume and _has_partials(parts_dir):
+        # deliberately NO try/except: a transient read failure here must
+        # abort, not silently mean "nothing committed" — that would
+        # re-append every pid and double-fold the merge.
+        done_pids = {r.pid for r in spark.read.parquet(parts_dir)
+                     .select("pid").distinct().collect()}
 
     def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
         return _fold_pid(kind, sketch_kwargs, pdf)
@@ -191,7 +206,9 @@ def build_sketch_sidecar(df: DataFrame, sidecar_path: str,
          .applyInPandas(_fold, "pid int, n_rows long, blob binary")
          .write.mode("append").parquet(parts_dir))
 
-    try:
+    if _has_partials(parts_dir):
+        # NO try/except: a read failure must NOT fall through to a
+        # complete-looking manifest claiming 0 rows over real partials.
         agg = (spark.read.parquet(parts_dir)
                .agg(F.sum("n_rows").alias("n"),
                     F.count("*").alias("pids"),
@@ -199,8 +216,8 @@ def build_sketch_sidecar(df: DataFrame, sidecar_path: str,
                .collect()[0])
         n_rows, pids, blob_bytes = int(agg.n or 0), int(agg.pids), int(
             agg.blob_bytes or 0)
-    except Exception:
-        n_rows = pids = blob_bytes = 0  # empty input: no partials dir
+    else:
+        n_rows = pids = blob_bytes = 0  # empty input: no partials written
     manifest = dict(params, rows_ingested=n_rows, pids_built=pids,
                     blob_bytes=blob_bytes)
     with open(manifest_path, "w") as fh:

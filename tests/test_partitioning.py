@@ -198,3 +198,44 @@ def test_auto_salted_join_cold_only_falls_through(spark):
                                   (F.col("id") * 2).alias("y"))
     out = auto_salted_join(fact, dim, "k", threshold=0.5)
     assert out.count() == 1000
+
+
+# ---------------------------------------------------------------------------
+# review-fix regressions (r4): type guard, empty bounds, bounds overflow,
+# carrier cache
+# ---------------------------------------------------------------------------
+
+def test_auto_salted_join_type_mismatch_raises(spark):
+    """xxhash64 is type-sensitive where an equi-join is not: int vs
+    bigint keys would silently classify every hot dim row as cold and
+    drop the hot rows. Must refuse instead."""
+    fact = spark.range(100).select(F.col("id").cast("int").alias("k"),
+                                   F.lit(1).alias("x"))
+    dim = spark.range(10).select(F.col("id").alias("k"),
+                                 F.lit(2).alias("y"))
+    with pytest.raises(ValueError, match="different types"):
+        auto_salted_join(fact, dim, "k")
+
+
+def test_kll_bounds_empty_and_all_null_inputs(spark):
+    empty = spark.createDataFrame([], "v double")
+    assert kll_partition_bounds(empty, "v", 8) == []
+    nulls = spark.createDataFrame([(None,), (None,)], "v double")
+    assert kll_partition_bounds(nulls, "v", 8) == []
+    # and the repartitioner degrades to a single partition, not a crash
+    out = kll_range_repartition(nulls, "v", 8)
+    assert out.count() == 2
+
+
+def test_kll_range_repartition_too_many_bounds_raises(spark):
+    df = spark.range(10).select(F.col("id").cast("double").alias("v"))
+    with pytest.raises(ValueError, match="bounds imply"):
+        kll_range_repartition(df, "v", 2, bounds=[1.0, 2.0, 3.0])
+
+
+def test_carriers_cached_per_process(spark):
+    from fastfilter_spark.spark.partitioning import _CARRIER_CACHE, _carriers
+    _CARRIER_CACHE.pop(5, None)
+    a = _carriers(spark, 5)
+    assert 5 in _CARRIER_CACHE
+    assert _carriers(spark, 5) is a   # second call: no Spark job

@@ -131,3 +131,56 @@ def test_empty_and_all_null_inputs(spark, tmp_path):
     assert m["rows_ingested"] == 0 and m["pids_built"] == 0
     sk, _ = read_sketch_sidecar(sc)
     assert sk.estimate() == 0.0
+
+
+# ---------------------------------------------------------------------------
+# review-fix regressions (r4): decimal guard, NaN lineage, resume read
+# failures abort instead of double-folding
+# ---------------------------------------------------------------------------
+
+def test_decimal_column_accepted(spark, tmp_path):
+    df = spark.range(100).select(
+        F.col("id").cast("decimal(12,2)").alias("v"))
+    sc = str(tmp_path / "dec")
+    m = build_sketch_sidecar(df, sc, kind="kll", col="v",
+                             num_partitions=4, k=200)
+    assert m["rows_ingested"] == 100
+    sk, _ = read_sketch_sidecar(sc)
+    assert 30 <= sk.quantile(0.5) <= 70
+
+
+def test_nan_rows_excluded_from_lineage(spark, tmp_path):
+    """NaN is not NULL in Spark: the ingest filter must drop it so that
+    sum(lineage.n_rows) == rows actually folded (the conservation
+    invariant the lineage audit rests on)."""
+    import pandas as pd
+    df = spark.createDataFrame(pd.DataFrame(
+        {"v": [1.0, 2.0, float("nan"), 3.0, float("nan")]}))
+    sc = str(tmp_path / "nan")
+    m = build_sketch_sidecar(df, sc, kind="kll", col="v",
+                             num_partitions=2, k=200)
+    assert m["rows_ingested"] == 3
+    lin = sketch_sidecar_lineage(spark, sc).collect()
+    assert sum(r.n_rows for r in lin) == 3
+
+
+def test_resume_read_failure_aborts_not_duplicates(spark, keyed, tmp_path):
+    """A corrupt committed partial must abort the resume (and the final
+    manifest aggregation), never be treated as 'nothing committed yet' —
+    that would re-append every pid and double-fold the merge."""
+    import os
+    sc = str(tmp_path / "corrupt")
+    build_sketch_sidecar(keyed, sc, kind="cms", col="key",
+                         num_partitions=8, batches=2, _stop_after=1,
+                         eps=1e-3, delta=0.01)
+    parts = os.path.join(sc, "partials.parquet")
+    part = next(f for f in sorted(os.listdir(parts))
+                if f.startswith("part-"))
+    with open(os.path.join(parts, part), "wb") as fh:
+        fh.write(b"not a parquet file")
+    with pytest.raises(Exception):
+        build_sketch_sidecar(keyed, sc, kind="cms", col="key",
+                             num_partitions=8, batches=2, resume=True,
+                             eps=1e-3, delta=0.01)
+    # no manifest was committed over the corrupt state
+    assert not os.path.exists(os.path.join(sc, "sketch_manifest.json"))
