@@ -687,6 +687,38 @@ def q_sketch_sidecar_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         "resume_identical boolean, lineage_ok boolean")
 
 
+def q_file_skipping_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file data-skipping index (spark/skipindex.py): documents are
+    rewritten range-clustered into 8 files, one bf8 blob per file is
+    built executor-side, and a 5-key content point-lookup scans ONLY
+    the matched files. Exactness surface: the pruned scan is
+    row-identical to the full scan (zero false negatives lifted to
+    file granularity); pruned_ok asserts the probe touched strictly
+    fewer files than the corpus holds."""
+    import shutil as _sh
+    from fastfilter_spark.spark import (build_file_skipping_index,
+                                        content_key, pruned_lookup,
+                                        skip_stats)
+    base = "/tmp/ffsk_q_skipindex"   # fixed path, rebuilt per run
+    _sh.rmtree(base, ignore_errors=True)
+    data, idx = f"{base}/docs.parquet", f"{base}/index"
+    docs = _docs(spark, sf_dir)
+    (docs.repartitionByRange(8, "doc_id")
+     .write.mode("overwrite").parquet(data))
+    build_file_skipping_index(spark, data, idx,
+                              key=content_key("text"))
+    probe_ids = [3, 77, 152, 260, 401]
+    keys = [r.key for r in docs.where(F.col("doc_id").isin(probe_ids))
+            .select(content_key("text").alias("key"))
+            .where(F.col("key").isNotNull()).collect()]
+    st = skip_stats(spark, idx, keys)
+    out = pruned_lookup(spark, data, idx, keys, content_key("text"))
+    return (out.select("doc_id", "lang")
+            .withColumn("pruned_ok",
+                        F.lit(bool(st["files_matched"] < st["files_total"])))
+            .orderBy("doc_id"))
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastfilter_spark.spark import cms_agg, cms_query
     from fastfilter_spark.pipeline import tokens
@@ -1540,6 +1572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf8_composite_grouped": q_bf8_composite_grouped,
         "hll_by_lang": q_hll_by_lang,
         "sketch_sidecar_hll": q_sketch_sidecar_hll,
+        "file_skipping_lookup": q_file_skipping_lookup,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "kll_quantiles": q_kll_quantiles,
         "tdigest_quantiles": q_tdigest_quantiles,
@@ -1902,6 +1935,12 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(DISTINCT text) AS n_distinct, TRUE AS hll_ok, "
             "TRUE AS resume_identical, TRUE AS lineage_ok "
             "FROM documents WHERE text IS NOT NULL"),
+        "file_skipping_lookup": (
+            "SELECT d.doc_id, d.lang, TRUE AS pruned_ok "
+            "FROM documents d WHERE d.text IN "
+            "(SELECT text FROM documents "
+            " WHERE doc_id IN (3, 77, 152, 260, 401)) "
+            "ORDER BY d.doc_id"),
         "cms_heavy_hitters": (
             f"WITH t AS (SELECT unnest({_TOKENS_SQL}) AS token "
             "FROM documents) "

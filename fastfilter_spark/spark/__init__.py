@@ -20,6 +20,8 @@ from .sketch_sidecar import (build_sketch_sidecar, read_sketch_sidecar,
 from .partitioning import (auto_salted_join, detect_hot_keys,
                            kll_partition_bounds, kll_range_repartition,
                            range_bucket)
+from .skipindex import (build_file_skipping_index, prune_files,
+                        pruned_lookup, read_skipping_manifest, skip_stats)
 
 __all__ = [
     "get_spark", "content_key", "keys_from_content", "partition_id",
@@ -35,4 +37,6 @@ __all__ = [
     "build_sketch_sidecar", "read_sketch_sidecar", "sketch_sidecar_lineage",
     "kll_partition_bounds", "kll_range_repartition", "range_bucket",
     "detect_hot_keys", "auto_salted_join",
+    "build_file_skipping_index", "prune_files", "pruned_lookup",
+    "read_skipping_manifest", "skip_stats",
 ]
