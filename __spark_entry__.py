@@ -719,6 +719,41 @@ def q_file_skipping_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_sorted_layout_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sorted_write (spark/partitioning.py): range-clustered parquet
+    layout ordered by n_chars — the orderBy().write effect with NO
+    range-sampling job. Exactness surface: row conservation and global
+    min/max are exact; disjoint_ok / sorted_ok assert the layout
+    property (per-file ranges disjoint ascending, rows sorted within
+    each file) that parquet min/max pruning rests on."""
+    import shutil as _sh
+    from fastfilter_spark.spark import sorted_write
+    base = "/tmp/ffsk_q_sorted_layout"   # fixed path, rebuilt per run
+    _sh.rmtree(base, ignore_errors=True)
+    docs = _docs(spark, sf_dir)
+    src = docs.select("doc_id",
+                      F.col("n_chars").cast("double").alias("v"))
+    sorted_write(src, "v", base, num_partitions=8)
+    back = spark.read.parquet(base)
+    per_file = (back.select(F.input_file_name().alias("f"), "v")
+                .groupBy("f")
+                .agg(F.min("v").alias("lo"), F.max("v").alias("hi"),
+                     F.count("*").alias("n"))
+                .orderBy("lo").collect())
+    disjoint = all(a.hi <= b.lo for a, b in zip(per_file, per_file[1:]))
+    pdf = back.select(F.input_file_name().alias("f"), "v").toPandas()
+    sorted_ok = all(grp["v"].is_monotonic_increasing
+                    for _, grp in pdf.groupby("f"))
+    agg = back.agg(F.count("*").alias("n"),
+                   F.min("v").alias("lo"),
+                   F.max("v").alias("hi")).collect()[0]
+    return spark.createDataFrame(
+        [(int(agg.n), float(agg.lo), float(agg.hi),
+          bool(disjoint), bool(sorted_ok))],
+        "n long, lo double, hi double, disjoint_ok boolean, "
+        "sorted_ok boolean")
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastfilter_spark.spark import cms_agg, cms_query
     from fastfilter_spark.pipeline import tokens
@@ -1573,6 +1608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_by_lang": q_hll_by_lang,
         "sketch_sidecar_hll": q_sketch_sidecar_hll,
         "file_skipping_lookup": q_file_skipping_lookup,
+        "sorted_layout_write": q_sorted_layout_write,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "kll_quantiles": q_kll_quantiles,
         "tdigest_quantiles": q_tdigest_quantiles,
@@ -1941,6 +1977,11 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT text FROM documents "
             " WHERE doc_id IN (3, 77, 152, 260, 401)) "
             "ORDER BY d.doc_id"),
+        "sorted_layout_write": (
+            "SELECT COUNT(*) AS n, "
+            "CAST(MIN(n_chars) AS DOUBLE) AS lo, "
+            "CAST(MAX(n_chars) AS DOUBLE) AS hi, "
+            "TRUE AS disjoint_ok, TRUE AS sorted_ok FROM documents"),
         "cms_heavy_hitters": (
             f"WITH t AS (SELECT unnest({_TOKENS_SQL}) AS token "
             "FROM documents) "

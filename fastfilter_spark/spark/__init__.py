@@ -19,7 +19,7 @@ from .sketch_sidecar import (build_sketch_sidecar, read_sketch_sidecar,
                              sketch_sidecar_lineage)
 from .partitioning import (auto_salted_join, detect_hot_keys,
                            kll_partition_bounds, kll_range_repartition,
-                           range_bucket)
+                           range_bucket, sorted_write)
 from .skipindex import (build_file_skipping_index, prune_files,
                         pruned_lookup, read_skipping_manifest, skip_stats)
 
@@ -36,6 +36,7 @@ __all__ = [
     "pack_into_shards", "mixture_sample",
     "build_sketch_sidecar", "read_sketch_sidecar", "sketch_sidecar_lineage",
     "kll_partition_bounds", "kll_range_repartition", "range_bucket",
+    "sorted_write",
     "detect_hot_keys", "auto_salted_join",
     "build_file_skipping_index", "prune_files", "pruned_lookup",
     "read_skipping_manifest", "skip_stats",

@@ -169,6 +169,28 @@ def kll_range_repartition(df: DataFrame, col: str, num_partitions: int,
     return out
 
 
+def sorted_write(df: DataFrame, col: str, path: str,
+                 num_partitions: int, k: int = 200,
+                 bounds: Optional[Sequence[float]] = None,
+                 mode: str = "overwrite") -> List[float]:
+    """Write ``df`` as a range-clustered parquet layout ordered by
+    ``col``: file i covers a disjoint ascending value range and is
+    sorted within — the layout parquet min/max row-group statistics
+    (and :mod:`.skipindex`) prune against. Exactly the effect of
+    ``orderBy(col).write`` but WITHOUT the range-sampling job that
+    re-executes upstream lineage (module docstring), and with
+    reusable ``bounds``: pass the returned list to later writes of
+    the same table family for a byte-stable cross-write layout.
+    NULLs land first in file 0 (SQL NULLS FIRST order). Returns the
+    bounds used."""
+    if bounds is None:
+        bounds = kll_partition_bounds(df, col, num_partitions, k=k)
+    out = kll_range_repartition(df, col, max(len(bounds) + 1, 1),
+                                bounds=list(bounds), sort_within=True)
+    out.write.mode(mode).parquet(path)
+    return list(bounds)
+
+
 # ---------------------------------------------------------------------------
 # Misra-Gries-driven skew join
 # ---------------------------------------------------------------------------

@@ -239,3 +239,45 @@ def test_carriers_cached_per_process(spark):
     a = _carriers(spark, 5)
     assert 5 in _CARRIER_CACHE
     assert _carriers(spark, 5) is a   # second call: no Spark job
+
+
+# ---------------------------------------------------------------------------
+# sorted_write: range-clustered layout without a sampling job
+# ---------------------------------------------------------------------------
+
+def test_sorted_write_layout(spark, corpus, tmp_path):
+    from fastfilter_spark.spark import sorted_write
+    src = corpus.select(F.length("content").cast("double").alias("v"),
+                        "path")
+    p = str(tmp_path / "sorted")
+    bounds = sorted_write(src, "v", p, num_partitions=8)
+    assert bounds == sorted(bounds)
+    back = spark.read.parquet(p)
+    assert back.count() == src.count()
+    # per-file ranges disjoint ascending, rows sorted within each file
+    pdf = (back.select(F.input_file_name().alias("f"), "v")
+           .toPandas())
+    stats = (pdf.groupby("f")["v"].agg(["min", "max"])
+             .sort_values("min"))
+    for (_, a), (_, b) in zip(stats.iterrows(), stats.iloc[1:].iterrows()):
+        assert a["max"] <= b["min"]
+    for _, grp in pdf.groupby("f"):
+        assert grp["v"].is_monotonic_increasing or \
+            grp["v"].reset_index(drop=True).equals(
+                grp["v"].sort_values().reset_index(drop=True))
+
+
+def test_sorted_write_bounds_reuse_stable(spark, tmp_path):
+    from fastfilter_spark.spark import sorted_write
+    df = spark.range(10_000).select(
+        (F.col("id") % 997).cast("double").alias("v"))
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    bounds = sorted_write(df, "v", a, num_partitions=4)
+    bounds2 = sorted_write(df, "v", b, num_partitions=4, bounds=bounds)
+    assert bounds2 == bounds
+    fa = sorted(spark.read.parquet(a).select(
+        F.input_file_name()).distinct().count()
+        for _ in (0,))[0]
+    fb = spark.read.parquet(b).select(
+        F.input_file_name()).distinct().count()
+    assert fa == fb == 4
