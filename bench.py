@@ -124,6 +124,34 @@ def main() -> None:
         n_big / timings["sidecar_probe_routed_1e7"])
     assert n_rt >= n_big * 0.9
     shutil.rmtree(os.path.dirname(sc_dir), ignore_errors=True)
+
+    # resumable sketch sidecar (north_rule checkpointed build path):
+    # same driver-bypass shape as the filter sidecar, HLL p=14
+    from fastfilter_spark.spark import build_sketch_sidecar
+    sk_dir = tempfile.mkdtemp(prefix="ffsk_bench_sk_") + "/sketch"
+    timed("sketch_sidecar_1e7", lambda: build_sketch_sidecar(
+        big, sk_dir, kind="hll", col="key",
+        num_partitions=4 * CPUS, p=14))
+    extra["sketch_sidecar_keys_per_sec"] = round(
+        n_big / timings["sketch_sidecar_1e7"])
+    shutil.rmtree(os.path.dirname(sk_dir), ignore_errors=True)
+
+    # per-file data-skipping index: build one bf8 per file over a
+    # CPUS-file layout, then a 100-key point lookup that scans only
+    # matched files (the 100 TB point-lookup serve shape)
+    from fastfilter_spark.spark import (build_file_skipping_index,
+                                        pruned_lookup)
+    si_base = tempfile.mkdtemp(prefix="ffsk_bench_si_")
+    si_data, si_idx = f"{si_base}/data.parquet", f"{si_base}/index"
+    (big.repartitionByRange(CPUS, "key")
+     .write.mode("overwrite").parquet(si_data))
+    timed("skipindex_build_1e7", lambda: build_file_skipping_index(
+        spark, si_data, si_idx, key="key"))
+    probe_keys = [r.key for r in big.limit(100).collect()]
+    n_pl = timed("skipindex_lookup_1e7", lambda: pruned_lookup(
+        spark, si_data, si_idx, probe_keys, "key").count())
+    assert n_pl >= 100
+    shutil.rmtree(si_base, ignore_errors=True)
     big.unpersist()
 
     # 10^8 tier — the BASELINE.md sampled tier, captured per-round in
