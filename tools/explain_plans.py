@@ -343,6 +343,44 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
                    and "CASE WHEN" in p18
                    and "pythonUDF" not in p18.lower()))
 
+    # 19. per-file skip index: the point lookup must (a) list ONLY the
+    # index-matched files in its scan (file pruning is the operator),
+    # (b) push the exact IN confirm into the scan, (c) add no Exchange.
+    from fastfilter_spark.spark import build_file_skipping_index, pruned_lookup
+    si_tmp = tempfile.mkdtemp(prefix="ffsk_plans_si_")
+    try:
+        (spark.range(80_000)
+         .withColumn("pay", F.sha2(F.col("id").cast("string"), 256))
+         .repartitionByRange(8, "id")
+         .write.parquet(si_tmp + "/d"))
+        build_file_skipping_index(spark, si_tmp + "/d", si_tmp + "/i",
+                                  key="id")
+        looked = pruned_lookup(spark, si_tmp + "/d", si_tmp + "/i",
+                               [7, 70_009], "id")
+        p19 = plan_of(looked)
+        n_scan = len(looked.inputFiles())
+        n_all = len(spark.read.parquet(si_tmp + "/d").inputFiles())
+        checks.append((f"skip index: lookup scans a strict file subset "
+                       f"({n_scan} of {n_all})", 0 < n_scan < n_all))
+        checks.append(("skip index: exact IN confirm pushed into the "
+                       "scan, zero Exchange",
+                       "PushedFilters: [In(id" in p19
+                       and not re.search(r"\(\d+\) Exchange", p19)))
+    finally:
+        shutil.rmtree(si_tmp, ignore_errors=True)
+
+    # 20. sorted_write layout shape: partition-local Sort (global=false)
+    # directly above the single carrier hash exchange — a global sort's
+    # effect with no RangePartitioning (= no sampling job) anywhere.
+    p20 = plan_of(kll_range_repartition(vals, "v", 8, bounds=b18,
+                                        sort_within=True))
+    checks.append(("sorted_write shape: local Sort over ONE hash "
+                   "Exchange, no RangePartitioning",
+                   "rangepartitioning" not in p20.lower()
+                   and len(re.findall(r"\(\d+\) Exchange", p20)) == 1
+                   and bool(re.search(r"Arguments: \[v#\d+ ASC NULLS "
+                                      r"FIRST\], false", p20))))
+
     print(p2)
     print(p3[:3000])
     ok = True
