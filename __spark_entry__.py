@@ -719,6 +719,47 @@ def q_file_skipping_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_skipindex_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental skip-index maintenance (spark/skipindex.py
+    update_file_skipping_index): documents land in two generations
+    (doc_id < 300 as 4 files, the rest appended as 2 more); the update
+    builds blobs ONLY for the new files — pre-existing blobs must stay
+    byte-identical — and lookups stay exact across both generations.
+    incremental_ok asserts (n_files grew 4→6, old blobs untouched)."""
+    import shutil as _sh
+    from fastfilter_spark.spark import (build_file_skipping_index,
+                                        content_key, pruned_lookup,
+                                        update_file_skipping_index)
+    base = "/tmp/ffsk_q_skipindex_inc"   # fixed path, rebuilt per run
+    _sh.rmtree(base, ignore_errors=True)
+    data, idx = f"{base}/docs.parquet", f"{base}/index"
+    docs = _docs(spark, sf_dir)
+    (docs.where("doc_id < 300").repartitionByRange(4, "doc_id")
+     .write.mode("overwrite").parquet(data))
+    m0 = build_file_skipping_index(spark, data, idx,
+                                   key=content_key("text"))
+    before = {r.file: bytes(r.blob) for r in spark.read.parquet(
+        f"{idx}/files.parquet").select("file", "blob").collect()}
+    (docs.where("doc_id >= 300").repartitionByRange(2, "doc_id")
+     .write.mode("append").parquet(data))
+    m1 = update_file_skipping_index(spark, data, idx,
+                                    key=content_key("text"))
+    after = {r.file: bytes(r.blob) for r in spark.read.parquet(
+        f"{idx}/files.parquet").select("file", "blob").collect()}
+    untouched = all(after.get(f) == b for f, b in before.items())
+    probe_ids = [12, 150, 340, 480]
+    keys = [r.key for r in docs.where(F.col("doc_id").isin(probe_ids))
+            .select(content_key("text").alias("key"))
+            .where(F.col("key").isNotNull()).collect()]
+    out = pruned_lookup(spark, data, idx, keys, content_key("text"))
+    return (out.select("doc_id", "lang")
+            .withColumn("incremental_ok",
+                        F.lit(bool(m0["n_files"] == 4
+                                   and m1["n_files"] == 6
+                                   and untouched)))
+            .orderBy("doc_id"))
+
+
 def q_sorted_layout_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sorted_write (spark/partitioning.py): range-clustered parquet
     layout ordered by n_chars — the orderBy().write effect with NO
@@ -1609,6 +1650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_sidecar_hll": q_sketch_sidecar_hll,
         "file_skipping_lookup": q_file_skipping_lookup,
         "sorted_layout_write": q_sorted_layout_write,
+        "skipindex_incremental": q_skipindex_incremental,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "kll_quantiles": q_kll_quantiles,
         "tdigest_quantiles": q_tdigest_quantiles,
@@ -1982,6 +2024,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(MIN(n_chars) AS DOUBLE) AS lo, "
             "CAST(MAX(n_chars) AS DOUBLE) AS hi, "
             "TRUE AS disjoint_ok, TRUE AS sorted_ok FROM documents"),
+        "skipindex_incremental": (
+            "SELECT d.doc_id, d.lang, TRUE AS incremental_ok "
+            "FROM documents d WHERE d.text IN "
+            "(SELECT text FROM documents "
+            " WHERE doc_id IN (12, 150, 340, 480)) "
+            "ORDER BY d.doc_id"),
         "cms_heavy_hitters": (
             f"WITH t AS (SELECT unnest({_TOKENS_SQL}) AS token "
             "FROM documents) "

@@ -21,7 +21,8 @@ from .partitioning import (auto_salted_join, detect_hot_keys,
                            kll_partition_bounds, kll_range_repartition,
                            range_bucket, sorted_write)
 from .skipindex import (build_file_skipping_index, prune_files,
-                        pruned_lookup, read_skipping_manifest, skip_stats)
+                        pruned_lookup, read_skipping_manifest, skip_stats,
+                        update_file_skipping_index)
 
 __all__ = [
     "get_spark", "content_key", "keys_from_content", "partition_id",
@@ -39,5 +40,5 @@ __all__ = [
     "sorted_write",
     "detect_hot_keys", "auto_salted_join",
     "build_file_skipping_index", "prune_files", "pruned_lookup",
-    "read_skipping_manifest", "skip_stats",
+    "read_skipping_manifest", "skip_stats", "update_file_skipping_index",
 ]

@@ -112,3 +112,90 @@ def test_key_expression_and_scan_subset(spark, clustered, index):
     scanned = set(out.inputFiles())
     assert scanned and scanned < full
     assert sorted(r.id for r in out.select("id").collect()) == [7, 9]
+
+
+# ---------------------------------------------------------------------------
+# incremental maintenance
+# ---------------------------------------------------------------------------
+
+def test_incremental_update_appends_only_new_files(spark, tmp_path):
+    from fastfilter_spark.spark import update_file_skipping_index
+    data = str(tmp_path / "data")
+    (spark.range(0, 40_000).repartitionByRange(4, "id")
+     .write.mode("overwrite").parquet(data))
+    idx = str(tmp_path / "idx")
+    m0 = build_file_skipping_index(spark, data, idx, key="id")
+    assert m0["n_files"] == 4
+    before = {r.file: bytes(r.blob) for r in spark.read.parquet(
+        os.path.join(idx, "files.parquet")).collect()}
+    # append two more files of new ids
+    (spark.range(40_000, 60_000).repartitionByRange(2, "id")
+     .write.mode("append").parquet(data))
+    m1 = update_file_skipping_index(spark, data, idx, key="id")
+    assert m1["n_files"] == 6 and m1["n_keys"] == 60_000
+    after = {r.file: bytes(r.blob) for r in spark.read.parquet(
+        os.path.join(idx, "files.parquet")).collect()}
+    # old blobs byte-untouched; exactly two new rows
+    for f, blob in before.items():
+        assert after[f] == blob
+    assert len(after) == 6
+    # lookups exact across both generations
+    got = sorted(r.id for r in pruned_lookup(
+        spark, data, idx, [5, 41_000, 59_999], "id").collect())
+    assert got == [5, 41_000, 59_999]
+
+
+def test_incremental_update_noop(spark, tmp_path):
+    from fastfilter_spark.spark import update_file_skipping_index
+    data = str(tmp_path / "data")
+    (spark.range(1000).repartitionByRange(2, "id")
+     .write.mode("overwrite").parquet(data))
+    idx = str(tmp_path / "idx")
+    m0 = build_file_skipping_index(spark, data, idx, key="id")
+    m1 = update_file_skipping_index(spark, data, idx, key="id")
+    assert m1 == m0
+
+
+def test_incremental_update_drops_orphans(spark, tmp_path):
+    import glob
+    import shutil
+    from fastfilter_spark.spark import update_file_skipping_index
+    data = str(tmp_path / "data")
+    (spark.range(0, 30_000).repartitionByRange(3, "id")
+     .write.mode("overwrite").parquet(data))
+    idx = str(tmp_path / "idx")
+    build_file_skipping_index(spark, data, idx, key="id")
+    # delete the file holding the lowest ids
+    parts = sorted(glob.glob(os.path.join(data, "part-*")))
+    victim_ids = sorted(r.id for r in spark.read.parquet(
+        "file://" + parts[0]).select("id").limit(3).collect())
+    os.remove(parts[0])
+    m = update_file_skipping_index(spark, data, idx, key="id")
+    assert m["n_files"] == 2
+    # the orphan file is no longer in the index nor scanned
+    assert prune_files(spark, idx, victim_ids) == [] or all(
+        parts[0] not in f for f in prune_files(spark, idx, victim_ids))
+    remaining = sorted(r.id for r in spark.read.parquet(data)
+                       .select("id").collect())
+    probe = [remaining[0], remaining[-1]]
+    got = sorted(r.id for r in pruned_lookup(
+        spark, data, idx, probe, "id").collect())
+    assert got == probe
+
+
+def test_all_null_key_files_indexed_empty(spark, tmp_path):
+    """Files with no non-NULL keys still get an (empty-filter, 0) row —
+    otherwise every update would rebuild them forever."""
+    import pandas as pd
+    from fastfilter_spark.spark import update_file_skipping_index
+    data = str(tmp_path / "data")
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": [None] * 100})).withColumn(
+        "id", F.col("id").cast("long"))
+    df.coalesce(1).write.mode("overwrite").parquet(data)
+    idx = str(tmp_path / "idx")
+    m = build_file_skipping_index(spark, data, idx, key="id")
+    assert m["n_files"] == 1 and m["n_keys"] == 0
+    # noop update: nothing to rebuild
+    assert update_file_skipping_index(spark, data, idx, key="id") == m
+    assert prune_files(spark, idx, [1, 2, 3]) == []
