@@ -19,7 +19,8 @@ from .sketch_sidecar import (build_sketch_sidecar, read_sketch_sidecar,
                              sketch_sidecar_lineage)
 from .partitioning import (auto_salted_join, detect_hot_keys,
                            kll_partition_bounds, kll_range_repartition,
-                           range_bucket, sorted_write)
+                           range_bucket, sorted_write,
+                           string_prefix_key)
 from .skipindex import (build_file_skipping_index, prune_files,
                         pruned_lookup, read_skipping_manifest, skip_stats,
                         update_file_skipping_index)
@@ -37,7 +38,7 @@ __all__ = [
     "pack_into_shards", "mixture_sample",
     "build_sketch_sidecar", "read_sketch_sidecar", "sketch_sidecar_lineage",
     "kll_partition_bounds", "kll_range_repartition", "range_bucket",
-    "sorted_write",
+    "sorted_write", "string_prefix_key",
     "detect_hot_keys", "auto_salted_join",
     "build_file_skipping_index", "prune_files", "pruned_lookup",
     "read_skipping_manifest", "skip_stats", "update_file_skipping_index",

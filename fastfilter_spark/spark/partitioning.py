@@ -56,20 +56,47 @@ _SALT = "__ffsk_salt"
 # KLL-driven range repartition
 # ---------------------------------------------------------------------------
 
+def string_prefix_key(col) -> Column:
+    """Order-preserving 48-bit key for a string column: the first 6
+    UTF-8 bytes, zero-padded, as a bigint. Spark's default collation
+    compares strings byte-lexicographically and UTF-8 byte order equals
+    code-point order, so ``prefix(a) < prefix(b) ⇒ a <= b`` — integer
+    order is a coarsening of string order (strings sharing a 6-byte
+    prefix compare equal and therefore CO-LOCATE in any bucketing of
+    this key). 48 bits so every value is exactly representable as a
+    double (the KLL sketch's value type). For domains with a long
+    shared prefix (URLs all starting ``https://``) strip it first —
+    otherwise all mass lands on few key values and ranges collapse."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.rpad(F.hex(F.encode(c, "UTF-8")), 12, "0"),
+                  16, 10).cast("long")
+
+
+def _order_expr(df: DataFrame, col: str):
+    """(ordering expression, is_string) — strings order by their
+    48-bit prefix key, numerics by themselves."""
+    if dict(df.dtypes).get(col) == "string":
+        return string_prefix_key(col).cast("double"), True
+    return F.col(col), False
+
+
 def kll_partition_bounds(df: DataFrame, col: str, num_partitions: int,
                          k: int = 200) -> List[float]:
     """P-1 ascending split points for ``col`` from one mergeable-KLL
     pass (no sampling job — module docstring). Duplicate quantiles
     (a value heavier than 1/P collapses neighbouring splits) are
     dropped, so fewer than P-1 bounds means the data genuinely cannot
-    fill P distinct ranges."""
+    fill P distinct ranges. String columns are supported via
+    :func:`string_prefix_key` (bounds are then prefix-key values)."""
     from .sketch_agg import kll_agg
     from ..sketches import KLLSketch
     if num_partitions < 1:
         raise ValueError("num_partitions must be >= 1")
     if num_partitions == 1:
         return []
-    rows = kll_agg(df, [], col, k=k).collect()
+    expr, _ = _order_expr(df, col)
+    rows = kll_agg(df.select(expr.alias("__ffsk_ord")), [],
+                   "__ffsk_ord", k=k).collect()
     if not rows:
         return []   # empty / all-NULL input: one partition, no splits
     sk = KLLSketch.from_bytes(bytes(rows[0].sketch))
@@ -148,7 +175,10 @@ def kll_range_repartition(df: DataFrame, col: str, num_partitions: int,
     Pass ``bounds`` (from :func:`kll_partition_bounds`, possibly of
     another frame of the same table) to reuse a layout across stages;
     ``sort_within=True`` adds a shuffle-free per-partition sort — the
-    pair is a global sort at one exchange."""
+    pair is a global sort at one exchange. String columns range on
+    their 48-bit prefix key (:func:`string_prefix_key`) — ties
+    co-locate, so per-partition ranges stay disjoint in FULL string
+    order; the within-partition sort uses the full string."""
     if bounds is None:
         bounds = kll_partition_bounds(df, col, num_partitions, k=k)
     elif len(bounds) + 1 > num_partitions:
@@ -158,7 +188,8 @@ def kll_range_repartition(df: DataFrame, col: str, num_partitions: int,
             "num_partitions=len(bounds)+1")
     P = len(bounds) + 1
     carriers = _carriers(df.sparkSession, P)
-    out = (df.withColumn(_BUCKET, range_bucket(col, bounds))
+    order_expr, _ = _order_expr(df, col)
+    out = (df.withColumn(_BUCKET, range_bucket(order_expr, bounds))
            .withColumn(_CARRIER, F.element_at(
                F.array(*[F.lit(c) for c in carriers]),
                F.col(_BUCKET) + 1))

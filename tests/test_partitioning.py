@@ -281,3 +281,38 @@ def test_sorted_write_bounds_reuse_stable(spark, tmp_path):
     fb = spark.read.parquet(b).select(
         F.input_file_name()).distinct().count()
     assert fa == fb == 4
+
+
+def test_sorted_write_string_column(spark, corpus, tmp_path):
+    """String ranges: per-file min/max disjoint ascending in FULL
+    string order (ties co-locate on the 48-bit prefix key), sorted
+    within each file."""
+    from fastfilter_spark.spark import sorted_write
+    src = corpus.select("path", "repo")
+    p = str(tmp_path / "sorted_str")
+    bounds = sorted_write(src, "path", p, num_partitions=8)
+    assert len(bounds) >= 3
+    back = spark.read.parquet(p)
+    assert back.count() == src.count()
+    pdf = back.select(F.input_file_name().alias("f"), "path").toPandas()
+    stats = (pdf.groupby("f")["path"].agg(["min", "max"])
+             .sort_values("min"))
+    prev_max = None
+    for _, row in stats.iterrows():
+        if prev_max is not None:
+            assert prev_max <= row["min"]
+        prev_max = row["max"]
+    for _, grp in pdf.groupby("f"):
+        assert grp["path"].is_monotonic_increasing
+
+
+def test_string_prefix_key_order_preserving(spark):
+    from fastfilter_spark.spark import string_prefix_key
+    vals = ["", "a", "aa", "ab", "abcdefgh", "abcdefzz", "b",
+            "zzzzzzz", "éclair", "中文"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    rows = df.select("s", string_prefix_key("s").alias("k")).collect()
+    by_string = sorted(rows, key=lambda r: r.s.encode("utf-8"))
+    keys_in_string_order = [r.k for r in by_string]
+    assert keys_in_string_order == sorted(keys_in_string_order)
+    assert all(0 <= r.k < 2 ** 48 for r in rows)
