@@ -795,6 +795,57 @@ def q_sorted_layout_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sorted_ok boolean")
 
 
+def q_zorder_layout_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zorder_write (spark/partitioning.py): Morton-interleaved
+    multi-column clustering. Exactness surface: row conservation is
+    exact; z_disjoint_ok / z_sorted_ok assert the range-cluster
+    property on the z-value; prune_ok asserts the MULTI-column claim —
+    a median point filter on EACH of the two clustering columns
+    overlaps a minority of files (a single-column sort cannot do this
+    for both dims at once)."""
+    import shutil as _sh
+    from fastfilter_spark.spark import zorder_key, zorder_write
+    base = "/tmp/ffsk_q_zorder_layout"   # fixed path, rebuilt per run
+    _sh.rmtree(base, ignore_errors=True)
+    docs = _docs(spark, sf_dir)
+    src = docs.select("doc_id",
+                      F.col("n_chars").cast("double").alias("v"),
+                      (F.xxhash64("text") % 100_000).alias("h"))
+    layout = zorder_write(src, ["v", "h"], base, num_partitions=16,
+                          bits=4)
+    back = spark.read.parquet(base)
+    # reconstruct the z-value from the persisted columns + layout to
+    # audit file-level clustering (zorder_write drops the helper col)
+    from fastfilter_spark.spark import range_bucket
+    z = zorder_key([range_bucket("v", layout["bounds"]["v"]),
+                    range_bucket("h", layout["bounds"]["h"])],
+                   layout["bits"])
+    per_file = (back.withColumn("z", z)
+                .groupBy(F.input_file_name().alias("f"))
+                .agg(F.min("z").alias("lo"), F.max("z").alias("hi"))
+                .orderBy("lo").collect())
+    z_disjoint = all(a.hi <= b.lo for a, b in zip(per_file, per_file[1:]))
+    pdf = (back.withColumn("z", z)
+           .select(F.input_file_name().alias("f"), "z").toPandas())
+    z_sorted = all(grp["z"].is_monotonic_increasing
+                   for _, grp in pdf.groupby("f"))
+
+    def _overlap(col, point):
+        st = (back.groupBy(F.input_file_name().alias("f"))
+              .agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
+              .collect())
+        return sum(1 for r in st if r.lo <= point <= r.hi) / len(st)
+
+    med_v = src.approxQuantile("v", [0.5], 0.01)[0]
+    med_h = src.approxQuantile("h", [0.5], 0.01)[0]
+    prune = _overlap("v", med_v) <= 0.7 and _overlap("h", med_h) <= 0.7
+    agg = back.agg(F.count("*").alias("n")).collect()[0]
+    return spark.createDataFrame(
+        [(int(agg.n), bool(z_disjoint), bool(z_sorted), bool(prune))],
+        "n long, z_disjoint_ok boolean, z_sorted_ok boolean, "
+        "prune_ok boolean")
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastfilter_spark.spark import cms_agg, cms_query
     from fastfilter_spark.pipeline import tokens
@@ -1651,6 +1702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "file_skipping_lookup": q_file_skipping_lookup,
         "sorted_layout_write": q_sorted_layout_write,
         "skipindex_incremental": q_skipindex_incremental,
+        "zorder_layout_write": q_zorder_layout_write,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "kll_quantiles": q_kll_quantiles,
         "tdigest_quantiles": q_tdigest_quantiles,
@@ -2024,6 +2076,9 @@ def oracle_sql() -> dict[str, str]:
             "CAST(MIN(n_chars) AS DOUBLE) AS lo, "
             "CAST(MAX(n_chars) AS DOUBLE) AS hi, "
             "TRUE AS disjoint_ok, TRUE AS sorted_ok FROM documents"),
+        "zorder_layout_write": (
+            "SELECT COUNT(*) AS n, TRUE AS z_disjoint_ok, "
+            "TRUE AS z_sorted_ok, TRUE AS prune_ok FROM documents"),
         "skipindex_incremental": (
             "SELECT d.doc_id, d.lang, TRUE AS incremental_ok "
             "FROM documents d WHERE d.text IN "

@@ -20,7 +20,8 @@ from .sketch_sidecar import (build_sketch_sidecar, read_sketch_sidecar,
 from .partitioning import (auto_salted_join, detect_hot_keys,
                            kll_partition_bounds, kll_range_repartition,
                            range_bucket, sorted_write,
-                           string_prefix_key)
+                           string_prefix_key, zorder_bounds, zorder_key,
+                           zorder_write)
 from .skipindex import (build_file_skipping_index, prune_files,
                         pruned_lookup, read_skipping_manifest, skip_stats,
                         update_file_skipping_index)
@@ -39,6 +40,7 @@ __all__ = [
     "build_sketch_sidecar", "read_sketch_sidecar", "sketch_sidecar_lineage",
     "kll_partition_bounds", "kll_range_repartition", "range_bucket",
     "sorted_write", "string_prefix_key",
+    "zorder_bounds", "zorder_key", "zorder_write",
     "detect_hot_keys", "auto_salted_join",
     "build_file_skipping_index", "prune_files", "pruned_lookup",
     "read_skipping_manifest", "skip_stats", "update_file_skipping_index",

@@ -223,6 +223,124 @@ def sorted_write(df: DataFrame, col: str, path: str,
 
 
 # ---------------------------------------------------------------------------
+# Z-order (Morton) multi-column clustering
+# ---------------------------------------------------------------------------
+
+_Z = "__ffsk_z"
+
+
+def zorder_bounds(df: DataFrame, cols: Sequence[str], bits: int = 8,
+                  k: int = 200) -> dict:
+    """Per-column equi-depth bucket bounds at resolution ``2**bits``,
+    for ALL columns in ONE input pass: the order expressions are
+    stacked via ``posexplode`` into (cid, value) rows and aggregated
+    with the grouped mergeable KLL — one scan and a KB-sized blob
+    shuffle whatever the column count, where per-column passes would
+    re-scan the input C times (the cost that matters at 100 TB).
+    Columns whose quantiles collapse (heavy values) get fewer bounds;
+    all-NULL columns get none (their bucket is constant 0). String
+    columns bucket on :func:`string_prefix_key`."""
+    from .sketch_agg import kll_agg
+    from ..sketches import KLLSketch
+    if not cols:
+        raise ValueError("zorder_bounds needs at least one column")
+    R = 1 << bits
+    exprs = [_order_expr(df, c)[0].cast("double") for c in cols]
+    stacked = df.select(F.posexplode(F.array(*exprs))
+                        .alias("__ffsk_cid", "__ffsk_ord"))
+    rows = kll_agg(stacked, ["__ffsk_cid"], "__ffsk_ord", k=k).collect()
+    sk_by_cid = {int(r["__ffsk_cid"]): KLLSketch.from_bytes(bytes(r.sketch))
+                 for r in rows}
+    out: dict = {}
+    for i, c in enumerate(cols):
+        sk = sk_by_cid.get(i)
+        bounds: List[float] = []
+        if sk is not None:
+            for j in range(1, R):
+                q = float(sk.quantile(j / R))
+                if np.isnan(q):
+                    continue
+                if not bounds or q > bounds[-1]:
+                    bounds.append(q)
+        out[c] = bounds
+    return out
+
+
+def zorder_key(bucket_cols: Sequence[Column], bits: int) -> Column:
+    """Morton interleave of per-column bucket ids (each < 2**bits)
+    into one long: bit i of column c lands at position i·C + c. Pure
+    Catalyst arithmetic (shiftright / bitwiseAND / multiply-add), so
+    the whole interleave runs inside WholeStageCodegen — no UDF, no
+    Python. bits·C is capped at 48 so the z-value is exactly
+    representable as a double (the KLL value type downstream)."""
+    C = len(bucket_cols)
+    if C < 1:
+        raise ValueError("zorder_key needs at least one bucket column")
+    if bits * C > 48:
+        raise ValueError(
+            f"bits*len(cols) = {bits * C} > 48: the z-value must stay "
+            "double-exact for KLL range bounds — lower bits or cols")
+    terms = []
+    for ci, b in enumerate(bucket_cols):
+        b = b.cast("long")
+        for i in range(bits):
+            terms.append(F.shiftright(b, i).bitwiseAND(F.lit(1))
+                         * F.lit(1 << (i * C + ci)))
+    z = terms[0]
+    for t in terms[1:]:
+        z = z + t
+    return z
+
+
+def zorder_write(df: DataFrame, cols: Sequence[str], path: str,
+                 num_partitions: int, bits: int = 8, k: int = 200,
+                 layout: Optional[dict] = None,
+                 mode: str = "overwrite") -> dict:
+    """Write ``df`` as a Z-order-clustered parquet layout on ``cols``:
+    rows are ordered by the Morton interleave of per-column equi-depth
+    bucket ids, so each file covers a small HYPER-RECTANGLE of the
+    multi-column space — per-file min/max stays tight on EVERY
+    clustering column, and a filter on any one of them prunes ~
+    P^(1-1/C) of the files (a single-column sort only ever prunes on
+    its one column). This is the multi-dimensional generalisation of
+    :func:`sorted_write`, with the same no-sampling-job discipline:
+
+    * pass 1 — per-column bounds, all columns in ONE scan
+      (:func:`zorder_bounds`);
+    * pass 2 — z-value range bounds (mergeable KLL, KB shuffle);
+    * pass 3 — the carrier hash repartition + partition-local sort +
+      write (ONE exchange; no RangePartitioning anywhere).
+
+    Pass the returned ``layout`` dict to later writes of the same
+    table family: both sketch passes are skipped (single-scan append)
+    and the file ranges line up byte-stably across writes. NULLs
+    bucket to 0 on their column (SQL NULLS FIRST per dimension)."""
+    cols = list(cols)
+    if layout is not None:
+        cb, z_bounds, bits = (layout["bounds"], layout["z_bounds"],
+                              layout["bits"])
+        if sorted(cb) != sorted(cols):
+            raise ValueError(
+                f"layout was built for columns {sorted(cb)}, "
+                f"not {sorted(cols)}")
+    else:
+        zorder_key([F.lit(0)] * len(cols), bits)   # validate bits*C early
+        cb = zorder_bounds(df, cols, bits=bits, k=k)
+        z_bounds = None
+    bucket_exprs = [range_bucket(_order_expr(df, c)[0], cb[c])
+                    if cb[c] else F.lit(0) for c in cols]
+    withz = df.withColumn(_Z, zorder_key(bucket_exprs, bits))
+    if z_bounds is None:
+        z_bounds = kll_partition_bounds(
+            withz.select(F.col(_Z).cast("double").alias(_Z)), _Z,
+            num_partitions, k=k)
+    out = kll_range_repartition(withz, _Z, len(z_bounds) + 1,
+                                bounds=list(z_bounds), sort_within=True)
+    out.drop(_Z).write.mode(mode).parquet(path)
+    return {"bounds": cb, "z_bounds": list(z_bounds), "bits": bits}
+
+
+# ---------------------------------------------------------------------------
 # Misra-Gries-driven skew join
 # ---------------------------------------------------------------------------
 

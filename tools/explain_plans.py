@@ -381,6 +381,33 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
                    and bool(re.search(r"Arguments: \[v#\d+ ASC NULLS "
                                       r"FIRST\], false", p20))))
 
+    # 21. z-order layout shape: the Morton interleave must be plain
+    # Catalyst arithmetic (shiftright inside a Project, no UDF), the
+    # write plan one hash Exchange with a partition-local Sort, and no
+    # RangePartitioning (= no sampling job) anywhere — same discipline
+    # as sorted_write, now over the multi-column z-value.
+    from fastfilter_spark.spark import (kll_range_repartition as _krr,
+                                        range_bucket as _rb,
+                                        zorder_bounds, zorder_key)
+    zsrc = docs.select(F.length("text").cast("double").alias("v"),
+                       (F.xxhash64("text") % 1000).alias("h"))
+    zcb = zorder_bounds(zsrc, ["v", "h"], bits=4)
+    zdf = zsrc.withColumn("__z", zorder_key(
+        [_rb("v", zcb["v"]), _rb("h", zcb["h"])], 4))
+    zb = [float(x) for x in range(0, 256, 32)][1:]
+    p21 = plan_of(_krr(zdf, "__z", len(zb) + 1, bounds=zb,
+                       sort_within=True).drop("__z"))
+    checks.append(("z-order write shape: Morton interleave is plain "
+                   "Catalyst (shiftright, no UDF), local Sort over ONE "
+                   "hash Exchange, no RangePartitioning",
+                   "shiftright" in p21
+                   and "pythonUDF" not in p21.lower()
+                   and "rangepartitioning" not in p21.lower()
+                   and len(re.findall(r"\(\d+\) Exchange", p21)) == 1
+                   and bool(re.search(
+                       r"Arguments: \[__z#\d+L? ASC NULLS FIRST\], false",
+                       p21))))
+
     print(p2)
     print(p3[:3000])
     ok = True
