@@ -192,6 +192,36 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup statistics: per doc, how many of its 8-gram
+    occurrences repeat a gram seen earlier (corpus-wide first copy
+    excluded) and the interval-union token coverage of those spans.
+    All-integer pipeline; dup_frac is a ratio of exact ints rounded
+    identically on both engines."""
+    from fastfilter_spark.pipeline import dup_span_stats
+    docs = _docs(spark, sf_dir)
+    out = dup_span_stats(docs, "text", "doc_id", g=8)
+    return (out.select(F.col("id").alias("doc_id"),
+                       F.col("n_tokens").cast("long").alias("n_tokens"),
+                       "n_dup_grams", "dup_tokens",
+                       F.round("dup_frac", 6).alias("dup_frac"))
+            .orderBy("doc_id"))
+
+
+def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup REWRITE: each doc with its duplicated 8-gram
+    spans removed (first occurrence kept corpus-wide). The oracle
+    re-derives the kept-token set with a NOT EXISTS anti-join against
+    the duplicated intervals — full string parity on clean_text."""
+    from fastfilter_spark.pipeline import remove_dup_spans
+    docs = _docs(spark, sf_dir)
+    out = remove_dup_spans(docs, "text", "doc_id", g=8)
+    return (out.select(F.col("id").alias("doc_id"), "clean_text",
+                       F.col("n_tokens").cast("long").alias("n_tokens"),
+                       "dup_tokens")
+            .orderBy("doc_id"))
+
+
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub with exact cross-engine parity: deterministic PII is
     planted per doc_id (email / phone / IPv4 suffixes), redact_pii
@@ -1745,6 +1775,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "pii_redaction": q_pii_redaction,
         "repetition_stats": q_repetition_stats,
+        "dup_span_stats": q_dup_span_stats,
+        "remove_dup_spans": q_remove_dup_spans,
         "decontamination": q_decontamination,
         "streaming_dedup": q_streaming_dedup,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -1944,6 +1976,62 @@ def oracle_sql() -> dict[str, str]:
             "AS dup_word_frac, "
             "ROUND(COALESCE(bs.tbf, 0.0), 6) AS top_bigram_frac "
             "FROM base LEFT JOIN bs USING (doc_id) ORDER BY doc_id"),
+        "dup_span_stats": (
+            # grams by TEXT (Spark groups by xxhash64 of the same text;
+            # identical absent a 64-bit collision); running-max window
+            # = the same interval-union fold as the Spark aggregate
+            f"WITH nz AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents "
+            f"WHERE len({_TOKENS_SQL}) > 0), "
+            "g1 AS (SELECT doc_id, len(t) AS n, t, "
+            "unnest(range(1, greatest(len(t) - 7, 1) + 1)) AS pos FROM nz), "
+            "gr AS (SELECT doc_id, n, pos, "
+            "array_to_string(list_slice(t, pos, pos + 7), ' ') AS gram "
+            "FROM g1), "
+            "occ AS (SELECT doc_id, n, pos, least(pos + 7, n) AS e, "
+            "COUNT(*) OVER (PARTITION BY gram) AS c, "
+            "ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) "
+            "AS rn FROM gr), "
+            "dup AS (SELECT doc_id, pos, e FROM occ "
+            "WHERE c >= 2 AND rn > 1), "
+            "w AS (SELECT doc_id, pos, e, MAX(e) OVER "
+            "(PARTITION BY doc_id ORDER BY pos "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax "
+            "FROM dup), "
+            "agg AS (SELECT doc_id, COUNT(*) AS ndg, "
+            "SUM(greatest(e - greatest(pos, COALESCE(pmax, 0) + 1) + 1, 0)) "
+            "AS cov FROM w GROUP BY doc_id) "
+            "SELECT nz.doc_id, CAST(len(t) AS BIGINT) AS n_tokens, "
+            "CAST(COALESCE(agg.ndg, 0) AS BIGINT) AS n_dup_grams, "
+            "CAST(COALESCE(agg.cov, 0) AS BIGINT) AS dup_tokens, "
+            "ROUND(CAST(COALESCE(agg.cov, 0) AS DOUBLE) / len(t), 6) "
+            "AS dup_frac "
+            "FROM nz LEFT JOIN agg USING (doc_id) ORDER BY doc_id"),
+        "remove_dup_spans": (
+            f"WITH nz AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents "
+            f"WHERE len({_TOKENS_SQL}) > 0), "
+            "g1 AS (SELECT doc_id, len(t) AS n, t, "
+            "unnest(range(1, greatest(len(t) - 7, 1) + 1)) AS pos FROM nz), "
+            "gr AS (SELECT doc_id, n, pos, "
+            "array_to_string(list_slice(t, pos, pos + 7), ' ') AS gram "
+            "FROM g1), "
+            "occ AS (SELECT doc_id, n, pos, least(pos + 7, n) AS e, "
+            "COUNT(*) OVER (PARTITION BY gram) AS c, "
+            "ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) "
+            "AS rn FROM gr), "
+            "dup AS (SELECT doc_id, pos, e FROM occ "
+            "WHERE c >= 2 AND rn > 1), "
+            "tp AS (SELECT doc_id, unnest(t) AS tok, "
+            "unnest(range(1, len(t) + 1)) AS pos FROM nz), "
+            "kept AS (SELECT tp.doc_id, tp.pos, tp.tok FROM tp "
+            "WHERE NOT EXISTS (SELECT 1 FROM dup d "
+            "WHERE d.doc_id = tp.doc_id "
+            "AND tp.pos BETWEEN d.pos AND d.e)), "
+            "cl AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) "
+            "AS clean_text, COUNT(*) AS nk FROM kept GROUP BY doc_id) "
+            "SELECT nz.doc_id, COALESCE(cl.clean_text, '') AS clean_text, "
+            "CAST(len(t) AS BIGINT) AS n_tokens, "
+            "CAST(len(t) - COALESCE(cl.nk, 0) AS BIGINT) AS dup_tokens "
+            "FROM nz LEFT JOIN cl USING (doc_id) ORDER BY doc_id"),
         "dedup_clusters": (
             # edges = the ngram_jaccard_pairs result (same cap/threshold),
             # closure = recursive reachability, component = min reach id

@@ -6,9 +6,10 @@ from .ann import (
 from .decontam import contamination_flags
 from .graph import connected_components
 from .dedup import (
-    exact_dedup, distinct_by_content, jaccard_verify, lsh_bucket_stats,
-    minhash_dedup, minhash_lsh_candidates, minhash_signatures,
-    ngram_jaccard_pairs, simhash, simhash128, simhash_candidates,
+    dup_span_stats, exact_dedup, distinct_by_content, jaccard_verify,
+    lsh_bucket_stats, minhash_dedup, minhash_lsh_candidates,
+    minhash_signatures, ngram_jaccard_pairs, remove_dup_spans, simhash,
+    simhash128, simhash_candidates,
 )
 from .multimodal import (
     decode_avi, decode_bmp, decode_wav, encode_avi, encode_bmp, encode_wav,

@@ -383,3 +383,139 @@ def simhash_candidates(df: DataFrame, text_col: str, id_col: str,
              .dropDuplicates(["id_a", "id_b"])
              .where(F.col("hamming") <= max_hamming))
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# span-level dedup — repeated g-gram spans, first occurrence kept
+# ---------------------------------------------------------------------------
+
+def _positioned_grams(df: DataFrame, text_col: str, id_col: str,
+                      g: int):
+    """-> (base, grams): base = (id, n_tokens, t array) for docs with
+    ≥1 token; grams = (id, n_tokens, pos, h) with 1-based token
+    position and xxhash64 of each g-token gram (short docs yield one
+    truncated gram — their whole text — so span dedup degrades to
+    exact dedup for them, never silence). The token array is a bound
+    attribute, not a re-evaluated expression, so the split runs once
+    per row (the shingles() let-binding lesson)."""
+    base = (df.select(F.col(id_col).alias("id"),
+                      tokens(text_col).alias("t"))
+            .withColumn("n_tokens", F.size("t"))
+            .where(F.col("n_tokens") > 0))
+    win = F.transform(
+        F.sequence(F.lit(1),
+                   F.greatest(F.col("n_tokens") - (g - 1), F.lit(1))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice("t", i, g))))
+    grams = (base.select("id", "n_tokens",
+                         F.posexplode(win).alias("j", "h"))
+             .select("id", "n_tokens", (F.col("j") + 1).alias("pos"),
+                     "h"))
+    return base, grams
+
+
+def _dup_occurrences(grams: DataFrame, min_count: int) -> DataFrame:
+    """Occurrences of globally-repeated grams MINUS each gram's first
+    occurrence (min (id, pos) corpus-wide — the copy that is kept).
+    One groupBy on the 8-byte gram hash computes count and argmin
+    together (map-side partial; an extra pass per statistic would
+    rescan the gram relation); the join back is many-to-one on h, so a
+    boilerplate gram repeated 10⁹ times inflates one probe partition,
+    not the build side — AQE skew-join splits it."""
+    info = (grams.groupBy("h")
+            .agg(F.count("*").alias("n_occ"),
+                 F.min(F.struct("id", "pos")).alias("first")))
+    return (grams.join(info.where(F.col("n_occ") >= min_count), "h")
+            .where(~((F.col("id") == F.col("first.id"))
+                     & (F.col("pos") == F.col("first.pos"))))
+            .drop("n_occ", "first"))
+
+
+def _span_end(g: int):
+    return F.least(F.col("pos") + (g - 1), F.col("n_tokens"))
+
+
+def dup_span_stats(df: DataFrame, text_col: str, id_col: str,
+                   g: int = 8, min_count: int = 2) -> DataFrame:
+    """Per-document repeated-span statistics (the span-level third
+    granularity next to exact and near-dup DOCUMENT dedup): a span is
+    a g-token gram whose text occurs ≥ min_count times corpus-wide;
+    the globally-first occurrence (min (id, pos)) is not counted — it
+    is the copy a remover keeps, so a corpus of n identical docs
+    scores n−1 fully-duplicated docs, not n [Lee et al., ACL 2022,
+    "Deduplicating Training Data Makes Language Models Better" —
+    substring dedup semantics, g-gram approximation].
+
+    Returns (id, n_tokens, n_dup_grams, dup_tokens, dup_frac) for
+    every doc with ≥1 token: dup_tokens is the INTERVAL-UNION size of
+    the duplicated spans (overlapping grams don't double-count),
+    computed by a sorted fold inside Catalyst — per-doc state is one
+    (covered, prev_end) pair, no extra shuffle beyond the per-doc
+    collect. dup_frac = dup_tokens/n_tokens is a ratio of exact ints
+    (cross-engine bit-identical).
+
+    Scale shape: one groupBy on the 8-byte gram hash, one join back,
+    one per-doc agg — positions travel as ints; nothing is collected
+    driver-side."""
+    base, grams = _positioned_grams(df, text_col, id_col, g)
+    dup = _dup_occurrences(grams, min_count)
+    acc0 = F.struct(F.lit(0).alias("cov"), F.lit(0).alias("prev"))
+    fold = F.aggregate(
+        "ps", acc0,
+        lambda a, p: F.struct(
+            (a["cov"] + F.greatest(
+                F.least(p + (g - 1), F.col("n_tokens"))
+                - F.greatest(p, a["prev"] + 1) + 1,
+                F.lit(0))).alias("cov"),
+            F.greatest(a["prev"],
+                       F.least(p + (g - 1), F.col("n_tokens")))
+            .alias("prev")))
+    per_doc = (dup.groupBy("id", "n_tokens")
+               .agg(F.count("*").alias("n_dup_grams"),
+                    F.array_sort(F.collect_list("pos")).alias("ps"))
+               .select("id", "n_dup_grams",
+                       fold["cov"].alias("dup_tokens")))
+    return (base.select("id", "n_tokens")
+            .join(per_doc, "id", "left")
+            .select("id", "n_tokens",
+                    F.coalesce("n_dup_grams", F.lit(0))
+                    .cast("long").alias("n_dup_grams"),
+                    F.coalesce("dup_tokens", F.lit(0))
+                    .cast("long").alias("dup_tokens"))
+            .withColumn("dup_frac",
+                        F.col("dup_tokens") / F.col("n_tokens")))
+
+
+def remove_dup_spans(df: DataFrame, text_col: str, id_col: str,
+                     g: int = 8, min_count: int = 2) -> DataFrame:
+    """Rewrite each document with its duplicated spans REMOVED (the
+    trim counterpart of :func:`dup_span_stats`, same span definition,
+    same first-occurrence-kept rule — re-running on its own output is
+    a fixpoint for fully-duplicated docs). Returns
+    (id, clean_text, n_tokens, dup_tokens): clean_text is the
+    surviving tokens joined by single spaces (whitespace is
+    normalized — the tokenizer already collapses runs), so
+    len(split(clean_text)) == n_tokens - dup_tokens by construction.
+
+    The rewrite is pure Catalyst: per doc the duplicated intervals
+    arrive as an array of (pos, end) structs and each token position
+    is kept iff no interval covers it — O(n_tokens · n_intervals) per
+    row, no Python, no second text scan."""
+    base, grams = _positioned_grams(df, text_col, id_col, g)
+    dup = _dup_occurrences(grams, min_count)
+    ivs = (dup.select("id", F.struct(
+                F.col("pos"), _span_end(g).alias("end")).alias("iv"))
+           .groupBy("id").agg(F.collect_list("iv").alias("ivs")))
+    joined = base.join(ivs, "id", "left").withColumn(
+        "ivs", F.coalesce("ivs", F.array().cast(
+            "array<struct<pos:int,end:int>>")))
+    kept = F.filter(
+        F.sequence(F.lit(1), F.col("n_tokens")),
+        lambda p: ~F.exists(
+            "ivs", lambda iv: (p >= iv["pos"]) & (p <= iv["end"])))
+    return (joined.select(
+        "id",
+        F.concat_ws(" ", F.transform(
+            kept, lambda p: F.element_at("t", p))).alias("clean_text"),
+        "n_tokens",
+        (F.col("n_tokens") - F.size(kept)).cast("long")
+        .alias("dup_tokens")))

@@ -408,6 +408,19 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
                        r"Arguments: \[__z#\d+L? ASC NULLS FIRST\], false",
                        p21))))
 
+    # 22. span-level dedup shape: the repeated-gram detection is one
+    # hash join on the 8-byte xxhash64 gram key — all-Catalyst (no
+    # Python UDF) and never a nested-loop/cartesian join, so the gram
+    # relation shuffles exactly once per side at any corpus size.
+    from fastfilter_spark.pipeline import dup_span_stats
+    p22 = plan_of(dup_span_stats(docs, "text", "doc_id", g=8))
+    checks.append(("span dedup: gram join is hash-keyed (xxhash64), "
+                   "no cartesian/nested-loop, no Python UDF",
+                   "xxhash64" in p22
+                   and "CartesianProduct" not in p22
+                   and "BroadcastNestedLoopJoin" not in p22
+                   and "pythonUDF" not in p22.lower()))
+
     print(p2)
     print(p3[:3000])
     ok = True
