@@ -195,6 +195,13 @@ def main() -> None:
         docs, "text", "doc_id", threshold=0.5, num_hashes=32, bands=8,
         shingle_k=3).count())
 
+    # span-level dedup (repeated 8-gram spans, interval-union coverage):
+    # agg(sum) forces the full gram groupBy + join + per-doc fold, not
+    # just the row count of the outer left join
+    from fastfilter_spark.pipeline import dup_span_stats
+    timed("span_dedup_docs", lambda: dup_span_stats(
+        docs, "text", "doc_id", g=8).agg(F.sum("dup_tokens")).collect())
+
     # ANN serve shape (VERDICT r3 called the ANN family perf-weak; the
     # partial top-k reduction is now regression-gated here): 100 queries
     # vs a 200k×64 synthetic corpus — brute-force baseline + IVF

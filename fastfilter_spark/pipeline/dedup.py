@@ -434,6 +434,33 @@ def _span_end(g: int):
     return F.least(F.col("pos") + (g - 1), F.col("n_tokens"))
 
 
+def _merged_spans(dup: DataFrame, g: int) -> DataFrame:
+    """Merge overlapping/adjacent duplicated g-gram intervals per doc
+    into disjoint islands: (id, n_tokens, start, end, n_grams) via
+    gaps-and-islands over ONE id-keyed window (the id exchange the
+    per-doc agg needs anyway; the two groupBys after it are
+    exchange-free because hash-partitioning on id satisfies their
+    clustering). This bounds all downstream per-doc work by the number
+    of DISJOINT duplicated regions: a fully-duplicated 50k-token doc
+    is ONE island, not 50k intervals — without the merge,
+    remove_dup_spans' per-token coverage check is O(n_tokens ·
+    n_occurrences) = 2.5e9 lambda evals for that single row."""
+    prev_end = F.max("end").over(
+        Window.partitionBy("id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1))
+    run = (dup.select("id", "n_tokens", "pos", _span_end(g).alias("end"))
+           .withColumn("new_isl",
+                       (F.col("pos")
+                        > F.coalesce(prev_end + 1, F.lit(0))).cast("int"))
+           .withColumn("isl", F.sum("new_isl").over(
+               Window.partitionBy("id").orderBy("pos")
+               .rowsBetween(Window.unboundedPreceding, 0))))
+    return (run.groupBy("id", "n_tokens", "isl")
+            .agg(F.min("pos").alias("start"), F.max("end").alias("end"),
+                 F.count("*").alias("n_grams"))
+            .drop("isl"))
+
+
 def dup_span_stats(df: DataFrame, text_col: str, id_col: str,
                    g: int = 8, min_count: int = 2) -> DataFrame:
     """Per-document repeated-span statistics (the span-level third
@@ -447,33 +474,25 @@ def dup_span_stats(df: DataFrame, text_col: str, id_col: str,
 
     Returns (id, n_tokens, n_dup_grams, dup_tokens, dup_frac) for
     every doc with ≥1 token: dup_tokens is the INTERVAL-UNION size of
-    the duplicated spans (overlapping grams don't double-count),
-    computed by a sorted fold inside Catalyst — per-doc state is one
-    (covered, prev_end) pair, no extra shuffle beyond the per-doc
-    collect. dup_frac = dup_tokens/n_tokens is a ratio of exact ints
-    (cross-engine bit-identical).
+    the duplicated spans (overlapping grams don't double-count) —
+    the occurrences are merged into disjoint islands first
+    (:func:`_merged_spans`), so the union is a plain SUM of island
+    sizes and no per-doc position array is ever materialized (a
+    fully-duplicated mega-doc would otherwise collect its whole
+    position list into one aggregation buffer). dup_frac =
+    dup_tokens/n_tokens is a ratio of exact ints (cross-engine
+    bit-identical).
 
     Scale shape: one groupBy on the 8-byte gram hash, one join back,
-    one per-doc agg — positions travel as ints; nothing is collected
-    driver-side."""
+    one id-keyed window + exchange-free aggs — positions travel as
+    ints; nothing is collected driver-side."""
     base, grams = _positioned_grams(df, text_col, id_col, g)
     dup = _dup_occurrences(grams, min_count)
-    acc0 = F.struct(F.lit(0).alias("cov"), F.lit(0).alias("prev"))
-    fold = F.aggregate(
-        "ps", acc0,
-        lambda a, p: F.struct(
-            (a["cov"] + F.greatest(
-                F.least(p + (g - 1), F.col("n_tokens"))
-                - F.greatest(p, a["prev"] + 1) + 1,
-                F.lit(0))).alias("cov"),
-            F.greatest(a["prev"],
-                       F.least(p + (g - 1), F.col("n_tokens")))
-            .alias("prev")))
-    per_doc = (dup.groupBy("id", "n_tokens")
-               .agg(F.count("*").alias("n_dup_grams"),
-                    F.array_sort(F.collect_list("pos")).alias("ps"))
-               .select("id", "n_dup_grams",
-                       fold["cov"].alias("dup_tokens")))
+    per_doc = (_merged_spans(dup, g)
+               .groupBy("id")
+               .agg(F.sum("n_grams").alias("n_dup_grams"),
+                    F.sum(F.col("end") - F.col("start") + 1)
+                    .alias("dup_tokens")))
     return (base.select("id", "n_tokens")
             .join(per_doc, "id", "left")
             .select("id", "n_tokens",
@@ -497,13 +516,16 @@ def remove_dup_spans(df: DataFrame, text_col: str, id_col: str,
     len(split(clean_text)) == n_tokens - dup_tokens by construction.
 
     The rewrite is pure Catalyst: per doc the duplicated intervals
-    arrive as an array of (pos, end) structs and each token position
-    is kept iff no interval covers it — O(n_tokens · n_intervals) per
-    row, no Python, no second text scan."""
+    arrive MERGED into disjoint islands (:func:`_merged_spans`) as an
+    array of (pos, end) structs and each token position is kept iff
+    no island covers it — O(n_tokens · n_islands) per row with
+    n_islands bounded by the doc's disjoint duplicated regions (not
+    its occurrence count), no Python, no second text scan."""
     base, grams = _positioned_grams(df, text_col, id_col, g)
     dup = _dup_occurrences(grams, min_count)
-    ivs = (dup.select("id", F.struct(
-                F.col("pos"), _span_end(g).alias("end")).alias("iv"))
+    ivs = (_merged_spans(dup, g)
+           .select("id", F.struct(
+               F.col("start").alias("pos"), F.col("end")).alias("iv"))
            .groupBy("id").agg(F.collect_list("iv").alias("ivs")))
     joined = base.join(ivs, "id", "left").withColumn(
         "ivs", F.coalesce("ivs", F.array().cast(

@@ -129,6 +129,30 @@ def test_remove_invariant_random(spark):
         assert n_clean == r.n_tokens - r.dup_tokens
 
 
+def test_merged_islands_bound_per_doc_work(spark):
+    """A fully-duplicated doc collapses to ONE disjoint island (the
+    guarantee that keeps remove_dup_spans O(n_tokens·n_islands), not
+    O(n_tokens·n_occurrences)); two separated copied regions stay two."""
+    from fastfilter_spark.pipeline.dedup import (_dup_occurrences,
+                                                 _merged_spans,
+                                                 _positioned_grams)
+    words = [f"a{i}" for i in range(200)]
+    full = " ".join(words)
+    # doc 3: two disjoint copied regions (tokens 0..49 and 150..199 of
+    # doc 1) separated by 100 unique tokens
+    split = " ".join(words[:50] + [f"u{i}" for i in range(100)]
+                     + words[150:])
+    df = spark.createDataFrame(
+        [(1, full), (2, full), (3, split)], "doc_id long, text string")
+    _, grams = _positioned_grams(df, "text", "doc_id", 8)
+    merged = _merged_spans(_dup_occurrences(grams, 2), 8)
+    per_doc = {r.id: r.n for r in
+               merged.groupBy("id").agg(F.count("*").alias("n")).collect()}
+    assert per_doc[2] == 1          # 193 occurrences -> 1 island
+    assert per_doc[3] == 2          # two separated regions
+    assert 1 not in per_doc         # first copy of everything
+
+
 def test_empty_and_whitespace_docs_excluded(spark):
     df = spark.createDataFrame(
         [(1, ""), (2, "   "), (3, "real text here okay")],
