@@ -534,10 +534,17 @@ def remove_dup_spans(df: DataFrame, text_col: str, id_col: str,
         F.sequence(F.lit(1), F.col("n_tokens")),
         lambda p: ~F.exists(
             "ivs", lambda iv: (p >= iv["pos"]) & (p <= iv["end"])))
+    # dup_tokens from the DISJOINT clipped islands directly (O(islands))
+    # rather than n_tokens - size(kept): codegen skips subexpression
+    # elimination for lambda-bearing expressions (SPARK-35410), so a
+    # second reference to `kept` would re-run the whole per-token
+    # coverage scan — the dominant cost — once more per row.
+    dup_toks = F.aggregate(
+        "ivs", F.lit(0),
+        lambda a, iv: a + (iv["end"] - iv["pos"] + 1))
     return (joined.select(
         "id",
         F.concat_ws(" ", F.transform(
             kept, lambda p: F.element_at("t", p))).alias("clean_text"),
         "n_tokens",
-        (F.col("n_tokens") - F.size(kept)).cast("long")
-        .alias("dup_tokens")))
+        dup_toks.cast("long").alias("dup_tokens")))

@@ -319,16 +319,19 @@ def zorder_write(df: DataFrame, cols: Sequence[str], path: str,
     if layout is not None:
         cb, z_bounds, bits = (layout["bounds"], layout["z_bounds"],
                               layout["bits"])
-        if sorted(cb) != sorted(cols):
+        # ORDER-sensitive: the Morton interleave assigns bit positions
+        # by column order, so a permuted list z-orders differently and
+        # the reused z_bounds would silently mis-partition the append
+        if list(cb) != cols:
             raise ValueError(
-                f"layout was built for columns {sorted(cb)}, "
-                f"not {sorted(cols)}")
+                f"layout was built for columns {list(cb)} (in that "
+                f"order), not {cols}")
     else:
         zorder_key([F.lit(0)] * len(cols), bits)   # validate bits*C early
         cb = zorder_bounds(df, cols, bits=bits, k=k)
         z_bounds = None
     bucket_exprs = [range_bucket(_order_expr(df, c)[0], cb[c])
-                    if cb[c] else F.lit(0) for c in cols]
+                    for c in cols]
     withz = df.withColumn(_Z, zorder_key(bucket_exprs, bits))
     if z_bounds is None:
         z_bounds = kll_partition_bounds(

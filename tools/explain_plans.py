@@ -341,7 +341,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
                    "tree is a plain Project (codegen-eligible, no UDF)",
                    len(re.findall(r"\(\d+\) Exchange", p18)) == 1
                    and "CASE WHEN" in p18
-                   and "pythonUDF" not in p18.lower()))
+                   and "pythonudf" not in p18.lower()))
 
     # 19. per-file skip index: the point lookup must (a) list ONLY the
     # index-matched files in its scan (file pruning is the operator),
@@ -401,7 +401,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
                    "Catalyst (shiftright, no UDF), local Sort over ONE "
                    "hash Exchange, no RangePartitioning",
                    "shiftright" in p21
-                   and "pythonUDF" not in p21.lower()
+                   and "pythonudf" not in p21.lower()
                    and "rangepartitioning" not in p21.lower()
                    and len(re.findall(r"\(\d+\) Exchange", p21)) == 1
                    and bool(re.search(
@@ -419,7 +419,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
                    "xxhash64" in p22
                    and "CartesianProduct" not in p22
                    and "BroadcastNestedLoopJoin" not in p22
-                   and "pythonUDF" not in p22.lower()))
+                   and "pythonudf" not in p22.lower()))
 
     print(p2)
     print(p3[:3000])
