@@ -741,8 +741,14 @@ def q_file_skipping_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = [r.key for r in docs.where(F.col("doc_id").isin(probe_ids))
             .select(content_key("text").alias("key"))
             .where(F.col("key").isNotNull()).collect()]
-    st = skip_stats(spark, idx, keys)
-    out = pruned_lookup(spark, data, idx, keys, content_key("text"))
+    # ONE distributed prune shared by telemetry + lookup (stats-then-
+    # lookup is the natural pairing; re-pruning would scan every blob
+    # and re-broadcast the probe keys twice)
+    from fastfilter_spark.spark import prune_files
+    matched = prune_files(spark, idx, keys)
+    st = skip_stats(spark, idx, keys, matched=matched)
+    out = pruned_lookup(spark, data, idx, keys, content_key("text"),
+                        files=matched)
     return (out.select("doc_id", "lang")
             .withColumn("pruned_ok",
                         F.lit(bool(st["files_matched"] < st["files_total"])))

@@ -37,7 +37,13 @@ broadcasting them.
 
 Crash protocol (house style, same as the filter/sketch sidecars): the
 manifest is written LAST — readers refuse an index without one, so an
-interrupted build is never mistaken for a complete index.
+interrupted build is never mistaken for a complete index. Incremental
+updates never delete the manifest: new-file blobs APPEND to the live
+table (extra committed rows are correct filters for real files, and a
+re-run dedupes), and orphan removal writes a NEW generation directory
+that the manifest is atomically repointed to — a crash at any
+instruction leaves the previous complete index readable and the
+update resumable, never a forced full rebuild.
 """
 
 from __future__ import annotations
@@ -57,6 +63,19 @@ _INDEX_SCHEMA = (
 )
 _MANIFEST = "skipindex_manifest.json"
 _FILES = "files.parquet"
+
+
+def _files_path(index_path: str, manifest: dict) -> str:
+    """The index table's CURRENT generation dir (orphan-removal
+    rewrites repoint ``files_dir``; older manifests predate the field)."""
+    return os.path.join(index_path, manifest.get("files_dir", _FILES))
+
+
+def _key_repr(key_expr: Column) -> str:
+    """Stable fingerprint of the key expression, persisted in the
+    manifest so an update with a DIFFERENT key (whose blobs would
+    silently produce false negatives) is refused, not applied."""
+    return str(key_expr)
 
 
 def _as_u64(keys) -> np.ndarray:
@@ -102,23 +121,8 @@ def _write_file_blobs(spark, df, names, key_expr, kind: str,
               .where(F.col("key").isNotNull()))
 
     def _build(tbl):
-        import pyarrow as pa
-        fid = tbl.column("fid")[0].as_py()
-        name = bc.value[fid]   # KeyError = loud task failure, by design
-        raw = (tbl.column("key").to_numpy(zero_copy_only=False)
-               .view(np.uint64))
-        keys = np.unique(raw)
-        filt = workerside._BUILDERS[kind](
-            keys, workerside.group_rng_state(base_rng_state, name))
-        return pa.Table.from_arrays([
-            pa.array([name], pa.string()),
-            pa.array([kind], pa.string()),
-            pa.array([filt.to_bytes()], pa.binary()),
-            pa.array([int(keys.size)], pa.int64()),
-            pa.array([int(raw.size)], pa.int64()),
-            pa.array([float(filt.bits_per_entry())], pa.float64()),
-        ], names=["file", "kind", "blob", "n_keys", "keys_ingested",
-                  "bits_per_entry"])
+        return workerside.build_file_blob(tbl, kind, base_rng_state,
+                                          bc.value)
 
     (placed.groupBy("fid").applyInArrow(_build, _INDEX_SCHEMA)
      .write.mode(mode).parquet(files_path))
@@ -127,9 +131,16 @@ def _write_file_blobs(spark, df, names, key_expr, kind: str,
     # them an (empty-filter, n_keys=0) row anyway so every listed file
     # has exactly one index row (otherwise an incremental update would
     # see them as "missing" and rebuild them forever). The empty blob
-    # is deterministic (seed from the name) and ~140 B.
-    got = {r.file for r in spark.read.parquet(files_path)
-           .select("file").distinct().collect()} if names else set()
+    # is deterministic (seed from the name) and ~140 B. For a small
+    # write set (the daily-update shape) push the name filter into the
+    # scan so the check touches this write's rows, not the whole index
+    # table; a fresh build (names = everything) keeps the plain
+    # column-pruned distinct — a 100k-literal IN would bloat the plan.
+    chk = spark.read.parquet(files_path).select("file")
+    if 0 < len(names) <= 1024:
+        chk = chk.where(F.col("file").isin(names))
+    got = ({r.file for r in chk.distinct().collect()}
+           if names else set())
     missing = [n for n in names if n not in got]
     if missing:
         empty = np.empty(0, dtype=np.uint64)
@@ -180,15 +191,22 @@ def build_file_skipping_index(
     files_path = os.path.join(index_path, _FILES)
     # fresh build: drop the manifest FIRST so a crash mid-write can
     # never leave a complete-looking index over mixed-generation blobs
+    # (incremental updates never delete it; a full rebuild is the one
+    # operation that starts from nothing), then clear every generation
     if os.path.exists(manifest_path):
         os.remove(manifest_path)
-    shutil.rmtree(files_path, ignore_errors=True)
+    for d in os.listdir(index_path):
+        if d == _FILES or d.startswith(_FILES + ".g"):
+            shutil.rmtree(os.path.join(index_path, d),
+                          ignore_errors=True)
     _write_file_blobs(spark, df, df.inputFiles(), key_expr, kind,
                       base_rng_state, files_path, mode="overwrite")
 
     agg = _index_agg(spark, files_path)
     manifest = {"kind": kind, "base_rng_state": int(base_rng_state),
-                "data_path": data_path, "n_files": int(agg.files),
+                "data_path": data_path, "files_dir": _FILES,
+                "key_repr": _key_repr(key_expr),
+                "n_files": int(agg.files),
                 "n_keys": int(agg.keys or 0),
                 "blob_bytes": int(agg.blob_bytes or 0)}
     tmp = manifest_path + ".tmp"
@@ -208,17 +226,35 @@ def update_file_skipping_index(spark: SparkSession, data_path: str,
     a day's appended files re-index in minutes while a full rebuild
     re-reads the corpus.
 
-    Resumable by construction: the manifest is dropped first and
-    re-written last, and the set-difference against the rows already
-    in ``files.parquet`` makes a re-run after a crash skip whatever
-    committed — duplicate rows (same deterministic blob) are deduped
-    at read time, so a crashed append never corrupts the index.
+    Resumable by construction — the manifest is NEVER deleted, so a
+    crash at any instruction leaves a complete, readable index and the
+    next call picks up where the crash left off:
+
+    * new files APPEND to the live table. A crashed append commits
+      either nothing or correct blobs for real files (benign to
+      readers); the re-run's set-difference skips whatever committed,
+      and duplicate rows (same deterministic blob) dedupe at read.
+    * orphan removal writes a NEW generation directory and atomically
+      repoints the manifest's ``files_dir`` at it; a crash mid-write
+      leaves the old generation (with stale-but-harmless orphan rows —
+      the lookup path ignores missing files) as the live one.
+
     ``key`` must be the same expression the index was built with
-    (per-file blobs are a pure function of (file, key values))."""
+    (per-file blobs are a pure function of (file, key values)) — a
+    mismatched expression is refused via the manifest's ``key_repr``
+    fingerprint instead of silently poisoning new files' blobs."""
     manifest = read_skipping_manifest(index_path)
     kind = manifest["kind"]
     base_rng_state = int(manifest["base_rng_state"])
-    files_path = os.path.join(index_path, _FILES)
+    key_expr = F.col(key) if isinstance(key, str) else key
+    want = manifest.get("key_repr")
+    if want is not None and _key_repr(key_expr) != want:
+        raise ValueError(
+            f"update key {_key_repr(key_expr)!r} does not match the "
+            f"index's build key {want!r}: blobs built over a different "
+            "expression would silently produce false negatives — pass "
+            "the build's key or rebuild with build_file_skipping_index")
+    files_path = _files_path(index_path, manifest)
     manifest_path = os.path.join(index_path, _MANIFEST)
 
     current = set(spark.read.parquet(data_path).inputFiles())
@@ -228,29 +264,41 @@ def update_file_skipping_index(spark: SparkSession, data_path: str,
     if not new and not orphans:
         return manifest
 
-    os.remove(manifest_path)   # readers refuse until the update commits
+    files_dir = manifest.get("files_dir", _FILES)
+    if new:
+        _write_file_blobs(
+            spark,
+            spark.read.option("basePath", data_path)
+            .parquet(*sorted(new)),
+            new, key_expr, kind, base_rng_state, files_path,
+            mode="append")
     if orphans:
         # rewrite the (tiny, index-sized) table without orphan rows
-        keep = idx.where(~F.col("file").isin(sorted(orphans)))
-        tmp_dir = files_path + ".rewrite"
-        shutil.rmtree(tmp_dir, ignore_errors=True)
-        keep.write.mode("overwrite").parquet(tmp_dir)
-        shutil.rmtree(files_path)
-        os.rename(tmp_dir, files_path)
-    if new:
-        key_expr = F.col(key) if isinstance(key, str) else key
-        _write_file_blobs(spark, spark.read.parquet(*sorted(new)),
-                          new, key_expr, kind, base_rng_state,
-                          files_path, mode="append")
+        # into the NEXT generation dir; the manifest repoint below is
+        # the atomic commit, after which the old generation is garbage
+        keep = (spark.read.parquet(files_path)
+                .where(~F.col("file").isin(sorted(orphans))))
+        gen = int(files_dir.rsplit(".g", 1)[1]) + 1 \
+            if ".g" in files_dir else 1
+        new_dir = f"{_FILES}.g{gen}"
+        new_path = os.path.join(index_path, new_dir)
+        shutil.rmtree(new_path, ignore_errors=True)
+        keep.write.mode("overwrite").parquet(new_path)
+        old_path, files_path, files_dir = files_path, new_path, new_dir
+    else:
+        old_path = None
 
     agg = _index_agg(spark, files_path)
-    out = dict(manifest, n_files=int(agg.files),
-               n_keys=int(agg.keys or 0),
+    out = dict(manifest, files_dir=files_dir,
+               key_repr=manifest.get("key_repr", _key_repr(key_expr)),
+               n_files=int(agg.files), n_keys=int(agg.keys or 0),
                blob_bytes=int(agg.blob_bytes or 0))
     tmp = manifest_path + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(out, fh)
-    os.replace(tmp, manifest_path)
+    os.replace(tmp, manifest_path)   # atomic commit of the update
+    if old_path is not None:
+        shutil.rmtree(old_path, ignore_errors=True)
     return out
 
 
@@ -272,57 +320,80 @@ def prune_files(spark: SparkSession, index_path: str,
     Distributed over the index table; only matched names are collected."""
     from .. import workerside
 
-    manifest = read_skipping_manifest(index_path)  # refuse partial index
+    # loaded for its refuse-partial-index guard AND the current
+    # generation dir (orphan rewrites repoint files_dir)
+    manifest = read_skipping_manifest(index_path)
     ku = _as_u64(keys)
     if ku.size == 0:
         return []
-    sc = spark.sparkContext
-    bc = sc.broadcast(ku.tobytes())
+    bc = spark.sparkContext.broadcast(ku.tobytes())
 
     def _match(it):
-        import pyarrow as pa
-        probe = np.frombuffer(bc.value, dtype=np.uint64)
-        for tbl in it:
-            hits = []
-            blobs = tbl.column("blob").to_pylist()
-            names = tbl.column("file").to_pylist()
-            for name, blob in zip(names, blobs):
-                filt = workerside.load_filter(bytes(blob))
-                if bool(filt.contains(probe).any()):
-                    hits.append(name)
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(hits, pa.string())], names=["file"])
+        return workerside.match_skip_blobs(it, bc.value)
 
-    idx = spark.read.parquet(os.path.join(index_path, _FILES))
+    idx = spark.read.parquet(_files_path(index_path, manifest))
     matched = {r.file for r in
                idx.select("file", "blob").mapInArrow(
                    _match, "file string").collect()}
-    del manifest
     # set: duplicate index rows (crashed-append replay) dedupe here, so
     # a file is never scanned twice by pruned_lookup
     return sorted(matched)
 
 
 def pruned_lookup(spark: SparkSession, data_path: str, index_path: str,
-                  keys, key: Union[str, Column]) -> DataFrame:
+                  keys, key: Union[str, Column],
+                  files: Optional[List[str]] = None) -> DataFrame:
     """Exact point lookup: scan ONLY the index-matched files, then the
-    exact ``IN`` confirm — row-identical to the full scan (filters have
-    no false negatives; positives are eliminated by the confirm)."""
+    exact ``IN`` confirm — row-identical to the full scan of the
+    CURRENT corpus (filters have no false negatives; positives are
+    eliminated by the confirm). ``basePath`` keeps hive partition
+    columns resolvable on the per-file read, and missing files are
+    ignored: a matched file can have been deleted from the corpus
+    after indexing (the orphan window before the next incremental
+    update), and the full scan would not read it either. Pass
+    ``files`` (from :func:`prune_files`) to reuse an already-computed
+    match list — :func:`skip_stats` + lookup is the natural pairing
+    and should pay the distributed prune once."""
     key_expr = F.col(key) if isinstance(key, str) else key
     ku = _as_u64(keys)
     signed = [int(x) for x in ku.view(np.int64)]
-    files = prune_files(spark, index_path, ku)
+    if files is None:
+        files = prune_files(spark, index_path, ku)
+    files = _existing_files(spark, files)
     if not files:
         return (spark.read.parquet(data_path)
                 .where(F.lit(False)))   # schema-only, zero rows read
-    return (spark.read.parquet(*files)
+    return (spark.read.option("basePath", data_path).parquet(*files)
             .where(key_expr.cast("long").isin(signed)))
 
 
-def skip_stats(spark: SparkSession, index_path: str, keys) -> dict:
-    """Pruning telemetry: how much of the corpus a probe set touches."""
+def _existing_files(spark: SparkSession, files: List[str]) -> List[str]:
+    """Drop matched files that no longer exist (deleted from the
+    corpus after indexing — the orphan window before the next
+    incremental update closes it). Spark refuses an explicit missing
+    path at read resolution (PATH_NOT_FOUND; the ignoreMissingFiles
+    option only covers deletion AFTER the DataFrame is built), so the
+    check runs here via the Hadoop FileSystem API — portable across
+    file:/hdfs:/s3 URIs, one driver-side exists() per MATCHED file
+    (point-lookup match lists are small by definition)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    out = []
+    for f in files:
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        if p.getFileSystem(conf).exists(p):
+            out.append(f)
+    return out
+
+
+def skip_stats(spark: SparkSession, index_path: str, keys,
+               matched: Optional[List[str]] = None) -> dict:
+    """Pruning telemetry: how much of the corpus a probe set touches.
+    Pass ``matched`` (from :func:`prune_files`) to avoid re-running
+    the distributed prune when the caller also does the lookup."""
     manifest = read_skipping_manifest(index_path)
-    matched = prune_files(spark, index_path, keys)
+    if matched is None:
+        matched = prune_files(spark, index_path, keys)
     return {"files_total": manifest["n_files"],
             "files_matched": len(matched),
             "keys_indexed": manifest["n_keys"],

@@ -254,6 +254,43 @@ def build_group_arrow(tbl: "pa.Table", kind: str, base_rng_state: int,
     return pa.Table.from_batches([batch])
 
 
+def build_file_blob(tbl: "pa.Table", kind: str, base_rng_state: int,
+                    fid2name: Dict[int, str]) -> "pa.Table":
+    """groupBy(fid).applyInArrow body for the per-file skip index
+    (skipindex._INDEX_SCHEMA): one filter blob per FILE. Same
+    np.unique in-task dedupe as build_group_arrow; the RNG seed
+    derives from the file NAME, so blobs are independent of the
+    8-byte-fid grouping scheme that keeps the shuffle thin."""
+    fid = tbl.column("fid")[0].as_py()
+    name = fid2name[fid]   # KeyError = loud task failure, by design
+    raw = tbl.column("key").to_numpy(zero_copy_only=False).view(np.uint64)
+    keys = np.unique(raw)
+    filt = _BUILDERS[kind](keys, group_rng_state(base_rng_state, name))
+    return pa.Table.from_arrays([
+        pa.array([name], pa.string()),
+        pa.array([kind], pa.string()),
+        pa.array([filt.to_bytes()], pa.binary()),
+        pa.array([int(keys.size)], pa.int64()),
+        pa.array([int(raw.size)], pa.int64()),
+        pa.array([float(filt.bits_per_entry())], pa.float64()),
+    ], names=["file", "kind", "blob", "n_keys", "keys_ingested",
+              "bits_per_entry"])
+
+
+def match_skip_blobs(it, probe_bytes: bytes):
+    """mapInArrow body for skip-index pruning: yield the names of the
+    blobs matching ≥1 broadcast probe key (vectorized contains per
+    blob — ~1e9 probes/s-core at point-lookup sizes)."""
+    probe = np.frombuffer(probe_bytes, dtype=np.uint64)
+    for tbl in it:
+        hits = [name for name, blob
+                in zip(tbl.column("file").to_pylist(),
+                       tbl.column("blob").to_pylist())
+                if bool(load_filter(bytes(blob)).contains(probe).any())]
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(hits, pa.string())], names=["file"])
+
+
 def contains_grouped_kernel(bc_value, key: pd.Series,
                             gkey: pd.Series) -> pd.Series:
     """Vectorized per-group membership: factorize the batch's group

@@ -199,3 +199,104 @@ def test_all_null_key_files_indexed_empty(spark, tmp_path):
     # noop update: nothing to rebuild
     assert update_file_skipping_index(spark, data, idx, key="id") == m
     assert prune_files(spark, idx, [1, 2, 3]) == []
+
+
+def test_update_rejects_mismatched_key(spark, tmp_path):
+    """A mismatched key expression must be refused via the manifest's
+    key_repr fingerprint — blobs built over a different column would
+    silently produce false negatives."""
+    from fastfilter_spark.spark import update_file_skipping_index
+    data = str(tmp_path / "data")
+    (spark.range(1000).withColumn("other", F.col("id") + 1)
+     .repartitionByRange(2, "id").write.mode("overwrite").parquet(data))
+    idx = str(tmp_path / "idx")
+    build_file_skipping_index(spark, data, idx, key="id")
+    with pytest.raises(ValueError, match="does not match"):
+        update_file_skipping_index(spark, data, idx, key="other")
+
+
+def test_pruned_lookup_keeps_partition_columns(spark, tmp_path):
+    """basePath on the per-file read keeps hive partition columns
+    resolvable — without it the pruned result is not row-identical to
+    the full scan (and the two branches disagree on schema)."""
+    data = str(tmp_path / "data")
+    (spark.range(2000)
+     .withColumn("lang", F.when(F.col("id") % 2 == 0, F.lit("en"))
+                 .otherwise(F.lit("de")))
+     .write.partitionBy("lang").mode("overwrite").parquet(data))
+    idx = str(tmp_path / "idx")
+    build_file_skipping_index(spark, data, idx, key="id")
+    out = pruned_lookup(spark, data, idx, [10, 11], "id")
+    assert {(r.id, r.lang) for r in out.select("id", "lang").collect()} \
+        == {(10, "en"), (11, "de")}
+
+
+def test_orphan_update_swaps_generation_never_deletes_manifest(
+        spark, tmp_path):
+    """Orphan removal commits by atomically repointing files_dir at a
+    new generation dir; the manifest exists (and the index stays
+    readable) at every step, and repeated orphan rounds bump the
+    generation."""
+    import glob
+    from fastfilter_spark.spark import update_file_skipping_index
+    data = str(tmp_path / "data")
+    (spark.range(0, 30_000).repartitionByRange(3, "id")
+     .write.mode("overwrite").parquet(data))
+    idx = str(tmp_path / "idx")
+    build_file_skipping_index(spark, data, idx, key="id")
+    parts = sorted(glob.glob(os.path.join(data, "part-*")))
+    os.remove(parts[0])
+    m1 = update_file_skipping_index(spark, data, idx, key="id")
+    assert m1["files_dir"] == "files.parquet.g1"
+    assert os.path.isdir(os.path.join(idx, "files.parquet.g1"))
+    assert not os.path.exists(os.path.join(idx, "files.parquet"))
+    assert read_skipping_manifest(idx) == m1   # never deleted
+    os.remove(parts[1])
+    m2 = update_file_skipping_index(spark, data, idx, key="id")
+    assert m2["files_dir"] == "files.parquet.g2"
+    assert not os.path.exists(os.path.join(idx, "files.parquet.g1"))
+    remaining = sorted(r.id for r in spark.read.parquet(data)
+                       .select("id").collect())
+    probe = [remaining[0], remaining[-1]]
+    got = sorted(r.id for r in pruned_lookup(
+        spark, data, idx, probe, "id").collect())
+    assert got == probe
+
+
+def test_lookup_ignores_files_deleted_after_indexing(spark, tmp_path):
+    """The orphan window: a corpus file deleted AFTER indexing may
+    still match in the index; the lookup must skip it (the full scan
+    of the current corpus would not read it either), not crash."""
+    import glob
+    data = str(tmp_path / "data")
+    (spark.range(0, 20_000).repartitionByRange(2, "id")
+     .write.mode("overwrite").parquet(data))
+    idx = str(tmp_path / "idx")
+    build_file_skipping_index(spark, data, idx, key="id")
+    parts = sorted(glob.glob(os.path.join(data, "part-*")))
+    low = sorted(r.id for r in spark.read.parquet(
+        "file://" + parts[0]).select("id").limit(1).collect())
+    os.remove(parts[0])
+    surviving = sorted(r.id for r in spark.read.parquet(data)
+                       .select("id").collect())
+    # key in the deleted file: matched, skipped, zero rows
+    assert pruned_lookup(spark, data, idx, low, "id").count() == 0
+    # key in a surviving file still found even if the deleted file
+    # also matched (FP or shared prune set)
+    got = [r.id for r in pruned_lookup(
+        spark, data, idx, [surviving[0]], "id").collect()]
+    assert got == [surviving[0]]
+
+
+def test_shared_prune_matches_fresh_prune(spark, clustered, index):
+    """skip_stats(matched=...) and pruned_lookup(files=...) reuse one
+    prune_files result — identical to recomputing."""
+    keys = [7, 42, 99_999_999]
+    matched = prune_files(spark, index, keys)
+    st = skip_stats(spark, index, keys, matched=matched)
+    assert st["files_matched"] == len(matched)
+    a = sorted(r.id for r in pruned_lookup(
+        spark, clustered, index, keys, "id", files=matched).collect())
+    b = sorted(r.id for r in pruned_lookup(
+        spark, clustered, index, keys, "id").collect())
+    assert a == b == [7, 42]
