@@ -772,16 +772,19 @@ def q_skipindex_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     (docs.where("doc_id < 300").repartitionByRange(4, "doc_id")
      .write.mode("overwrite").parquet(data))
+    from fastfilter_spark.spark.skipindex import _files_path
     m0 = build_file_skipping_index(spark, data, idx,
                                    key=content_key("text"))
+    # resolve the live generation dir via the manifest, never a
+    # hardcoded files.parquet (orphan updates repoint files_dir)
     before = {r.file: bytes(r.blob) for r in spark.read.parquet(
-        f"{idx}/files.parquet").select("file", "blob").collect()}
+        _files_path(idx, m0)).select("file", "blob").collect()}
     (docs.where("doc_id >= 300").repartitionByRange(2, "doc_id")
      .write.mode("append").parquet(data))
     m1 = update_file_skipping_index(spark, data, idx,
                                     key=content_key("text"))
     after = {r.file: bytes(r.blob) for r in spark.read.parquet(
-        f"{idx}/files.parquet").select("file", "blob").collect()}
+        _files_path(idx, m1)).select("file", "blob").collect()}
     untouched = all(after.get(f) == b for f, b in before.items())
     probe_ids = [12, 150, 340, 480]
     keys = [r.key for r in docs.where(F.col("doc_id").isin(probe_ids))

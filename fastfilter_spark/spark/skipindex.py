@@ -218,7 +218,8 @@ def build_file_skipping_index(
 
 def update_file_skipping_index(spark: SparkSession, data_path: str,
                                index_path: str,
-                               key: Union[str, Column]) -> dict:
+                               key: Union[str, Column],
+                               allow_key_mismatch: bool = False) -> dict:
     """Incrementally maintain the index against an append-mostly
     corpus: build blobs ONLY for files not yet indexed, drop rows for
     files that no longer exist, leave everything else byte-untouched.
@@ -238,24 +239,50 @@ def update_file_skipping_index(spark: SparkSession, data_path: str,
       repoints the manifest's ``files_dir`` at it; a crash mid-write
       leaves the old generation (with stale-but-harmless orphan rows —
       the lookup path ignores missing files) as the live one.
+    * superseded generations are NOT deleted at commit time — a reader
+      that resolved the manifest just before the repoint can still
+      finish its scan. They are swept at the START of the next update
+      (anything under ``files.parquet*`` other than the manifest's
+      current ``files_dir`` is garbage by then), so the grace period
+      is one full update interval and crashed updates never leak
+      generations permanently.
 
     ``key`` must be the same expression the index was built with
     (per-file blobs are a pure function of (file, key values)) — a
     mismatched expression is refused via the manifest's ``key_repr``
-    fingerprint instead of silently poisoning new files' blobs."""
+    fingerprint instead of silently poisoning new files' blobs. The
+    fingerprint is ``str(Column)``, which can legitimately change
+    across Spark versions (expression repr formatting) — pass
+    ``allow_key_mismatch=True`` after verifying the expression really
+    is the build's to accept and re-record it. Manifests written
+    before the fingerprint existed can't be verified: the first
+    update records the caller's key unchecked, so on a legacy index
+    make sure that first call passes the true build key."""
     manifest = read_skipping_manifest(index_path)
     kind = manifest["kind"]
     base_rng_state = int(manifest["base_rng_state"])
     key_expr = F.col(key) if isinstance(key, str) else key
     want = manifest.get("key_repr")
-    if want is not None and _key_repr(key_expr) != want:
+    if (want is not None and _key_repr(key_expr) != want
+            and not allow_key_mismatch):
         raise ValueError(
             f"update key {_key_repr(key_expr)!r} does not match the "
             f"index's build key {want!r}: blobs built over a different "
             "expression would silently produce false negatives — pass "
-            "the build's key or rebuild with build_file_skipping_index")
+            "the build's key (or allow_key_mismatch=True if the repr "
+            "changed across Spark versions and you have verified the "
+            "expression), or rebuild with build_file_skipping_index")
     files_path = _files_path(index_path, manifest)
     manifest_path = os.path.join(index_path, _MANIFEST)
+
+    # sweep generations superseded (or orphaned by a crash) before the
+    # previous update — the one-interval grace period readers get
+    live_dir = os.path.basename(files_path)
+    for d in os.listdir(index_path):
+        if ((d == _FILES or d.startswith(_FILES + ".g"))
+                and d != live_dir):
+            shutil.rmtree(os.path.join(index_path, d),
+                          ignore_errors=True)
 
     current = set(spark.read.parquet(data_path).inputFiles())
     idx = spark.read.parquet(files_path)
@@ -284,21 +311,21 @@ def update_file_skipping_index(spark: SparkSession, data_path: str,
         new_path = os.path.join(index_path, new_dir)
         shutil.rmtree(new_path, ignore_errors=True)
         keep.write.mode("overwrite").parquet(new_path)
-        old_path, files_path, files_dir = files_path, new_path, new_dir
-    else:
-        old_path = None
+        files_path, files_dir = new_path, new_dir
 
     agg = _index_agg(spark, files_path)
     out = dict(manifest, files_dir=files_dir,
-               key_repr=manifest.get("key_repr", _key_repr(key_expr)),
+               key_repr=_key_repr(key_expr),
                n_files=int(agg.files), n_keys=int(agg.keys or 0),
                blob_bytes=int(agg.blob_bytes or 0))
     tmp = manifest_path + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(out, fh)
     os.replace(tmp, manifest_path)   # atomic commit of the update
-    if old_path is not None:
-        shutil.rmtree(old_path, ignore_errors=True)
+    # the superseded generation (old_path) is intentionally NOT deleted
+    # here: in-flight readers that resolved the manifest pre-repoint
+    # may still be scanning it. The next update's start-of-run sweep
+    # collects it — see the docstring's grace-period contract.
     return out
 
 
@@ -390,11 +417,22 @@ def skip_stats(spark: SparkSession, index_path: str, keys,
                matched: Optional[List[str]] = None) -> dict:
     """Pruning telemetry: how much of the corpus a probe set touches.
     Pass ``matched`` (from :func:`prune_files`) to avoid re-running
-    the distributed prune when the caller also does the lookup."""
+    the distributed prune when the caller also does the lookup.
+
+    ``files_total`` is counted LIVE from the index table (a
+    column-pruned distinct over file names — cheap next to the prune's
+    blob scan), not read from the manifest: between a crashed
+    new-file append and the next successful update the manifest's
+    n_files lags the table, and a stale total would let
+    files_matched exceed files_total and flip pruned-ratio monitors.
+    keys_indexed / index_bytes stay manifest-sourced (approximate
+    until the next committed update, documented)."""
     manifest = read_skipping_manifest(index_path)
     if matched is None:
         matched = prune_files(spark, index_path, keys)
-    return {"files_total": manifest["n_files"],
+    files_total = (spark.read.parquet(_files_path(index_path, manifest))
+                   .select("file").distinct().count())
+    return {"files_total": files_total,
             "files_matched": len(matched),
             "keys_indexed": manifest["n_keys"],
             "index_bytes": manifest["blob_bytes"]}

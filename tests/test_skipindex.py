@@ -213,6 +213,10 @@ def test_update_rejects_mismatched_key(spark, tmp_path):
     build_file_skipping_index(spark, data, idx, key="id")
     with pytest.raises(ValueError, match="does not match"):
         update_file_skipping_index(spark, data, idx, key="other")
+    # escape hatch for verified cross-version repr drift
+    m = update_file_skipping_index(spark, data, idx, key="other",
+                                   allow_key_mismatch=True)
+    assert m["n_files"] == 2
 
 
 def test_pruned_lookup_keeps_partition_columns(spark, tmp_path):
@@ -249,12 +253,16 @@ def test_orphan_update_swaps_generation_never_deletes_manifest(
     m1 = update_file_skipping_index(spark, data, idx, key="id")
     assert m1["files_dir"] == "files.parquet.g1"
     assert os.path.isdir(os.path.join(idx, "files.parquet.g1"))
-    assert not os.path.exists(os.path.join(idx, "files.parquet"))
+    # the superseded generation survives the commit (grace period for
+    # in-flight readers); the NEXT update's start-of-run sweep takes it
+    assert os.path.isdir(os.path.join(idx, "files.parquet"))
     assert read_skipping_manifest(idx) == m1   # never deleted
     os.remove(parts[1])
     m2 = update_file_skipping_index(spark, data, idx, key="id")
     assert m2["files_dir"] == "files.parquet.g2"
-    assert not os.path.exists(os.path.join(idx, "files.parquet.g1"))
+    assert not os.path.exists(os.path.join(idx, "files.parquet"))  # swept
+    assert os.path.isdir(os.path.join(idx, "files.parquet.g1"))  # grace
+    assert os.path.isdir(os.path.join(idx, "files.parquet.g2"))
     remaining = sorted(r.id for r in spark.read.parquet(data)
                        .select("id").collect())
     probe = [remaining[0], remaining[-1]]
