@@ -289,6 +289,17 @@ def update_file_skipping_index(spark: SparkSession, data_path: str,
     indexed = {r.file for r in idx.select("file").distinct().collect()}
     new, orphans = current - indexed, indexed - current
     if not new and not orphans:
+        # still re-record the key fingerprint on a quiescent corpus:
+        # the escape-hatch migration (and the legacy backfill) must
+        # take effect even when there is no blob work, or the next
+        # unflagged update re-raises the mismatch it just accepted
+        if manifest.get("key_repr") != _key_repr(key_expr):
+            out = dict(manifest, key_repr=_key_repr(key_expr))
+            tmp = manifest_path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(out, fh)
+            os.replace(tmp, manifest_path)
+            return out
         return manifest
 
     files_dir = manifest.get("files_dir", _FILES)
@@ -322,10 +333,10 @@ def update_file_skipping_index(spark: SparkSession, data_path: str,
     with open(tmp, "w") as fh:
         json.dump(out, fh)
     os.replace(tmp, manifest_path)   # atomic commit of the update
-    # the superseded generation (old_path) is intentionally NOT deleted
-    # here: in-flight readers that resolved the manifest pre-repoint
-    # may still be scanning it. The next update's start-of-run sweep
-    # collects it — see the docstring's grace-period contract.
+    # the generation superseded by this commit is intentionally NOT
+    # deleted here: in-flight readers that resolved the manifest
+    # pre-repoint may still be scanning it. The next update's
+    # start-of-run sweep collects it — the grace-period contract.
     return out
 
 
@@ -419,20 +430,19 @@ def skip_stats(spark: SparkSession, index_path: str, keys,
     Pass ``matched`` (from :func:`prune_files`) to avoid re-running
     the distributed prune when the caller also does the lookup.
 
-    ``files_total`` is counted LIVE from the index table (a
-    column-pruned distinct over file names — cheap next to the prune's
-    blob scan), not read from the manifest: between a crashed
-    new-file append and the next successful update the manifest's
-    n_files lags the table, and a stale total would let
-    files_matched exceed files_total and flip pruned-ratio monitors.
-    keys_indexed / index_bytes stay manifest-sourced (approximate
-    until the next committed update, documented)."""
+    ``files_total`` is ``max(manifest n_files, files_matched)``:
+    between a crashed new-file append and the next successful update
+    the manifest's n_files lags the live table, and a stale total
+    would let files_matched exceed files_total and flip pruned-ratio
+    monitors — the clamp closes that window WITHOUT launching a
+    per-call count job over the index table (telemetry must stay
+    cheaper than the prune it describes). keys_indexed / index_bytes
+    stay manifest-sourced (approximate until the next committed
+    update, documented)."""
     manifest = read_skipping_manifest(index_path)
     if matched is None:
         matched = prune_files(spark, index_path, keys)
-    files_total = (spark.read.parquet(_files_path(index_path, manifest))
-                   .select("file").distinct().count())
-    return {"files_total": files_total,
+    return {"files_total": max(int(manifest["n_files"]), len(matched)),
             "files_matched": len(matched),
             "keys_indexed": manifest["n_keys"],
             "index_bytes": manifest["blob_bytes"]}

@@ -213,10 +213,17 @@ def test_update_rejects_mismatched_key(spark, tmp_path):
     build_file_skipping_index(spark, data, idx, key="id")
     with pytest.raises(ValueError, match="does not match"):
         update_file_skipping_index(spark, data, idx, key="other")
-    # escape hatch for verified cross-version repr drift
+    # escape hatch for verified cross-version repr drift: the accepted
+    # key is re-recorded even on a quiescent corpus (no blob work), so
+    # the NEXT unflagged update with the same key passes
     m = update_file_skipping_index(spark, data, idx, key="other",
                                    allow_key_mismatch=True)
     assert m["n_files"] == 2
+    assert read_skipping_manifest(idx)["key_repr"] == m["key_repr"]
+    m2 = update_file_skipping_index(spark, data, idx, key="other")
+    assert m2 == m
+    with pytest.raises(ValueError, match="does not match"):
+        update_file_skipping_index(spark, data, idx, key="id")
 
 
 def test_pruned_lookup_keeps_partition_columns(spark, tmp_path):
