@@ -266,6 +266,37 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clusters → ACTION: keep the best copy per near-dup cluster
+    (max token count, ties to the smallest id). Clustering, the scalar
+    min-struct representative agg, and the oracle's recursive-CTE
+    closure + window all order identically on exact integers — full
+    row parity on (component, rep_id, n_toks, cluster_size)."""
+    from fastfilter_spark.pipeline import (keep_best_per_cluster,
+                                           ngram_jaccard_pairs, tokens)
+    docs = _docs(spark, sf_dir).withColumn(
+        "n_toks", F.size(tokens("text")).cast("long"))
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", block_col="lang",
+                                threshold=0.5, shingle_k=3)
+    out = keep_best_per_cluster(docs, pairs, "doc_id", "n_toks")
+    return (out.where("is_rep")
+            .select("component", F.col("doc_id").alias("rep_id"),
+                    "n_toks", F.col("cluster_size").cast("long")
+                    .alias("cluster_size"))
+            .orderBy("component"))
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch permutation for training: shard + position
+    from disjoint sha256 bit ranges — DuckDB recomputes the identical
+    (shard, pos) for every row (52-bit priorities are float64-exact,
+    the shard hash is exact int arithmetic)."""
+    from fastfilter_spark.spark import epoch_shuffle
+    docs = _docs(spark, sf_dir)
+    out = epoch_shuffle(docs, "doc_id", 8, seed=1)
+    return out.select("doc_id", "shard", "pos").orderBy("doc_id")
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-10-per-lang deterministic sample — same bit-exact 52-bit
     sha256 priorities as uniform_sample, ranked within each group, so
@@ -1782,6 +1813,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "pack_shards": q_pack_shards,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_best": q_dedup_keep_best,
+        "epoch_shuffle": q_epoch_shuffle,
         "pii_redaction": q_pii_redaction,
         "repetition_stats": q_repetition_stats,
         "dup_span_stats": q_dup_span_stats,
@@ -2058,6 +2091,45 @@ def oracle_sql() -> dict[str, str]:
             "ON e.u = reach.id) "
             "SELECT id AS doc_id, MIN(comp) AS component FROM reach "
             "GROUP BY id ORDER BY doc_id"),
+        "dedup_keep_best": (
+            # same edges + closure as dedup_clusters, then the
+            # representative pick: max n_toks, ties to min doc_id
+            f"WITH RECURSIVE sh AS (SELECT doc_id, lang, {_SHINGLES3_SQL} AS sh "
+            "FROM documents "
+            "QUALIFY COUNT(*) OVER (PARTITION BY lang) <= 100000), "
+            "pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+            "FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id "
+            "WHERE len(list_intersect(a.sh, b.sh)) * 1.0 "
+            "/ greatest(len(list_distinct(a.sh || b.sh)), 1) >= 0.5), "
+            "e AS (SELECT id_a AS u, id_b AS v FROM pr "
+            "UNION SELECT id_b, id_a FROM pr), "
+            "reach AS (SELECT DISTINCT u AS id, u AS comp FROM e "
+            "UNION SELECT e.v, reach.comp FROM reach JOIN e "
+            "ON e.u = reach.id), "
+            "comp AS (SELECT id AS doc_id, MIN(comp) AS component "
+            "FROM reach GROUP BY id), "
+            "alld AS (SELECT d.doc_id, "
+            "COALESCE(c.component, d.doc_id) AS component, "
+            f"CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_toks "
+            "FROM documents d LEFT JOIN comp c USING (doc_id)), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY component "
+            "ORDER BY n_toks DESC, doc_id) AS rn, "
+            "COUNT(*) OVER (PARTITION BY component) AS cluster_size "
+            "FROM alld) "
+            "SELECT component, doc_id AS rep_id, n_toks, "
+            "CAST(cluster_size AS BIGINT) AS cluster_size "
+            "FROM r WHERE rn = 1 ORDER BY component"),
+        "epoch_shuffle": (
+            "WITH h AS (SELECT doc_id, "
+            "sha256(CAST(doc_id AS VARCHAR) || '#1') AS hx FROM documents), "
+            "p AS (SELECT doc_id, "
+            "CAST(CAST(concat('0x', substr(hx, 1, 13)) AS BIGINT) AS DOUBLE) "
+            "/ 4503599627370496.0 AS pri, "
+            "CAST(concat('0x', substr(hx, 14, 13)) AS BIGINT) % 8 AS shard "
+            "FROM h) "
+            "SELECT doc_id, shard, CAST(row_number() OVER "
+            "(PARTITION BY shard ORDER BY pri, doc_id) AS BIGINT) AS pos "
+            "FROM p ORDER BY doc_id"),
         "stratified_sample": (
             "WITH pri AS (SELECT doc_id, lang, CAST(CAST(concat('0x', substr(sha256(CAST(doc_id AS VARCHAR) || '#0'), 1, 13)) AS BIGINT) AS DOUBLE) / 4503599627370496.0 AS pri FROM documents), "
             "r AS (SELECT *, row_number() OVER (PARTITION BY lang "

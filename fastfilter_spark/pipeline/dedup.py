@@ -548,3 +548,57 @@ def remove_dup_spans(df: DataFrame, text_col: str, id_col: str,
             kept, lambda p: F.element_at("t", p))).alias("clean_text"),
         "n_tokens",
         dup_toks.cast("long").alias("dup_tokens")))
+
+
+# ---------------------------------------------------------------------------
+# cluster representatives — pairs → clusters → keep the best copy
+# ---------------------------------------------------------------------------
+
+def keep_best_per_cluster(df: DataFrame, pairs: DataFrame, id_col: str,
+                          score_col: str, src: str = "id_a",
+                          dst: str = "id_b",
+                          stats: Optional[dict] = None) -> DataFrame:
+    """The ACTION step of near-dup dedup: given pair edges from any
+    candidate tier (minhash/simhash/ngram verify), cluster them
+    transitively and pick ONE representative per cluster — the row with
+    the highest ``score_col`` (ties broken by smallest id, so the choice
+    is deterministic). Rows absent from every pair form singleton
+    clusters and represent themselves.
+
+    Returns ``df`` + ``component`` (the cluster's minimum id),
+    ``cluster_size``, and ``is_rep``; filter ``is_rep`` to materialize
+    the deduplicated corpus. Ids must be unique (one row per id) and
+    ``score_col`` numeric; NULL scores never win (a cluster of only
+    NULL scores falls back to the minimum id).
+
+    Scale shape: clustering is the O(log d) alternating-star
+    :func:`~fastfilter_spark.pipeline.graph.connected_components`; the
+    representative is a scalar two-phase ``groupBy(component)`` agg
+    (min over a (-score, id) struct — map-side combined, so a
+    million-copy cluster costs one partial per task, never a window
+    sort holding the whole cluster); the flag join back is keyed on
+    ``component`` (AQE skew-split absorbs giant clusters). No
+    collect_list, no window over the cluster, nothing driver-side.
+    ``stats`` receives the clustering round count.
+    """
+    from .graph import connected_components
+    labels = (connected_components(pairs, src, dst, stats=stats)
+              .withColumnRenamed("id", id_col))
+    joined = (df.join(labels, id_col, "left")
+              .withColumn("component",
+                          F.coalesce(F.col("comp"), F.col(id_col)))
+              .drop("comp"))
+    # NULL scores map to +inf in the min-struct ordering: they lose to
+    # any real score, and an all-NULL cluster degrades to min-id.
+    neg = F.when(F.col(score_col).isNotNull(),
+                 -F.col(score_col).cast("double")) \
+           .otherwise(F.lit(float("inf")))
+    best = (joined.groupBy("component")
+            .agg(F.min(F.struct(neg.alias("ns"),
+                                F.col(id_col).alias("i"))).alias("b"),
+                 F.count("*").alias("cluster_size")))
+    rep = best.select("component", F.col("b.i").alias("__rep"),
+                      "cluster_size")
+    return (joined.join(rep, "component")
+            .withColumn("is_rep", F.col(id_col) == F.col("__rep"))
+            .drop("__rep"))

@@ -9,7 +9,7 @@ from .asof import asof_join
 from .rangejoin import interval_join
 from .session import get_spark
 from .skew import salted_join
-from .sampling import (deterministic_sample, hash_sample,
+from .sampling import (deterministic_sample, epoch_shuffle, hash_sample,
                        hash_sample_pred, hash_split, mixture_sample,
                        pack_into_shards,
                        sample_priority, stratified_sample)
@@ -36,7 +36,7 @@ __all__ = [
     "build_filter_sidecar", "cuckoo_update", "register_sql_sidecar",
     "mg_agg", "hash_sample", "hash_sample_pred", "hash_split",
     "deterministic_sample", "sample_priority", "stratified_sample",
-    "pack_into_shards", "mixture_sample",
+    "pack_into_shards", "mixture_sample", "epoch_shuffle",
     "build_sketch_sidecar", "read_sketch_sidecar", "sketch_sidecar_lineage",
     "kll_partition_bounds", "kll_range_repartition", "range_bucket",
     "sorted_write", "string_prefix_key",

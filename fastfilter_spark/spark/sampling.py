@@ -170,6 +170,47 @@ def pack_into_shards(df: DataFrame, size_col: str, budget: int,
         .cast("long"))
 
 
+def epoch_shuffle(df: DataFrame, id_col: str, num_shards: int,
+                  seed: int = 0) -> DataFrame:
+    """Deterministic global training-order shuffle (one epoch's
+    permutation): every row gets a ``shard`` and a ``pos`` within it,
+    and reading shards 0..num_shards-1 each in ``pos`` order visits the
+    corpus in a pseudorandom order that is a pure function of
+    (id, seed) — independent of partitioning, executor count, and run
+    order. A new ``seed`` (e.g. the epoch number) yields an independent
+    permutation, so per-epoch reshuffles never rewrite upstream data.
+
+    Both decisions derive from DISJOINT bit ranges of one
+    sha256(str(id) || '#' || seed): bits 1-52 (hex chars 1-13) give the
+    within-shard order (the same 52-bit float64-exact priority as
+    :func:`sample_priority`), hex chars 14-26 give the shard — so shard
+    placement and within-shard order are independent, and any engine
+    with sha256(VARCHAR) reproduces the full permutation bit-for-bit
+    (the driver oracle does).
+
+    Scale shape: ONE exchange keyed on ``shard`` (the row_number
+    window); each shard sorts in its own task, so pick ``num_shards``
+    ≈ corpus_bytes / target_shard_bytes to bound task memory — shard
+    sizes concentrate tightly (binomial) because the shard hash is
+    uniform. No global sort, no RangePartitioning sampling job. NULL
+    ids get NULL shard/priority (filter or coalesce upstream).
+    """
+    if num_shards < 1:
+        raise ValueError(f"num_shards must be >= 1, got {num_shards}")
+    c = F.col(id_col)
+    hx = F.sha2(F.concat(c.cast("string"), F.lit(f"#{seed}")), 256)
+    pri = (F.conv(F.substring(hx, 1, 13), 16, 10).cast("double")
+           / F.lit(float(1 << 52)))
+    shard = F.pmod(F.conv(F.substring(hx, 14, 13), 16, 10).cast("long"),
+                   F.lit(num_shards))
+    from pyspark.sql import Window
+    w = Window.partitionBy("shard").orderBy(F.col("__pri"), c)
+    return (df.withColumn("shard", shard)
+            .withColumn("__pri", pri)
+            .withColumn("pos", F.row_number().over(w).cast("long"))
+            .drop("__pri"))
+
+
 def mixture_sample(df: DataFrame, group_col: str, fractions: dict,
                    id_col: str, seed: int = 0,
                    default_fraction: float = 0.0) -> DataFrame:

@@ -804,3 +804,32 @@ def test_connected_components_long_chain_log_rounds(spark):
     assert len(rows) == 1000
     assert all(r.comp == 0 for r in rows)
     assert {r.id for r in rows} == set(range(1000))
+
+
+def test_keep_best_per_cluster(spark):
+    from fastfilter_spark.pipeline import keep_best_per_cluster
+
+    rows = [(1, 10.0), (2, 30.0), (3, 20.0), (4, 5.0),
+            (5, None), (6, None), (7, 99.0)]
+    df = spark.createDataFrame(rows, "id long, score double")
+    # clusters: {1,2,3} via a chain, {5,6} all-NULL scores; 4 and 7 are
+    # singletons (never appear in a pair)
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)],
+                                  "id_a long, id_b long")
+    stats = {}
+    out = keep_best_per_cluster(df, pairs, "id", "score",
+                                stats=stats).toPandas()
+    assert stats["rounds"] >= 1
+    assert len(out) == len(rows)
+    by_id = out.set_index("id")
+    assert by_id.loc[1, "component"] == 1 and by_id.loc[3, "component"] == 1
+    assert by_id.loc[1, "cluster_size"] == 3
+    # 2 = max score in its cluster; 5 = min id of the all-NULL cluster;
+    # singletons represent themselves
+    assert set(out[out.is_rep]["id"]) == {2, 5, 4, 7}
+    assert (out.groupby("component")["is_rep"].sum() == 1).all()
+    assert by_id.loc[4, "component"] == 4 and by_id.loc[4, "cluster_size"] == 1
+    # dangling pair endpoints absent from df never create rows
+    pairs2 = spark.createDataFrame([(1, 2), (100, 101)],
+                                   "id_a long, id_b long")
+    assert keep_best_per_cluster(df, pairs2, "id", "score").count() == len(rows)

@@ -918,3 +918,32 @@ def test_register_sql_contains_udf(spark, corpus_df):
                                        shuffle_mode="rows")
     with _pytest.raises(ValueError, match="xxhash_pmod"):
         pf_rows.register_sql(spark, "nope")
+
+
+def test_epoch_shuffle(spark):
+    from fastfilter_spark.spark import epoch_shuffle
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = docs.count()
+    out = epoch_shuffle(docs, "doc_id", 8, seed=1)
+    pdf = out.select("doc_id", "shard", "pos").toPandas()
+    assert len(pdf) == n
+    # a true permutation: (shard, pos) unique, pos contiguous per shard
+    assert not pdf.duplicated(["shard", "pos"]).any()
+    for _, g in pdf.groupby("shard"):
+        assert sorted(g["pos"]) == list(range(1, len(g) + 1))
+    assert pdf["shard"].between(0, 7).all()
+    assert pdf["shard"].nunique() == 8
+    # partitioning-independent determinism
+    m1 = pdf.sort_values("doc_id").reset_index(drop=True)
+    m2 = (epoch_shuffle(docs.repartition(13), "doc_id", 8, seed=1)
+          .select("doc_id", "shard", "pos").toPandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    assert (m1[["shard", "pos"]].values == m2[["shard", "pos"]].values).all()
+    # a different seed (epoch) is a different permutation
+    m3 = (epoch_shuffle(docs, "doc_id", 8, seed=2)
+          .select("doc_id", "shard", "pos").toPandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    assert (m1[["shard", "pos"]].values != m3[["shard", "pos"]].values).any()
+    with pytest.raises(ValueError):
+        epoch_shuffle(docs, "doc_id", 0)

@@ -421,6 +421,34 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
                    and "BroadcastNestedLoopJoin" not in p22
                    and "pythonudf" not in p22.lower()))
 
+    # 23. keep_best_per_cluster: the representative pick is a scalar
+    # two-phase min-struct aggregate (partial_min map-side combine) —
+    # never a window sort over the cluster or a collect_list, so a
+    # million-copy cluster costs one partial per task.
+    from fastfilter_spark.pipeline import keep_best_per_cluster
+    kb_pairs = docs.select(F.col("doc_id").alias("id_a"),
+                           (F.col("doc_id") + 1).alias("id_b")).limit(50)
+    p23 = plan_of(keep_best_per_cluster(
+        docs.withColumn("sc", F.col("n_chars").cast("double")),
+        kb_pairs, "doc_id", "sc"))
+    checks.append(("keep_best: representative is a partial_min struct agg "
+                   "(map-side combined, no window/collect over the cluster)",
+                   "partial_min" in p23 and "collect_list" not in p23
+                   and "row_number" not in p23))
+
+    # 24. epoch_shuffle: ONE Exchange total (hash on shard — the
+    # row_number window's), no RangePartitioning (= no sampling job),
+    # and the sha256 shard/priority derivation is plain Catalyst inside
+    # codegen (no Python UDF).
+    from fastfilter_spark.spark import epoch_shuffle
+    p24 = plan_of(epoch_shuffle(docs, "doc_id", 8, seed=1))
+    checks.append(("epoch_shuffle: ONE hash Exchange on shard, no "
+                   "RangePartitioning, no Python UDF",
+                   len(re.findall(r"\(\d+\) Exchange", p24)) == 1
+                   and "hashpartitioning(shard" in p24
+                   and "rangepartitioning" not in p24.lower()
+                   and "pythonudf" not in p24.lower()))
+
     print(p2)
     print(p3[:3000])
     ok = True
