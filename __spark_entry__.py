@@ -338,6 +338,25 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("lang"))
 
 
+def q_temperature_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-0.5 domain rebalancing WITH replacement: per-lang
+    factor sqrt(250 / n_lang) (rare langs upsampled above 1, the
+    dominant lang near 1), copy counts = floor(factor) + a 52-bit-sha256
+    bernoulli on the fraction. Every arithmetic step — window count,
+    division, sqrt, floor, subtraction, `<` — is IEEE-exact, so DuckDB
+    reproduces the exact multiset of (doc_id, lang, copy)."""
+    from fastfilter_spark.spark import upsample
+    docs = _docs(spark, sf_dir)
+    fac = F.sqrt(F.lit(250.0) /
+                 F.count("*").over(Window.partitionBy("lang"))
+                 .cast("double"))
+    out = upsample(docs.withColumn("__fac", fac), F.col("__fac"),
+                   "doc_id", seed=7)
+    return (out.select("doc_id", "lang",
+                       F.col("copy").cast("long").alias("copy"))
+            .orderBy("doc_id", "copy"))
+
+
 def q_sql_udf_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL-function surface: register_sql exposes the broadcast
     membership probe to plain spark.sql; same zero-FN invariant as the
@@ -985,6 +1004,38 @@ def q_hourly_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                      <= F.greatest(F.col("n_exact") * 0.05, F.lit(3.0))
                      ).alias("hll_ok"))
             .orderBy("hour"))
+
+
+def q_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-6-hour distinct users per hour from per-hour HLL
+    partials merged across the window (hll_sliding): each raw event is
+    aggregated exactly once, the window overlap is resolved on ~2^p-byte
+    blobs, and register-max merging makes the windowed sketch identical
+    to a direct build — so the error bound is the plain HLL bound. The
+    oracle recomputes n_exact (the same explode+join window expansion)
+    and asserts the hll_ok booleans TRUE."""
+    from fastfilter_spark.spark import hll_sliding
+    # ts is TIMESTAMP_NTZ: cast through timestamp (session tz = UTC)
+    # to epoch seconds — the same value DuckDB's epoch(ts) yields
+    ev = _events(spark, sf_dir).select(
+        F.floor(F.col("ts").cast("timestamp").cast("long") / 3600)
+        .cast("long").alias("hb"),
+        F.xxhash64("user_id").alias("key"), "user_id")
+    est = hll_sliding(ev, "hb", "key", window=6) \
+        .select("bucket_end", "n_est")
+    exact = (ev.select(F.explode(F.sequence(F.col("hb"),
+                                            F.col("hb") + F.lit(5)))
+                       .alias("bucket_end"), "user_id")
+             .join(ev.select(F.col("hb").alias("bucket_end")).distinct(),
+                   "bucket_end")
+             .groupBy("bucket_end")
+             .agg(F.countDistinct("user_id").alias("n_exact")))
+    return (exact.join(est, "bucket_end")
+            .select("bucket_end", "n_exact",
+                    (F.abs(F.col("n_est") - F.col("n_exact"))
+                     <= F.greatest(F.col("n_exact") * 0.05, F.lit(3.0))
+                     ).alias("hll_ok"))
+            .orderBy("bucket_end"))
 
 
 # ---------------------------------------------------------------------------
@@ -1777,6 +1828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_quantiles": q_kll_quantiles,
         "tdigest_quantiles": q_tdigest_quantiles,
         "hourly_distinct_users": q_hourly_distinct_users,
+        "sliding_distinct_users": q_sliding_distinct_users,
         "theta_set_ops": q_theta_set_ops,
         "cube_doc_stats": q_cube_doc_stats,
         "window_topk_events": q_window_topk_events,
@@ -1810,6 +1862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_udf_membership": q_sql_udf_membership,
         "sql_sidecar_membership": q_sql_sidecar_membership,
         "mixture_sample": q_mixture_sample,
+        "temperature_upsample": q_temperature_upsample,
         "stratified_sample": q_stratified_sample,
         "pack_shards": q_pack_shards,
         "dedup_clusters": q_dedup_clusters,
@@ -2147,6 +2200,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, shard, COUNT(*) AS n_docs, "
             "CAST(SUM(n_toks) AS BIGINT) AS shard_tokens FROM c "
             "GROUP BY lang, shard ORDER BY lang, shard"),
+        "temperature_upsample": (
+            "WITH n AS (SELECT doc_id, lang, "
+            "COUNT(*) OVER (PARTITION BY lang) AS ng FROM documents), "
+            "f AS (SELECT doc_id, lang, sqrt(250.0 / ng) AS fac, "
+            "CAST(CAST(concat('0x', substr(sha256(CAST(doc_id AS VARCHAR) "
+            "|| '#7'), 1, 13)) AS BIGINT) AS DOUBLE) / 4503599627370496.0 "
+            "AS u FROM n), "
+            "r AS (SELECT doc_id, lang, CAST(floor(fac) AS BIGINT) "
+            "+ CASE WHEN u < fac - floor(fac) THEN 1 ELSE 0 END AS reps "
+            "FROM f) "
+            "SELECT doc_id, lang, CAST(unnest(generate_series(0, reps - 1)) "
+            "AS BIGINT) AS copy FROM r WHERE reps > 0 "
+            "ORDER BY doc_id, copy"),
         "mixture_sample": (
             "WITH p AS (SELECT lang, CAST(CAST(concat('0x', substr(sha256(CAST(doc_id AS VARCHAR) || '#0'), 1, 13)) AS BIGINT) AS DOUBLE) / 4503599627370496.0 AS pri FROM documents) "
             "SELECT lang, COUNT(*) AS n_kept FROM p "
@@ -2269,6 +2335,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, "
             "COUNT(DISTINCT user_id) AS n_exact, TRUE AS hll_ok "
             "FROM events GROUP BY 1 ORDER BY 1"),
+        "sliding_distinct_users": (
+            "WITH e AS (SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) "
+            "AS hb, user_id FROM events), "
+            "obs AS (SELECT DISTINCT hb FROM e), "
+            "x AS (SELECT o.hb AS bucket_end, e.user_id FROM e "
+            "JOIN obs o ON o.hb >= e.hb AND o.hb <= e.hb + 5) "
+            "SELECT bucket_end, COUNT(DISTINCT user_id) AS n_exact, "
+            "TRUE AS hll_ok FROM x GROUP BY 1 ORDER BY 1"),
         "theta_set_ops": (
             "SELECT * FROM (VALUES "
             "('1_union', (SELECT COUNT(DISTINCT text) FROM documents "

@@ -211,6 +211,51 @@ def epoch_shuffle(df: DataFrame, id_col: str, num_shards: int,
             .drop("__pri"))
 
 
+def upsample(df: DataFrame, factor, id_col: str, seed: int = 0,
+             copy_col: str = "copy") -> DataFrame:
+    """Deterministic resampling WITH replacement: every row is emitted
+    ``floor(factor)`` times plus one more with probability
+    ``frac(factor)`` — so the expected copy count is exactly ``factor``
+    per row, factors > 1 upsample (temperature-weighted domain mixing:
+    rare domains get factor > 1, dominant ones < 1), factors in (0, 1)
+    downsample, and the whole decision is a pure function of
+    (id, seed): stable across partitioning, executor count and reruns,
+    with a new independent draw per seed (epoch).
+
+    ``factor`` is a Column (or column name) of per-row expected counts;
+    NULL or non-positive factors emit zero copies. Output rows carry
+    ``copy_col`` = 0..reps-1 so downstream keys stay unique via
+    (id, copy). The fractional coin is the 52-bit sha256 priority of
+    :func:`sample_priority` — float64-exact, so any engine reproduces
+    the exact copy counts (the DuckDB oracle does; keep the factor
+    expression to IEEE-exact ops — +,-,*,/,sqrt — for cross-engine
+    bit-parity; pow/exp are libm-dependent).
+
+    Scale shape: pure narrow Catalyst — floor + one explode(sequence),
+    ZERO exchanges and no UDF; output partitioning inherits the input
+    (follow with :func:`epoch_shuffle` to re-mix if factors correlate
+    with layout). Per-row memory is the copy array: bound factors
+    (cap at e.g. 1e4) upstream — one row exploding to millions means
+    the mixture math is wrong, not that the engine should absorb it.
+    """
+    fac = (F.col(factor) if isinstance(factor, str) else factor) \
+        .cast("double")
+    u = sample_priority(id_col, seed)
+    base = F.floor(fac).cast("long")
+    reps = F.when(fac.isNotNull() & (fac > 0),
+                  base + F.when(u < fac - base.cast("double"), 1)
+                  .otherwise(0)).otherwise(F.lit(0))
+    # sequence(0, -1) would DESCEND (Spark auto-negates the step), so
+    # rows with reps == 0 must drop before the sequence is built
+    return (df.withColumn("__reps", reps)
+            .where(F.col("__reps") > 0)
+            .withColumn(copy_col,
+                        F.explode(F.sequence(F.lit(0),
+                                             (F.col("__reps") - 1)
+                                             .cast("int"))))
+            .drop("__reps"))
+
+
 def mixture_sample(df: DataFrame, group_col: str, fractions: dict,
                    id_col: str, seed: int = 0,
                    default_fraction: float = 0.0) -> DataFrame:

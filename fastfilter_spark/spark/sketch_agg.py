@@ -246,3 +246,63 @@ def cms_query(spark, sketch_blob: bytes, keys_df: DataFrame, key_col: str,
         return pd.Series(sk.query(pd_to_u64(key)))
 
     return keys_df.withColumn(out_col, _q(F.col(key_col)))
+
+
+def hll_sliding(df: DataFrame, bucket_col: str, key_col: str,
+                window: int, p: int = 14) -> DataFrame:
+    """Trailing-window distinct-count estimates from per-bucket HLL
+    partials: for every observed integer bucket ``b``, the estimate
+    over buckets ``b-window+1 .. b`` → (bucket_end, n_est, sketch).
+
+    The 100 TB shape for "distinct users over the trailing W hours,
+    per hour": every raw row is folded into its bucket's sketch ONCE
+    (the :func:`hll_agg` two-phase path — the only data-sized shuffle);
+    the window overlap is then resolved by exploding each bucket's
+    ~2^p-byte blob to the ≤W window ends it contributes to and merging
+    blobs per end. The alternative — aggregating raw rows per window —
+    re-scans and re-shuffles the corpus W times. Register-max merging
+    makes the result EXACTLY the sketch that a direct build over the
+    window's raw rows would produce (HLL merge is lossless), so
+    accuracy never degrades with W.
+
+    Window ends are every bucket COVERED by some observed bucket's
+    window — a quiet bucket with no rows of its own still gets its
+    trailing-window estimate (join to your bucket spine if you want
+    observed-only ends; an inner join drops the extras). This keeps the
+    operator a single pass: deriving "observed" ends from the partials
+    would plan the raw aggregation subtree twice (Spark re-executes
+    shared unpersisted subtrees), doubling the only data-sized stage.
+    NULL buckets are excluded from every window. The
+    bucket column must be integral (floor-divide a timestamp upstream:
+    ``F.col("ts").cast("long") / 3600`` → hour index). Expansion cost
+    is #buckets × window × 2^p bytes of blob shuffle — for time buckets
+    this is KBs·1e5 even at decade scale, independent of corpus size;
+    lower ``p`` if window × bucket-count is extreme.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    btype = dict((f.name, f.dataType.simpleString())
+                 for f in df.schema.fields)[bucket_col]
+    if btype not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"bucket column {bucket_col!r} must be integral, got {btype} "
+            "(derive an index upstream, e.g. floor(epoch_seconds/3600))")
+    per = hll_agg(df, [bucket_col], key_col, p=p) \
+        .select(F.col(bucket_col).alias("__b"), "sketch")
+    # each bucket contributes to window ends b .. b+window-1
+    ends = per.select(
+        F.explode(F.sequence(F.col("__b"),
+                             F.col("__b") + F.lit(window - 1)))
+        .alias("bucket_end"), "sketch")
+
+    out_schema = f"bucket_end {btype}, n_est double, sketch binary"
+
+    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = HyperLogLog.from_bytes(pdf["sketch"].iloc[0])
+        for b in pdf["sketch"].iloc[1:]:
+            acc = acc.merge(HyperLogLog.from_bytes(b))
+        return pd.DataFrame({"bucket_end": [pdf["bucket_end"].iloc[0]],
+                             "n_est": [float(acc.estimate())],
+                             "sketch": [acc.to_bytes()]})
+
+    return ends.groupBy("bucket_end").applyInPandas(_merge, out_schema)

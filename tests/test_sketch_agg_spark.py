@@ -163,3 +163,59 @@ def test_sketch_aggs_keep_all_null_groups(spark):
 
     c = cms_agg(allnull, [], "v").collect()
     assert len(c) == 1 and c[0].total == 0
+
+
+def test_hll_sliding_merge_equals_direct(spark):
+    """Register-max merging is lossless: the trailing-window estimate
+    from per-bucket partials equals (EXACTLY) hll_agg run directly on
+    the window's raw rows, for every window end."""
+    import pyspark.sql.functions as F
+    from fastfilter_spark.spark import hll_agg, hll_sliding
+
+    df = (spark.range(5000)
+          .select((F.col("id") % 10).cast("long").alias("b"),
+                  F.xxhash64((F.col("id") * 37) % 1700).alias("key")))
+    W = 3
+    got = {r.bucket_end: r.n_est
+           for r in hll_sliding(df, "b", "key", window=W).collect()}
+    # covered ends: 0..9 observed buckets each cover b..b+2 → 0..11
+    assert set(got) == set(range(0, 10 + W - 1))
+    for end in range(0, 10 + W - 1):
+        direct = (hll_agg(df.where((F.col("b") <= end)
+                                   & (F.col("b") >= end - W + 1)),
+                          [], "key").collect()[0].n_est)
+        assert got[end] == direct, (end, got[end], direct)
+    # window=1 degenerates to per-bucket hll_agg
+    one = {r.bucket_end: r.n_est
+           for r in hll_sliding(df, "b", "key", window=1).collect()}
+    per = {r.b: r.n_est for r in hll_agg(df, ["b"], "key").collect()}
+    assert one == per
+
+
+def test_hll_sliding_accuracy_and_edges(spark):
+    import pyspark.sql.functions as F
+    from fastfilter_spark.spark import hll_sliding
+
+    # planted cardinalities: bucket b holds users b*100 .. b*100+199
+    # (so consecutive buckets overlap by 100 users)
+    rows = [(b, u) for b in range(6) for u in range(b * 100, b * 100 + 200)]
+    df = spark.createDataFrame(rows, "b long, u long") \
+        .select("b", F.xxhash64("u").alias("key"))
+    out = {r.bucket_end: r.n_est
+           for r in hll_sliding(df, "b", "key", window=2).collect()}
+    for end in range(1, 6):
+        exact = 300  # 200 + 200 - 100 overlap
+        assert abs(out[end] - exact) / exact < 0.05
+    assert abs(out[0] - 200) / 200 < 0.05
+    # NULL buckets are excluded entirely
+    with_null = df.union(spark.createDataFrame(
+        [(None, 1), (None, 2)], "b long, key long"))
+    out2 = {r.bucket_end: r.n_est
+            for r in hll_sliding(with_null, "b", "key", window=2).collect()}
+    assert out2 == out
+    import pytest as _pt
+    with _pt.raises(ValueError, match="window"):
+        hll_sliding(df, "b", "key", window=0)
+    with _pt.raises(ValueError, match="integral"):
+        hll_sliding(df.withColumn("b", F.col("b").cast("string")),
+                    "b", "key", window=2)

@@ -947,3 +947,38 @@ def test_epoch_shuffle(spark):
     assert (m1[["shard", "pos"]].values != m3[["shard", "pos"]].values).any()
     with pytest.raises(ValueError):
         epoch_shuffle(docs, "doc_id", 0)
+
+
+def test_upsample(spark):
+    from fastfilter_spark.spark import upsample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = docs.count()
+    # integral factor: exactly 2 copies per row, copy ids 0 and 1
+    two = upsample(docs, F.lit(2.0), "doc_id", seed=1)
+    assert two.count() == 2 * n
+    assert (two.groupBy("doc_id").count().where("count != 2").count() == 0)
+    assert {r.copy for r in two.select("copy").distinct().collect()} == {0, 1}
+    # fractional factor: per-row copies in {floor, floor+1}, mean ≈ factor
+    frac = upsample(docs, F.lit(2.5), "doc_id", seed=1)
+    per = frac.groupBy("doc_id").count().toPandas()
+    assert set(per["count"]) <= {2, 3}
+    assert abs(per["count"].mean() - 2.5) < 0.25
+    # factor < 1 downsamples: kept rows have exactly one copy
+    down = upsample(docs, F.lit(0.4), "doc_id", seed=1)
+    k = down.count()
+    assert 0 < k < n and down.select("doc_id").distinct().count() == k
+    # partitioning-independence: identical multiset after repartition
+    a = sorted((r.doc_id, r.copy) for r in frac.collect())
+    b = sorted((r.doc_id, r.copy) for r in
+               upsample(docs.repartition(13), F.lit(2.5), "doc_id",
+                        seed=1).collect())
+    assert a == b
+    # a different seed flips some fractional coins
+    c = sorted((r.doc_id, r.copy) for r in
+               upsample(docs, F.lit(2.5), "doc_id", seed=2).collect())
+    assert a != c
+    # NULL / zero / negative factors emit nothing
+    assert upsample(docs, F.lit(None).cast("double"), "doc_id").count() == 0
+    assert upsample(docs, F.lit(0.0), "doc_id").count() == 0
+    assert upsample(docs, F.lit(-1.5), "doc_id").count() == 0

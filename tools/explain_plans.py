@@ -449,6 +449,31 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
                    and "rangepartitioning" not in p24.lower()
                    and "pythonudf" not in p24.lower()))
 
+    # 25. upsample: pure narrow Catalyst — ZERO Exchange, no Python
+    # UDF, the copy expansion is a plain explode(sequence) Generate.
+    from fastfilter_spark.spark import upsample
+    p25 = plan_of(upsample(docs, F.lit(1.7), "doc_id", seed=1))
+    checks.append(("upsample: zero Exchange, Generate(explode) only, "
+                   "no Python UDF",
+                   "Exchange" not in p25 and "Generate" in p25
+                   and "pythonudf" not in p25.lower()))
+
+    # 26. hll_sliding: the raw input is scanned ONCE (the window overlap
+    # is resolved on per-bucket blobs, never by re-aggregating raw rows
+    # per end — a shared-subtree 'observed' join would double the scan),
+    # and no nested-loop/cartesian join anywhere.
+    from fastfilter_spark.spark import hll_sliding
+    ev26 = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.floor(F.col("ts").cast("timestamp").cast("long") / 3600)
+        .cast("long").alias("hb"),
+        F.xxhash64("user_id").alias("key"))
+    p26 = plan_of(hll_sliding(ev26, "hb", "key", window=6))
+    checks.append(("hll_sliding: ONE raw scan (overlap resolved on "
+                   "blobs), no nested-loop join",
+                   len(re.findall(r"\(\d+\) Scan parquet", p26)) == 1
+                   and "BroadcastNestedLoopJoin" not in p26
+                   and "CartesianProduct" not in p26))
+
     print(p2)
     print(p3[:3000])
     ok = True
