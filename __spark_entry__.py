@@ -391,6 +391,46 @@ def q_sql_sidecar_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         "AS n_contained FROM ffsk_probe_sc_q")
 
 
+def q_streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quantiles: the events value column replayed with
+    availableNow through the generic incremental sink folding a KLL
+    sketch (the value-folding kind). Exactness surface: the fold count
+    must equal COUNT(value) exactly (exactly-once across micro-batches),
+    and the estimated median's EXACT RANK must sit within the published
+    KLL rank-error bound (±2% at k=200, checked generously) — both
+    booleans the oracle asserts TRUE."""
+    import os
+    import tempfile
+    from fastfilter_spark.streaming import (incremental_any_sketch_sink,
+                                            read_incremental_sketch)
+    ev = _events(spark, sf_dir)
+    state = tempfile.mkdtemp(prefix="ffsk_squant_")
+    stream_dir = tempfile.mkdtemp(prefix="ffsk_squant_src_")
+    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"),
+               os.path.join(stream_dir, "events.parquet"))
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(stream_dir)
+              .select(F.col("value").cast("double").alias("key")))
+    qy = incremental_any_sketch_sink(
+        stream, state, kind="kll", checkpoint_dir=state + "/ck", k=200)
+    if not qy.awaitTermination(300):
+        qy.stop()
+        raise TimeoutError("streaming_quantiles did not finish in 300 s")
+    kll = read_incremental_sketch(state, "kll")
+    est = float(kll.quantile(0.5))
+    vals = ev.where(F.col("value").isNotNull())
+    row = vals.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("value") <= est, 1).otherwise(0)).alias("le")
+    ).collect()[0]
+    rank = row.le / row.n
+    return spark.createDataFrame(
+        [(int(row.n), int(kll.n) == int(row.n),
+          abs(rank - 0.5) <= 0.02)],
+        "n_values long, fold_exact boolean, q50_rank_ok boolean")
+
+
 def q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming frequency sketch: events replayed with availableNow
     through the generic incremental sink (Misra-Gries over
@@ -1859,6 +1899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "uniform_sample": q_uniform_sample,
         "streaming_topk": q_streaming_topk,
+        "streaming_quantiles": q_streaming_quantiles,
         "sql_udf_membership": q_sql_udf_membership,
         "sql_sidecar_membership": q_sql_sidecar_membership,
         "mixture_sample": q_mixture_sample,
@@ -2228,6 +2269,9 @@ def oracle_sql() -> dict[str, str]:
         "streaming_topk": (
             "SELECT COUNT(DISTINCT event_type) AS n_types, "
             "COUNT(*) AS n_events, TRUE AS mg_bounds_ok FROM events"),
+        "streaming_quantiles": (
+            "SELECT COUNT(value) AS n_values, TRUE AS fold_exact, "
+            "TRUE AS q50_rank_ok FROM events"),
         "uniform_sample": (
             # recompute the 52-bit sha256-derived priority exactly:
             # CAST('0x'||hex13 AS BIGINT) / 2^52 is precise in float64

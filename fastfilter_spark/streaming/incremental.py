@@ -377,22 +377,30 @@ def dedup_stream(stream: DataFrame, key_col: str,
 
 
 def _stream_sketches() -> dict:
-    """kind -> (factory, filename, allowed kwargs). Every entry is a
-    MERGEABLE sketch, so batch-partial ⊕ state is exact regardless of
-    micro-batch boundaries (the invariant the generic sink relies on).
+    """kind -> (factory, filename, allowed kwargs, fold). Every entry
+    is a MERGEABLE sketch, so batch-partial ⊕ state is exact regardless
+    of micro-batch boundaries (the invariant the generic sink relies
+    on). ``fold`` says what the column means: "keys" folds uint64 key
+    hashes (distinct/frequency sketches), "values" folds float64
+    measurements (quantile sketches — streaming p99 latency etc.).
     Function-level import: this module keeps a lean import graph (only
     HyperLogLog loads at module import, for the legacy estimate reader)."""
-    from ..sketches import CountMinSketch, MisraGries, ThetaSketch
+    from ..sketches import (CountMinSketch, KLLSketch, MisraGries,
+                            TDigest, ThetaSketch)
     return {
         "hll": (lambda **kw: HyperLogLog(kw.get("p", 14)),
-                "hll.bin", {"p"}),
+                "hll.bin", {"p"}, "keys"),
         "cms": (lambda **kw: CountMinSketch(kw.get("eps", 1e-4),
                                             kw.get("delta", 0.01)),
-                "cms.bin", {"eps", "delta"}),
+                "cms.bin", {"eps", "delta"}, "keys"),
         "theta": (lambda **kw: ThetaSketch(kw.get("k", 4096)),
-                  "theta.bin", {"k"}),
+                  "theta.bin", {"k"}, "keys"),
         "mg": (lambda **kw: MisraGries(kw.get("k", 64)),
-               "mg.bin", {"k"}),
+               "mg.bin", {"k"}, "keys"),
+        "kll": (lambda **kw: KLLSketch(kw.get("k", 200)),
+                "kll.bin", {"k"}, "values"),
+        "tdigest": (lambda **kw: TDigest(kw.get("delta", 200.0)),
+                    "tdigest.bin", {"delta"}, "values"),
     }
 
 
@@ -432,7 +440,8 @@ def incremental_any_sketch_sink(stream_keys: DataFrame, state_dir: str,
                                 **sketch_kwargs):
     """Generalized :func:`incremental_sketch_sink`: fold each
     micro-batch's keys into ANY mergeable sketch (hll / cms / theta /
-    mg) — same exactly-once batch-id marker, same distributed
+    mg over uint64 keys; kll / tdigest over float64 VALUES — streaming
+    quantiles) — same exactly-once batch-id marker, same distributed
     partial-per-partition → driver-merge shape (the shuffle-free
     streaming analogue of the batch two-phase aggregation).
 
@@ -449,7 +458,7 @@ def incremental_any_sketch_sink(stream_keys: DataFrame, state_dir: str,
     if kind not in sketches:
         raise ValueError(f"unknown sketch kind {kind!r}: "
                          f"{sorted(sketches)}")
-    make, fname, allowed = sketches[kind]
+    make, fname, allowed, fold_as = sketches[kind]
     unknown = set(sketch_kwargs) - allowed
     if unknown:
         # silently falling back to defaults would hand the user e.g. a
@@ -489,7 +498,12 @@ def incremental_any_sketch_sink(stream_keys: DataFrame, state_dir: str,
             seen = False
             for pdf in batches:
                 if len(pdf):
-                    sk.add(pd_to_u64(pdf[key_col].dropna()))
+                    col = pdf[key_col].dropna()
+                    if fold_as == "values":
+                        import numpy as _np
+                        sk.add(col.to_numpy(dtype=_np.float64))
+                    else:
+                        sk.add(pd_to_u64(col))
                     seen = True
             if seen:
                 yield pd.DataFrame({"blob": [sk.to_bytes()]})
@@ -523,7 +537,7 @@ def incremental_any_sketch_sink(stream_keys: DataFrame, state_dir: str,
 
 def read_incremental_sketch(state_dir: str, kind: str):
     """Load the folded sketch object back (estimate/query on it)."""
-    make, fname, _allowed = _stream_sketches()[kind]
+    make, fname, _allowed, _fold = _stream_sketches()[kind]
     cls = type(make())
     st = _read_sink_state(os.path.join(state_dir, f"{kind}.state.bin"))
     if st is not None:

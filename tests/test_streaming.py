@@ -435,3 +435,45 @@ def test_sink_state_atomic_and_legacy_migration(spark, events_stream_dir,
     # marker and double-fold already-applied batches
     assert not os.path.exists(os.path.join(st, "mg.bin"))
     assert not os.path.exists(os.path.join(st, "mg.state.json"))
+
+
+def test_incremental_quantile_sink(spark, events_stream_dir, tmp_path):
+    """Value-folding kinds: KLL and t-digest accumulate float
+    measurements across micro-batches — streaming quantiles with the
+    same exactly-once marker as the key sketches."""
+    import numpy as np
+    from fastfilter_spark.streaming import (incremental_any_sketch_sink,
+                                            read_incremental_sketch)
+
+    batch = spark.read.parquet(events_stream_dir)
+    vals = np.sort(batch.select("value").toPandas()["value"]
+                   .dropna().to_numpy())
+    exact_med = vals[len(vals) // 2]
+    spread = vals[-1] - vals[0]
+
+    def mkstream():
+        return (spark.readStream.schema(batch.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(events_stream_dir)
+                .select(F.col("value").cast("double").alias("key")))
+
+    sk = str(tmp_path / "kll_state")
+    q = incremental_any_sketch_sink(mkstream(), sk, kind="kll", k=200,
+                                    checkpoint_dir=str(tmp_path / "ckk"))
+    q.awaitTermination(120)
+    kll = read_incremental_sketch(sk, "kll")
+    assert kll.n == len(vals)              # every value folded, once
+    assert abs(kll.quantile(0.5) - exact_med) <= 0.02 * spread
+
+    q2 = incremental_any_sketch_sink(mkstream(), sk, kind="tdigest",
+                                     checkpoint_dir=str(tmp_path / "ckd"))
+    q2.awaitTermination(120)
+    td = read_incremental_sketch(sk, "tdigest")
+    assert abs(td.quantile(0.5) - exact_med) <= 0.02 * spread
+
+    # replay over the same checkpoint: byte-identical state
+    blob = kll.to_bytes()
+    q3 = incremental_any_sketch_sink(mkstream(), sk, kind="kll", k=200,
+                                     checkpoint_dir=str(tmp_path / "ckk"))
+    q3.awaitTermination(120)
+    assert read_incremental_sketch(sk, "kll").to_bytes() == blob
