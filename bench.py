@@ -29,6 +29,26 @@ def synth_keys(spark, n):
     return spark.range(0, n, 1, CPUS).select(F.xxhash64("id").alias("key"))
 
 
+def _host_control() -> float:
+    """Fixed single-core numpy workload (sort 8.4M doubles, min-of-3):
+    a host-speed index measured in the SAME process right before the
+    suite. The sandbox host throttles 3-10× in multi-second windows
+    (BENCH/BASELINE.md), so round-over-round query comparisons are only
+    meaningful relative to this control — a round whose control is 2×
+    slower ran on a 2×-slower host, not on 2×-slower code. Deterministic
+    input, no Spark, no allocation surprises (np.sort returns a fresh
+    sorted copy each rep)."""
+    import numpy as np
+    a = np.random.default_rng(0).random(1 << 23)
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        np.sort(a)
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 4)
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -228,6 +248,7 @@ def main() -> None:
     emb.unpersist()
 
     total = round(sum(timings.values()), 3)
+    ctrl = _host_control()
     print(json.dumps({
         # "min-of-2" in the label: since r3 each query's timing is the
         # best of 2 runs (host-throttle hardening), so `value` is the
@@ -242,12 +263,14 @@ def main() -> None:
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "cpus": CPUS,
         "throughput": extra,
-        "regressions": _regressions(timings),
+        "host_control_sec": ctrl,
+        "regressions": _regressions(timings, ctrl),
     }))
     spark.stop()
 
 
-def _regressions(timings: dict, factor: float = 1.3) -> list:
+def _regressions(timings: dict, ctrl: float | None = None,
+                 factor: float = 1.3) -> list:
     """Per-query regression gate vs the PREVIOUS round's committed
     BENCH_r*.json: any shared query >1.3× slower is listed in the
     artifact itself, so a regression is visible without a human diffing
@@ -271,16 +294,26 @@ def _regressions(timings: dict, factor: float = 1.3) -> list:
         # under "parsed"; accept both the raw and the wrapped shape
         prev = (doc.get("queries")
                 or doc.get("parsed", {}).get("queries") or {})
+        prev_ctrl = (doc.get("host_control_sec")
+                     or doc.get("parsed", {}).get("host_control_sec"))
     except (OSError, ValueError):
         # the gate is informational — it must never cost the run its
         # one-line JSON after the whole suite has already executed
         return []
+    # host_ratio: how much slower THIS host window is than the previous
+    # round's (from the fixed numpy control). A flagged query whose
+    # ratio ≈ host_ratio regressed with the host, not with the code.
+    host_ratio = (round(ctrl / prev_ctrl, 2)
+                  if ctrl and prev_ctrl else None)
     out = []
     for q, t in timings.items():
         p = prev.get(q)
         if p and t > factor * p:
-            out.append({"query": q, "prev_sec": p, "now_sec": t,
-                        "ratio": round(t / p, 2)})
+            entry = {"query": q, "prev_sec": p, "now_sec": t,
+                     "ratio": round(t / p, 2)}
+            if host_ratio is not None:
+                entry["host_ratio"] = host_ratio
+            out.append(entry)
     return out
 
 
