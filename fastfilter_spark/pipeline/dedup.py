@@ -569,7 +569,10 @@ def keep_best_per_cluster(df: DataFrame, pairs: DataFrame, id_col: str,
     ``cluster_size``, and ``is_rep``; filter ``is_rep`` to materialize
     the deduplicated corpus. Ids must be unique (one row per id) and
     ``score_col`` numeric; NULL scores never win (a cluster of only
-    NULL scores falls back to the minimum id).
+    NULL scores falls back to the minimum id). Rows with a NULL id
+    cannot join any cluster (SQL NULL never equi-joins): they pass
+    through as singleton self-representatives with component NULL —
+    never silently dropped.
 
     Scale shape: clustering is the O(log d) alternating-star
     :func:`~fastfilter_spark.pipeline.graph.connected_components`; the
@@ -582,6 +585,15 @@ def keep_best_per_cluster(df: DataFrame, pairs: DataFrame, id_col: str,
     ``stats`` receives the clustering round count.
     """
     from .graph import connected_components
+    # NULL-id rows would vanish in the final equi-join on component
+    # (component stays NULL, NULL != NULL): split them off up front and
+    # pass them through as singleton self-reps instead of losing rows.
+    null_ids = (df.where(F.col(id_col).isNull())
+                .withColumn("component",
+                            F.lit(None).cast(df.schema[id_col].dataType))
+                .withColumn("cluster_size", F.lit(1).cast("long"))
+                .withColumn("is_rep", F.lit(True)))
+    df = df.where(F.col(id_col).isNotNull())
     labels = (connected_components(pairs, src, dst, stats=stats)
               .withColumnRenamed("id", id_col))
     joined = (df.join(labels, id_col, "left")
@@ -599,6 +611,7 @@ def keep_best_per_cluster(df: DataFrame, pairs: DataFrame, id_col: str,
                  F.count("*").alias("cluster_size")))
     rep = best.select("component", F.col("b.i").alias("__rep"),
                       "cluster_size")
-    return (joined.join(rep, "component")
-            .withColumn("is_rep", F.col(id_col) == F.col("__rep"))
-            .drop("__rep"))
+    out = (joined.join(rep, "component")
+           .withColumn("is_rep", F.col(id_col) == F.col("__rep"))
+           .drop("__rep"))
+    return out.unionByName(null_ids.select(*out.columns))

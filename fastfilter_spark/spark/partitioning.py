@@ -366,7 +366,13 @@ def detect_hot_keys(df: DataFrame, on: str, threshold: float = 0.01,
     elif k + 1 <= 1.0 / threshold:
         raise ValueError(f"k={k} cannot guarantee detection at "
                          f"threshold={threshold}: need k > 1/threshold - 1")
-    keyed = df.select(F.xxhash64(F.col(on)).alias(_KH))
+    # NULL keys are excluded: xxhash64(NULL) is 42 (the seed), NOT NULL,
+    # so a NULL-heavy column would otherwise promote hash-42 into the
+    # hot set — and a NULL key never equi-joins anything, so salting it
+    # is pure wasted dim replication. NULLs also must not burn an MG
+    # counter slot that a real hot key needs.
+    keyed = (df.where(F.col(on).isNotNull())
+             .select(F.xxhash64(F.col(on)).alias(_KH)))
     row = mg_agg(keyed, [], _KH, k=k).collect()[0]
     mg = MisraGries.from_bytes(bytes(row.sketch))
     hh, counts = mg.heavy_hitters(threshold)
@@ -403,10 +409,13 @@ def auto_salted_join(fact: DataFrame, dim: DataFrame, on: str,
     hot = detect_hot_keys(fact, on, threshold=threshold, k=k)["hashes"]
     if not hot:
         return fact.join(dim, on, how)
-    # coalesce: xxhash64(NULL) is NULL and `NULL.isin(...)` is NULL — a
-    # bare negation would drop NULL-key rows from BOTH branches (silent
-    # row loss under how="left"); coalesced, they take the cold path.
-    is_hot = F.coalesce(F.xxhash64(F.col(on)).isin(hot), F.lit(False))
+    # NULL keys always take the cold path: xxhash64(NULL) is 42 (never
+    # NULL), so without the isNotNull conjunct a NULL-heavy fact side
+    # could match a hot hash and replicate dim NULLs salt_n times for
+    # zero matches. The conjunction is non-NULL by construction
+    # (x AND FALSE = FALSE), so ~is_hot stays TRUE for NULL keys and
+    # how="left" keeps them via the cold branch.
+    is_hot = (F.xxhash64(F.col(on)).isin(hot) & F.col(on).isNotNull())
     f_hot = (fact.where(is_hot)
              .withColumn(_SALT, F.pmod(F.xxhash64(*salt_by),
                                        F.lit(salt_n)).cast("int")))

@@ -198,9 +198,11 @@ def epoch_shuffle(df: DataFrame, id_col: str, num_shards: int,
     if num_shards < 1:
         raise ValueError(f"num_shards must be >= 1, got {num_shards}")
     c = F.col(id_col)
+    # within-shard order IS sample_priority's 52-bit contract (shared
+    # helper, not a re-derivation — Catalyst CSE dedupes the sha2);
+    # the shard takes the NEXT 52 bits of the same digest
     hx = F.sha2(F.concat(c.cast("string"), F.lit(f"#{seed}")), 256)
-    pri = (F.conv(F.substring(hx, 1, 13), 16, 10).cast("double")
-           / F.lit(float(1 << 52)))
+    pri = sample_priority(id_col, seed)
     shard = F.pmod(F.conv(F.substring(hx, 14, 13), 16, 10).cast("long"),
                    F.lit(num_shards))
     from pyspark.sql import Window
@@ -223,7 +225,10 @@ def upsample(df: DataFrame, factor, id_col: str, seed: int = 0,
     with a new independent draw per seed (epoch).
 
     ``factor`` is a Column (or column name) of per-row expected counts;
-    NULL or non-positive factors emit zero copies. Output rows carry
+    NULL or non-positive factors emit zero copies, and so do NULL ids
+    (no id → no deterministic coin; a silent floor(factor) fallback
+    would mis-weight NULL-id corpora, so they drop loudly-by-contract
+    instead — coalesce a surrogate id upstream). Output rows carry
     ``copy_col`` = 0..reps-1 so downstream keys stay unique via
     (id, copy). The fractional coin is the 52-bit sha256 priority of
     :func:`sample_priority` — float64-exact, so any engine reproduces
@@ -242,7 +247,8 @@ def upsample(df: DataFrame, factor, id_col: str, seed: int = 0,
         .cast("double")
     u = sample_priority(id_col, seed)
     base = F.floor(fac).cast("long")
-    reps = F.when(fac.isNotNull() & (fac > 0),
+    reps = F.when(fac.isNotNull() & (fac > 0)
+                  & F.col(id_col).isNotNull(),
                   base + F.when(u < fac - base.cast("double"), 1)
                   .otherwise(0)).otherwise(F.lit(0))
     # sequence(0, -1) would DESCEND (Spark auto-negates the step), so

@@ -252,7 +252,9 @@ def hll_sliding(df: DataFrame, bucket_col: str, key_col: str,
                 window: int, p: int = 14) -> DataFrame:
     """Trailing-window distinct-count estimates from per-bucket HLL
     partials: for every observed integer bucket ``b``, the estimate
-    over buckets ``b-window+1 .. b`` → (bucket_end, n_est, sketch).
+    over buckets ``b-window+1 .. b`` → (bucket_end BIGINT, n_est,
+    sketch) — bucket_end is widened because ends reach past the input
+    type's max.
 
     The 100 TB shape for "distinct users over the trailing W hours,
     per hour": every raw row is folded into its bucket's sketch ONCE
@@ -287,15 +289,18 @@ def hll_sliding(df: DataFrame, bucket_col: str, key_col: str,
         raise ValueError(
             f"bucket column {bucket_col!r} must be integral, got {btype} "
             "(derive an index upstream, e.g. floor(epoch_seconds/3600))")
+    # bucket_end is always BIGINT: ends reach b + window - 1, which can
+    # overflow the input's narrower type (tinyint bucket 127, window 4
+    # → end 130 — declaring the input type makes the Arrow cast throw)
     per = hll_agg(df, [bucket_col], key_col, p=p) \
-        .select(F.col(bucket_col).alias("__b"), "sketch")
+        .select(F.col(bucket_col).cast("bigint").alias("__b"), "sketch")
     # each bucket contributes to window ends b .. b+window-1
     ends = per.select(
         F.explode(F.sequence(F.col("__b"),
                              F.col("__b") + F.lit(window - 1)))
         .alias("bucket_end"), "sketch")
 
-    out_schema = f"bucket_end {btype}, n_est double, sketch binary"
+    out_schema = "bucket_end bigint, n_est double, sketch binary"
 
     def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
         acc = HyperLogLog.from_bytes(pdf["sketch"].iloc[0])

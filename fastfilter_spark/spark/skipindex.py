@@ -65,6 +65,17 @@ _MANIFEST = "skipindex_manifest.json"
 _FILES = "files.parquet"
 
 
+def _commit_manifest(manifest_path: str, manifest: dict) -> dict:
+    """The ONE manifest commit protocol (tmp write + atomic os.replace)
+    — build, no-op key re-record and update all route here, so a fix to
+    the crash-safety story (fsync, encoding, tmp naming) lands once."""
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, manifest_path)
+    return manifest
+
+
 def _files_path(index_path: str, manifest: dict) -> str:
     """The index table's CURRENT generation dir (orphan-removal
     rewrites repoint ``files_dir``; older manifests predate the field)."""
@@ -209,11 +220,7 @@ def build_file_skipping_index(
                 "n_files": int(agg.files),
                 "n_keys": int(agg.keys or 0),
                 "blob_bytes": int(agg.blob_bytes or 0)}
-    tmp = manifest_path + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    os.replace(tmp, manifest_path)
-    return manifest
+    return _commit_manifest(manifest_path, manifest)
 
 
 def update_file_skipping_index(spark: SparkSession, data_path: str,
@@ -294,12 +301,8 @@ def update_file_skipping_index(spark: SparkSession, data_path: str,
         # take effect even when there is no blob work, or the next
         # unflagged update re-raises the mismatch it just accepted
         if manifest.get("key_repr") != _key_repr(key_expr):
-            out = dict(manifest, key_repr=_key_repr(key_expr))
-            tmp = manifest_path + ".tmp"
-            with open(tmp, "w") as fh:
-                json.dump(out, fh)
-            os.replace(tmp, manifest_path)
-            return out
+            return _commit_manifest(
+                manifest_path, dict(manifest, key_repr=_key_repr(key_expr)))
         return manifest
 
     files_dir = manifest.get("files_dir", _FILES)
@@ -313,9 +316,14 @@ def update_file_skipping_index(spark: SparkSession, data_path: str,
     if orphans:
         # rewrite the (tiny, index-sized) table without orphan rows
         # into the NEXT generation dir; the manifest repoint below is
-        # the atomic commit, after which the old generation is garbage
+        # the atomic commit, after which the old generation is garbage.
+        # Anti-join, NOT isin: a mass-deletion day orphans ~100k files
+        # and a 100k-literal IN bloats the plan to MBs (the same cap
+        # _write_file_blobs enforces at 1024 literals).
+        orphan_df = spark.createDataFrame(
+            [(o,) for o in sorted(orphans)], "file string")
         keep = (spark.read.parquet(files_path)
-                .where(~F.col("file").isin(sorted(orphans))))
+                .join(F.broadcast(orphan_df), "file", "left_anti"))
         gen = int(files_dir.rsplit(".g", 1)[1]) + 1 \
             if ".g" in files_dir else 1
         new_dir = f"{_FILES}.g{gen}"
@@ -329,10 +337,7 @@ def update_file_skipping_index(spark: SparkSession, data_path: str,
                key_repr=_key_repr(key_expr),
                n_files=int(agg.files), n_keys=int(agg.keys or 0),
                blob_bytes=int(agg.blob_bytes or 0))
-    tmp = manifest_path + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(out, fh)
-    os.replace(tmp, manifest_path)   # atomic commit of the update
+    _commit_manifest(manifest_path, out)   # atomic commit of the update
     # the generation superseded by this commit is intentionally NOT
     # deleted here: in-flight readers that resolved the manifest
     # pre-repoint may still be scanning it. The next update's

@@ -316,3 +316,27 @@ def test_string_prefix_key_order_preserving(spark):
     keys_in_string_order = [r.k for r in by_string]
     assert keys_in_string_order == sorted(keys_in_string_order)
     assert all(0 <= r.k < 2 ** 48 for r in rows)
+
+
+def test_null_heavy_fact_never_hot(spark):
+    """xxhash64(NULL) is 42, not NULL: a NULL-majority fact column must
+    NOT promote the NULL 'key' into the hot set (a NULL key never
+    equi-joins, so salting it is pure wasted dim replication), and the
+    join stays row-identical to the plain join."""
+    from fastfilter_spark.spark import auto_salted_join, detect_hot_keys
+    fact = spark.createDataFrame(
+        pd.DataFrame({"k": [None] * 80 + ["a"] * 15 + ["b"] * 5,
+                      "x": list(range(100))}))
+    hot = detect_hot_keys(fact, "k", threshold=0.1)
+    # hash-42 (the NULL seed hash) absent; 'a' present (15% > 10%)
+    assert 42 not in hot["hashes"]
+    assert hot["n_total"] == 20          # NULLs excluded from the total
+    dim = spark.createDataFrame(pd.DataFrame({"k": ["a", "b"],
+                                              "y": [1, 2]}))
+    got = (auto_salted_join(fact, dim, "k", salt_n=4, threshold=0.1,
+                            how="left").toPandas()
+           .sort_values(["x"]).reset_index(drop=True))
+    want = (fact.join(dim, "k", "left").toPandas()
+            .sort_values(["x"]).reset_index(drop=True))
+    assert (got["x"] == want["x"]).all()
+    assert got["y"].fillna(-1).tolist() == want["y"].fillna(-1).tolist()

@@ -833,3 +833,24 @@ def test_keep_best_per_cluster(spark):
     pairs2 = spark.createDataFrame([(1, 2), (100, 101)],
                                    "id_a long, id_b long")
     assert keep_best_per_cluster(df, pairs2, "id", "score").count() == len(rows)
+
+
+def test_keep_best_null_ids_pass_through(spark):
+    """Rows with NULL ids cannot cluster (NULL never equi-joins) but
+    must NOT be silently dropped: they come back as singleton
+    self-representatives with component NULL."""
+    from fastfilter_spark.pipeline import keep_best_per_cluster
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 30.0), (None, 5.0), (None, 7.0)],
+        "id long, score double")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    out = keep_best_per_cluster(df, pairs, "id", "score").toPandas()
+    assert len(out) == 4                       # nothing dropped
+    nulls = out[out["id"].isna()]
+    assert len(nulls) == 2
+    assert nulls["is_rep"].all()
+    assert (nulls["cluster_size"] == 1).all()
+    assert nulls["component"].isna().all()
+    reps = out[out["is_rep"]]
+    assert set(reps[~reps["id"].isna()]["id"]) == {2.0}

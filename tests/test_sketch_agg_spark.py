@@ -219,3 +219,23 @@ def test_hll_sliding_accuracy_and_edges(spark):
     with _pt.raises(ValueError, match="integral"):
         hll_sliding(df.withColumn("b", F.col("b").cast("string")),
                     "b", "key", window=2)
+
+
+def test_hll_sliding_narrow_bucket_type_widens(spark):
+    """Window ends can exceed the input bucket type's max (tinyint 127,
+    window 4 → end 130): bucket_end is always BIGINT so the Arrow cast
+    can never overflow-crash."""
+    import pyspark.sql.functions as F
+    from fastfilter_spark.spark import hll_sliding
+
+    df = (spark.createDataFrame([(126, 1), (127, 2), (127, 3)],
+                                "b int, u long")
+          .select(F.col("b").cast("tinyint").alias("b"),
+                  F.xxhash64("u").alias("key")))
+    out = hll_sliding(df, "b", "key", window=4)
+    assert dict(out.dtypes)["bucket_end"] == "bigint"
+    got = {r.bucket_end: r.n_est for r in out.collect()}
+    assert set(got) == set(range(126, 131))    # ends reach 127+3
+    # ends 128/129 cover both buckets (3 users); end 130 only 127 (2)
+    assert round(got[128]) == round(got[129]) == 3
+    assert round(got[130]) == 2

@@ -982,3 +982,13 @@ def test_upsample(spark):
     assert upsample(docs, F.lit(None).cast("double"), "doc_id").count() == 0
     assert upsample(docs, F.lit(0.0), "doc_id").count() == 0
     assert upsample(docs, F.lit(-1.5), "doc_id").count() == 0
+
+
+def test_upsample_null_ids_drop(spark):
+    """NULL ids have no deterministic coin: zero copies, loudly
+    documented — never a silent floor(factor) fallback."""
+    from fastfilter_spark.spark import upsample
+    df = spark.createDataFrame([(1,), (None,), (None,)], "id long")
+    out = upsample(df, F.lit(2.5), "id", seed=1)
+    assert out.where("id IS NULL").count() == 0
+    assert out.where("id IS NOT NULL").count() in (2, 3)
