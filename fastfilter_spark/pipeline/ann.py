@@ -130,8 +130,18 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame,
             cnorm = np.linalg.norm(cmat, axis=1)
             cnorm[cnorm == 0] = 1.0
             sims = (cmat / cnorm[:, None]) @ qn.T      # (batch, nq)
+            # corrupt vectors (NaN/inf components — dirty data is a
+            # given at corpus scale) give non-finite sims; Spark ranks
+            # NaN ABOVE every double in a desc window, so unsanitized
+            # they'd become the rank-1 neighbor of every query — and
+            # whether the small-batch path emitted them would depend on
+            # Arrow batch boundaries. Mask to -inf (deterministically
+            # last) and drop below.
+            sims = np.where(np.isfinite(sims), sims, -np.inf)
             cids = pdf[id_col].to_numpy(dtype=np.int64)
             bi, qi = _partial_topk(sims, cids, m)
+            fin = np.isfinite(sims[bi, qi])
+            bi, qi = bi[fin], qi[fin]
             yield pd.DataFrame({
                 "query_id": qids_b[qi],
                 "neighbor_id": cids[bi],
@@ -287,10 +297,15 @@ def lsh_topk(corpus: DataFrame, vec_col: str = "embedding",
         bm = _as_matrix(b, dim)
         an = np.linalg.norm(am, axis=1); an[an == 0] = 1
         bn = np.linalg.norm(bm, axis=1); bn[bn == 0] = 1
-        return pd.Series(np.einsum("ij,ij->i", am, bm) / (an * bn))
+        out = np.einsum("ij,ij->i", am, bm) / (an * bn)
+        # corrupt vectors → -inf, not NaN: Spark ranks NaN above every
+        # double in the desc window (it would be rank-1 for every
+        # query it buckets with); -inf rows are dropped below
+        return pd.Series(np.where(np.isfinite(out), out, -np.inf))
 
-    scored = paired.withColumn("cos_sim", _cos("qv", "nv")) \
-                   .select("query_id", "neighbor_id", "cos_sim")
+    scored = (paired.withColumn("cos_sim", _cos("qv", "nv"))
+              .where(F.col("cos_sim") > F.lit(float("-inf")))
+              .select("query_id", "neighbor_id", "cos_sim"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -407,13 +422,17 @@ def _ivf_score(assigned: DataFrame, qids: np.ndarray, qmat: np.ndarray,
                 continue
             cmat = _unit(_as_matrix(pdf[vec_col], dim))
             sims = cmat @ qn.T                            # (batch, nq)
+            # NaN/inf sims from corrupt vectors → -inf (same rationale
+            # as brute_force_topk: NaN would rank first in the final
+            # desc window and poison every probed query)
+            sims = np.where(np.isfinite(sims), sims, -np.inf)
             cells = pdf["cell"].to_numpy(dtype=np.int64)
             keep = mask[cells]                            # (batch, nq)
             cids = pdf[id_col].to_numpy(dtype=np.int64)
             masked = np.where(keep, sims, -np.inf)
             cols = np.nonzero(keep.any(axis=0))[0]
             bi, qi = _partial_topk(masked, cids, m, cols)
-            ok = keep[bi, qi]
+            ok = keep[bi, qi] & np.isfinite(sims[bi, qi])
             bi, qi = bi[ok], qi[ok]
             yield pd.DataFrame({
                 "query_id": qids_b[qi],
@@ -480,9 +499,16 @@ def write_ivf_index(corpus: DataFrame, path: str,
     if centroids is None:
         centroids = train_ivf_centroids(corpus, vec_col, id_col, n_cells,
                                         train_limit, kmeans_iters, seed)
+    # partitionOverwriteMode pinned to static: under the session-level
+    # 'dynamic' mode (common in production ETL) a rebuild would replace
+    # only the cell dirs present in the NEW write, leaving stale cells
+    # assigned under the OLD quantizer — the fresh centroids sidecar
+    # then "completes" an index whose rows mix two quantizers.
     (ivf_assign(corpus, centroids, vec_col)
      .select(id_col, vec_col, "cell")
-     .write.mode("overwrite").partitionBy("cell").parquet(path))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "static")
+     .partitionBy("cell").parquet(path))
     tmp = os.path.join(path, IVF_CENTROIDS_FILE + ".tmp")
     with open(tmp, "wb") as fh:
         np.save(fh, centroids)
@@ -584,16 +610,18 @@ def cosine_near_dups(df: DataFrame, vec_col: str = "embedding",
                                     dim, seed, max_bucket, multiprobe,
                                     directed=False)
         pairs = (cands
-                 .join(left.withColumnRenamed("id_a", "id_a2")
-                       .withColumnRenamed("va", "va"),
+                 .join(left.withColumnRenamed("id_a", "id_a2"),
                        F.col("id_a") == F.col("id_a2")).drop("id_a2")
-                 .join(right.withColumnRenamed("id_b", "id_b2")
-                       .withColumnRenamed("vb", "vb"),
+                 .join(right.withColumnRenamed("id_b", "id_b2"),
                        F.col("id_b") == F.col("id_b2")).drop("id_b2"))
     else:
         raise ValueError(f"unknown method {method!r}")
+    # ~isnan: Spark treats NaN as LARGER than any double, so a corrupt
+    # vector (NaN component → NaN cosine against everything) would pass
+    # `>= threshold` and flag every partner as its near-duplicate
     return (pairs
             .withColumn("cos_sim", _jvm_dot(F.col("va"), F.col("vb"))
                         / (F.col("na") * F.col("nb")))
-            .where(F.col("cos_sim") >= threshold)
+            .where((F.col("cos_sim") >= threshold)
+                   & ~F.isnan(F.col("cos_sim")))
             .select("id_a", "id_b", "cos_sim"))

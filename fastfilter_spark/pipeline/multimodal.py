@@ -356,8 +356,13 @@ def make_fake_media(df: DataFrame, id_col: str, kind: str = "image",
         (F.lit(width) if kind != "audio" else F.lit(0)).alias("width"),
         (F.lit(height) if kind != "audio" else F.lit(0)).alias("height"),
         # deterministic per-id frame count (1..7) so video sampling
-        # plumbing has real variation to chew on
-        (F.col(id_col).cast("long") % 7 + 1).cast("int").alias("n_frames")
+        # plumbing has real variation to chew on. pmod, not %: Spark's
+        # remainder follows the dividend's sign, so a negative id would
+        # make this column disagree with the payload built via Python's
+        # floored `int(i) % 7` (n_frames 0 or negative vs a real ≥1
+        # frame count in the AVI header)
+        (F.pmod(F.col(id_col).cast("long"), F.lit(7)) + 1)
+        .cast("int").alias("n_frames")
         if kind == "video" else F.lit(1).alias("n_frames"))
 
 
@@ -424,8 +429,11 @@ def frame_sample(media: DataFrame, every_n: int = 2,
 
     * ``decode=False`` (default): pure-JVM plumbing — explode the
       sampled frame-index sequence from the ``n_frames`` metadata
-      column; no Python, no decode. The cheap shape when downstream
-      only needs (video, frame_idx) work items.
+      column; no Python, no decode. Emits (media_id, kind, frame_idx)
+      work items ONLY — the payload is deliberately NOT carried, or the
+      explode would duplicate every video's bytes n_frames/every_n
+      times through downstream shuffles; join it back by media_id at
+      the point of actual decode.
     * ``decode=True``: REAL decode — one Arrow batch of AVI payloads at
       a time, each video decoded once (``decode_avi``), every
       ``every_n``-th frame emitted with its pixel mean. Sampling is
@@ -452,7 +460,7 @@ def frame_sample(media: DataFrame, every_n: int = 2,
                                 F.lit(0),
                                 F.greatest(F.col("n_frames") - 1, F.lit(0)),
                                 F.lit(every_n))))
-                .select("media_id", "kind", "frame_idx", "payload"))
+                .select("media_id", "kind", "frame_idx"))
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -459,8 +459,15 @@ def add_keys(
     from .. import workerside
 
     P, salt = pf.num_partitions, pf.salt
-    old = old_keys_df.select(F.col(key_col).alias("key"))
-    new = new_keys_df.select(F.col(key_col).alias("key"))
+    # NULL filter matches the build path (build.py:231) and cuckoo_update:
+    # a NULL surviving into the union would make pyarrow hand the worker
+    # kernel a float64-with-NaN column whose uint64 reinterpretation
+    # garbles EVERY key of the touched pid — false negatives on
+    # previously-member keys, a zero-FN contract violation.
+    old = (old_keys_df.select(F.col(key_col).alias("key"))
+           .where(F.col("key").isNotNull()))
+    new = (new_keys_df.select(F.col(key_col).alias("key"))
+           .where(F.col("key").isNotNull()))
     genuinely_new = new.join(old, "key", "left_anti")
     touched = (genuinely_new
                .withColumn("pid", partition_id("key", P, salt, pf.routing))

@@ -92,10 +92,43 @@ class GroupedFilters:
              .otherwise(F.lit(False)))
 
     def filter_for(self, *values):
-        """Load one group's filter driver-side (export / unit probes)."""
+        """Load one group's filter driver-side (export / unit probes).
+
+        Group keys were rendered by Spark's cast-to-string at build
+        time, which disagrees with Python's str() for some types
+        (bool: 'true' vs 'True'; doubles: Java '1.0E-7' vs Python
+        '1e-07') — so after an exact-string miss, bools are mapped to
+        Spark's lowercase form and numeric values fall back to a
+        value-equality scan over the (bounded, ≤max_groups) key set."""
+        def _canon(v):
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            return str(v)
+
+        def _k(vals):
+            return GROUP_SEP.join(_esc_py(s) for s in vals)
+
         from .. import workerside
-        return workerside.load_filter(
-            self.blob_map[GROUP_SEP.join(_esc_py(str(v)) for v in values)])
+        key = _k([_canon(v) for v in values])
+        if key not in self.blob_map and any(
+                isinstance(v, float) for v in values):
+            for gkey in self.blob_map:
+                # split on bare SEP: numeric renderings never contain
+                # it, and a string value that does (escaped ESC+SEP)
+                # inflates the part count, failing the length check —
+                # such groups are only reachable by exact match above
+                parts = gkey.split(GROUP_SEP)
+                if len(parts) != len(values):
+                    continue
+                try:
+                    if all((float(p) == float(v))
+                           if isinstance(v, float) else (p == _canon(v))
+                           for p, v in zip(parts, values)):
+                        key = gkey
+                        break
+                except ValueError:
+                    continue
+        return workerside.load_filter(self.blob_map[key])
 
     @property
     def n_groups(self) -> int:

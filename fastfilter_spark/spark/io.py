@@ -37,12 +37,19 @@ def read_corpus(spark: SparkSession, location: str,
         try:
             return spark.read.table(table)
         except AnalysisException as e:
-            # only the table-missing/catalog-missing shape may fall
-            # back — a bare except here once hid permission errors and
-            # silently read (possibly different) parquet data instead
+            # only the table-missing/catalog-missing shapes may fall
+            # back; anything else (permission/access failures in HMS or
+            # Glue also surface as AnalysisException) must RAISE — a
+            # broad fallback would silently read (possibly stale)
+            # parquet instead of failing the denied catalog read
+            cls = e.getErrorClass() or ""
+            if not ("TABLE_OR_VIEW_NOT_FOUND" in cls
+                    or "CATALOG_NOT_FOUND" in cls
+                    or "REQUIRES_SINGLE_PART_NAMESPACE" in cls):
+                raise
             import warnings
             warnings.warn(f"read_corpus: catalog table {table!r} "
-                          f"unavailable ({e.getErrorClass() or e}); "
+                          f"unavailable ({cls or e}); "
                           f"falling back to parquet at {location}")
     return spark.read.parquet(location)
 

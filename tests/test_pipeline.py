@@ -854,3 +854,51 @@ def test_keep_best_null_ids_pass_through(spark):
     assert nulls["component"].isna().all()
     reps = out[out["is_rep"]]
     assert set(reps[~reps["id"].isna()]["id"]) == {2.0}
+
+
+def test_ann_nan_vectors_never_rank(spark):
+    """A corrupt (NaN-component) corpus vector gives NaN cosine against
+    everything; Spark ranks NaN above every double in a desc window, so
+    unsanitized it would be the rank-1 neighbor of every query and a
+    universal 'near-duplicate'. All three paths must exclude it."""
+    import math
+    from fastfilter_spark.pipeline import (brute_force_topk,
+                                           cosine_near_dups, lsh_topk)
+
+    rows = []
+    for i in range(40):
+        v = [0.0] * 8
+        v[i % 8] = 1.0
+        v[(i + 1) % 8] = 0.5
+        rows.append((i, v))
+    rows.append((999, [float("nan")] * 8))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    bf = brute_force_topk(df, df.where("vec_id < 3"), "embedding",
+                          "vec_id", k=3).toPandas()
+    assert 999 not in set(bf["neighbor_id"])
+    assert not bf["cos_sim"].isna().any()
+    assert not bf["cos_sim"].map(math.isinf).any()
+
+    nd = cosine_near_dups(df, "embedding", "vec_id", threshold=0.5,
+                          method="exact", dim=8).toPandas()
+    assert 999 not in set(nd["id_a"]) | set(nd["id_b"])
+    assert not nd["cos_sim"].isna().any()
+
+    lt = lsh_topk(df, "embedding", "vec_id", k=3, n_bits=16, bands=2,
+                  dim=8, max_bucket=None).toPandas()
+    assert 999 not in set(lt["neighbor_id"])
+    assert not lt["cos_sim"].isna().any()
+
+
+def test_make_fake_media_negative_ids_consistent(spark):
+    """Spark % follows the dividend's sign; the payload uses Python's
+    floored %. n_frames metadata must equal the real decoded frame
+    count for negative ids too (pmod fix)."""
+    from fastfilter_spark.pipeline import decode_avi, make_fake_media
+
+    df = spark.createDataFrame([(-1,), (-6,), (3,)], "doc_id long")
+    media = make_fake_media(df, "doc_id", kind="video").toPandas()
+    for _, r in media.iterrows():
+        assert r["n_frames"] >= 1
+        assert decode_avi(bytes(r["payload"])).shape[0] == r["n_frames"]

@@ -992,3 +992,49 @@ def test_upsample_null_ids_drop(spark):
     out = upsample(df, F.lit(2.5), "id", seed=1)
     assert out.where("id IS NULL").count() == 0
     assert out.where("id IS NOT NULL").count() in (2, 3)
+
+
+def test_add_keys_null_keys_filtered(spark):
+    """A NULL key in either side of add_keys must not poison a rebuilt
+    partition: pyarrow would deliver int64-with-null as float64 and the
+    uint64 reinterpretation garbles EVERY key of the touched pid —
+    false negatives on previously-member keys. NULLs are filtered like
+    the build path; result is byte-identical to the null-free merge."""
+    from fastfilter_spark.spark import add_keys, build_partitioned_filter
+
+    old = spark.range(2000).select(F.xxhash64("id").alias("key"))
+    new_clean = spark.range(2000, 2400).select(
+        F.xxhash64("id").alias("key"))
+    new_dirty = new_clean.unionByName(
+        spark.createDataFrame([(None,)], "key long"))
+    pf = build_partitioned_filter(old, kind="bf8", num_partitions=8)
+    merged_dirty = add_keys(pf, old, new_dirty)
+    merged_clean = add_keys(pf, old, new_clean)
+    assert merged_dirty.blobs == merged_clean.blobs
+    # zero FN on the union
+    union = old.unionByName(new_clean)
+    assert (merged_dirty.with_contains(union, "key")
+            .where("NOT contained").count() == 0)
+
+
+def test_grouped_filter_for_nonstring_groups(spark):
+    """Build renders group keys with Spark's cast-to-string; filter_for
+    must find them for bool ('true' vs Python 'True') and float
+    (Java scientific form vs Python repr) group values."""
+    from fastfilter_spark.spark import build_grouped_filters
+
+    df = spark.createDataFrame(
+        [(True, 0.0000001, i) for i in range(50)]
+        + [(False, 2.5, i) for i in range(50, 90)],
+        "flag boolean, w double, id long") \
+        .select("flag", "w", F.xxhash64("id").alias("key"))
+    gf = build_grouped_filters(df, ["flag", "w"], "key")
+    probe = gf.filter_for(True, 0.0000001)
+    assert probe.contains(
+        __import__("numpy").uint64(
+            spark.createDataFrame([(0,)], "id long")
+            .select(F.xxhash64("id")).collect()[0][0]
+            & 0xFFFFFFFFFFFFFFFF)) in (True, __import__("numpy").True_)
+    import pytest as _pt
+    with _pt.raises(KeyError):
+        gf.filter_for(True, 123.456)     # genuinely absent group
