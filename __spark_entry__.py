@@ -1968,11 +1968,15 @@ def _avi_size_consts() -> tuple:
 _AVI_A, _AVI_B = _avi_size_consts()
 
 # distinct 3-word shingle strings, matching pipeline.text.shingles(k=3):
-# windows 1..max(n_tokens-2, 1); short docs yield one truncated shingle
+# windows 1..max(n_tokens-2, 1); short docs yield one truncated shingle;
+# EMPTY/NULL docs yield [] (mirrors the Spark-side size guard — no
+# phantom '' shingle shared by every empty doc)
 _SHINGLES3_SQL = (
+    f"CASE WHEN len({_TOKENS_SQL}) >= 1 THEN "
     f"list_distinct(list_transform("
     f"range(1, greatest(len({_TOKENS_SQL}) - 2, 1) + 1), "
-    f"i -> array_to_string(list_slice({_TOKENS_SQL}, i, i + 2), ' ')))")
+    f"i -> array_to_string(list_slice({_TOKENS_SQL}, i, i + 2), ' '))) "
+    f"ELSE [] END")
 
 
 def _lang_id_oracle() -> str:

@@ -142,11 +142,20 @@ def shingles(col, k: int = 5) -> Column:
     ``tokens(col)`` directly inside the window lambda makes Catalyst
     re-evaluate the full split per shingle — O(words²) per document
     (measured 6× slower end-to-end on the sf0.1 corpus; the dominant
-    cost of minhash_dedup). Same expression semantics, including NULL
-    text, so results are byte-identical."""
+    cost of minhash_dedup).
+
+    Empty and NULL documents yield an EMPTY array — without the size
+    guard the clamped window emitted one phantom xxhash64('') shingle,
+    which decontamination then treated as an n-gram shared by every
+    empty doc (one empty benchmark row contaminated all empty training
+    docs), and doc_fingerprint gave empty docs a common non-NULL
+    fingerprint."""
     def _windows(tk):
-        idx = F.sequence(F.lit(1),
-                         F.greatest(F.size(tk) - (k - 1), F.lit(1)))
+        idx = F.when(
+            F.size(tk) >= 1,
+            F.sequence(F.lit(1),
+                       F.greatest(F.size(tk) - (k - 1), F.lit(1)))) \
+            .otherwise(F.array().cast("array<int>"))
         return F.transform(
             idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tk, i, k))))
     return F.transform(F.array(tokens(col)), _windows)[0]

@@ -54,6 +54,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, ts: str,
     payload = [c + suffix for c in right_cols] + [ts + suffix]
     left_only = [c for c in left.columns if c not in (on, ts)]
 
+    # NULL-ts right rows sort FIRST in the ascending window (Spark NULLS
+    # FIRST), so unfiltered they'd become a universal "preceding" match
+    # — and tolerance can't repair it (ts - NULL is NULL). NULL-key
+    # right rows would likewise attach to NULL-key left rows, where
+    # join semantics say NULL never equals NULL. Both are non-matches
+    # under pandas merge_asof / DuckDB ASOF, the cited references.
+    right = right.where(F.col(ts).isNotNull() & F.col(on).isNotNull())
+
     # All right payload fields travel together in one struct: the struct
     # itself is non-null for every right row, so last(ignorenulls=True)
     # picks the nearest preceding right ROW even when some of its payload

@@ -73,6 +73,8 @@ class PartitionedFilter:
     def with_contains(self, df: DataFrame, key_col: str,
                       out_col: str = "contained") -> DataFrame:
         spark = df.sparkSession
+        from .keys import require_long_key
+        require_long_key(df, key_col, "with_contains")
         from .. import workerside  # lean import graph for executors
         bc = spark.sparkContext.broadcast((self.token, self.blobs))
 
@@ -82,7 +84,15 @@ class PartitionedFilter:
 
         pid_expr = partition_id(key_col, self.num_partitions, self.salt,
                                 self.routing)
-        return df.withColumn(out_col, _contains(F.col(key_col), pid_expr))
+        # coalesce JVM-side: one NULL in a batch degrades the whole
+        # int64 column to float64 at the Arrow boundary and keys >2^53
+        # lose bits — false negatives for the batch's REAL keys. The
+        # null-free substitute rows are masked back to False here.
+        key_safe = F.coalesce(F.col(key_col), F.lit(0).cast("bigint"))
+        return df.withColumn(
+            out_col,
+            F.when(F.col(key_col).isNotNull(),
+                   _contains(key_safe, pid_expr)).otherwise(F.lit(False)))
 
     def register_sql(self, spark, name: str = "ffsk_contains") -> str:
         """Expose membership as a SQL function: after
@@ -109,7 +119,16 @@ class PartitionedFilter:
             # contains_kernel masks NULL keys to False itself
             return workerside.contains_kernel(bc.value, key, pids)
 
-        spark.udf.register(name, _contains_sql)
+        # the public name is a SQL-defined wrapper that coalesces NULLs
+        # JVM-side BEFORE the kernel: one NULL in a batch otherwise
+        # degrades the int64 column to float64 at the Arrow boundary
+        # and real keys >2^53 lose bits (false negatives). The AND
+        # masks the substitute rows back to False.
+        spark.udf.register(f"{name}__kernel", _contains_sql)
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}(k BIGINT) "
+            f"RETURNS BOOLEAN RETURN k IS NOT NULL AND "
+            f"{name}__kernel(coalesce(k, 0))")
         return name
 
     def contains_local(self, keys: np.ndarray) -> np.ndarray:
@@ -226,7 +245,8 @@ def build_partitioned_filter(
     # dedupe. The one shuffle moves PACKED per-pid key chunks (one fat
     # binary row per input-partition × pid) instead of n key rows —
     # row-shuffle overhead was ~60% of wall time even at low parallelism.
-    from .keys import route_expr
+    from .keys import require_long_key, route_expr
+    require_long_key(keys_df, key_col, "build_partitioned_filter")
     placed = (keys_df.select(F.col(key_col).alias("key"))
               .where(F.col("key").isNotNull())
               .withColumn("route", route_expr("key", salt)))
@@ -352,6 +372,10 @@ def cuckoo_update(
     """
     if not pf.kind.startswith("cuckoo"):
         raise ValueError("cuckoo_update requires a cuckoo-kind filter")
+    from .keys import require_long_key
+    for side, d in (("add_df", add_df), ("delete_df", delete_df)):
+        if d is not None:
+            require_long_key(d, key_col, f"cuckoo_update({side})")
     if pf.routing != ROUTING_XXHASH_PMOD:
         raise ValueError("cuckoo_update requires xxhash_pmod routing")
     from .. import workerside
@@ -458,6 +482,9 @@ def add_keys(
     """
     from .. import workerside
 
+    from .keys import require_long_key
+    require_long_key(old_keys_df, key_col, "add_keys(old)")
+    require_long_key(new_keys_df, key_col, "add_keys(new)")
     P, salt = pf.num_partitions, pf.salt
     # NULL filter matches the build path (build.py:231) and cuckoo_update:
     # a NULL surviving into the union would make pyarrow hand the worker

@@ -82,13 +82,20 @@ class GroupedFilters:
         def _contains(key: pd.Series, gkey: pd.Series) -> pd.Series:
             return workerside.contains_grouped_kernel(bc.value, key, gkey)
 
-        all_non_null = F.lit(True)
+        # the guard covers the KEY too: (a) the build drops NULL keys so
+        # the SQL-consistent answer is False, and (b) one NULL in a
+        # batch degrades the int64 key column to float64 at the Arrow
+        # boundary — keys >2^53 lose bits and the batch's REAL keys get
+        # false negatives. coalesce keeps the batch int64; the mask
+        # discards the substitute rows.
+        all_non_null = F.col(key_col).isNotNull()
         for c in self.group_cols:
             all_non_null = all_non_null & F.col(c).isNotNull()
+        key_safe = F.coalesce(F.col(key_col), F.lit(0).cast("bigint"))
         return df.withColumn(
             out_col,
             F.when(all_non_null,
-                   _contains(F.col(key_col), _gkey_expr(self.group_cols)))
+                   _contains(key_safe, _gkey_expr(self.group_cols)))
              .otherwise(F.lit(False)))
 
     def filter_for(self, *values):
@@ -181,6 +188,8 @@ def build_grouped_filters(
         bloom_args = (max(16, int(1.2 * bloom_n_expected_per_group)),
                       bloom_fpp)
 
+    from .keys import require_long_key
+    require_long_key(df, key_col, "build_grouped_filters")
     all_non_null = F.lit(True)
     for c in group_cols:
         all_non_null = all_non_null & F.col(c).isNotNull()

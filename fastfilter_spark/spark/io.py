@@ -182,6 +182,8 @@ def build_filter_sidecar(keys_df: DataFrame, sidecar_path: str,
                          "(xxhash_pmod routing — the routed query mirrors it)")
     spark = keys_df.sparkSession
     P = num_partitions
+    from .keys import require_long_key
+    require_long_key(keys_df, key_col, "build_filter_sidecar")
     placed = (keys_df.select(F.col(key_col).alias("key"))
               .where(F.col("key").isNotNull())
               .withColumn("route", route_expr("key", salt)))
@@ -326,6 +328,8 @@ def contains_via_sidecar(probes: DataFrame, sidecar_path: str,
     from .. import workerside
     from .keys import ROUTING_XXHASH_PMOD, partition_id
 
+    from .keys import require_long_key
+    require_long_key(probes, key_col, "contains_via_sidecar")
     with open(os.path.join(sidecar_path, "filter_manifest.json")) as fh:
         m = json.load(fh)
     if m["routing"] != ROUTING_XXHASH_PMOD:
@@ -429,7 +433,15 @@ def register_sql_sidecar(spark: SparkSession, sidecar_path: str,
     def _contains_sidecar_sql(key: pd.Series) -> pd.Series:
         return workerside.contains_sidecar_series(sidecar_path, P, salt, key)
 
-    spark.udf.register(name, _contains_sidecar_sql)
+    # SQL-defined wrapper coalesces NULLs JVM-side before the kernel
+    # (a NULL-containing batch degrades int64→float64 at the Arrow
+    # boundary; keys >2^53 lose bits → false negatives) and masks the
+    # substitute rows back to False.
+    spark.udf.register(f"{name}__kernel", _contains_sidecar_sql)
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY FUNCTION {name}(k BIGINT) "
+        f"RETURNS BOOLEAN RETURN k IS NOT NULL AND "
+        f"{name}__kernel(coalesce(k, 0))")
     return name
 
 

@@ -22,6 +22,25 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def require_long_key(df: DataFrame, key_col: str, ctx: str) -> None:
+    """Fail LOUD if the key column is not bigint. Two silent-corruption
+    paths otherwise: (a) the packed build serializes the column's raw
+    bytes, so an int32 key emits 4 bytes and the int64 frombuffer in
+    build_from_chunks fuses key PAIRS into bogus values — the filter is
+    built over garbage and every real member probes False (zero-FN
+    violation); (b) JVM xxhash64 hashes int columns with hashInt while
+    the numpy route replica always hashes 8-byte longs, so routing
+    disagrees even at matching widths. Cast upstream: the caller chose
+    the widening semantics, not the library."""
+    t = dict(df.dtypes).get(key_col)
+    if t != "bigint":
+        raise TypeError(
+            f"{ctx}: key column {key_col!r} must be bigint, got {t!r} — "
+            f"cast it upstream (F.col({key_col!r}).cast('long')); "
+            "narrower ints serialize at the wrong byte width and hash "
+            "differently in JVM xxhash64 vs the numpy route replica")
+
+
 def content_key(col: str | Column) -> Column:
     """uint64 (as int64) key = first 8 bytes of sha256(content), JVM-side."""
     c = F.col(col) if isinstance(col, str) else col

@@ -245,7 +245,14 @@ def cms_query(spark, sketch_blob: bytes, keys_df: DataFrame, key_col: str,
         sk = CountMinSketch.from_bytes(bc.value)
         return pd.Series(sk.query(pd_to_u64(key)))
 
-    return keys_df.withColumn(out_col, _q(F.col(key_col)))
+    # coalesce JVM-side so a NULL in the batch can't degrade the int64
+    # column to float64 (keys >2^53 would lose bits); NULL keys get a
+    # NULL estimate rather than key-0's count
+    key_safe = F.coalesce(F.col(key_col), F.lit(0).cast("bigint"))
+    return keys_df.withColumn(
+        out_col,
+        F.when(F.col(key_col).isNotNull(), _q(key_safe))
+         .otherwise(F.lit(None).cast("long")))
 
 
 def hll_sliding(df: DataFrame, bucket_col: str, key_col: str,

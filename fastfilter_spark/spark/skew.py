@@ -48,6 +48,11 @@ def salted_join(fact: DataFrame, dim: DataFrame, on: str,
     """
     if how not in ("inner", "left", "left_semi"):
         raise ValueError(f"salted_join does not support how={how!r}")
+    if salt_n < 1:
+        # salt_n=0 would explode ZERO dim copies: inner joins silently
+        # return nothing and left joins all-NULL dim columns — diverging
+        # from the documented plain-join identity instead of erroring
+        raise ValueError(f"salt_n must be >= 1, got {salt_n}")
     if salt_by is None:
         salt_by = [c for c in fact.columns if c != on]
     if not salt_by:

@@ -55,6 +55,30 @@ def load_filter(blob: bytes):
 
 
 def pd_to_u64(s: pd.Series) -> np.ndarray:
+    """int64 pandas Series → uint64 view (NULLs → 0; callers mask).
+
+    GUARD: an int64 column that contains ANY NULL arrives from Arrow as
+    float64+NaN, and every NON-NULL value above 2^53 has already lost
+    low bits in that conversion — silently probing/folding those keys
+    yields false negatives on true members (zero-FN violation). Keys
+    here are hash-derived (uniform 64-bit), so magnitudes >2^53 are the
+    norm. When the float values happen to all be exactly representable
+    the conversion is provably lossless and we proceed; otherwise fail
+    LOUD with the JVM-side fix (filter/coalesce NULLs before the UDF —
+    every in-repo call site does; this guard is for user-composed
+    probes, e.g. raw SQL over a null-able key column)."""
+    if not pd.api.types.is_integer_dtype(s.dtype):
+        vals = s.to_numpy(dtype=np.float64, na_value=0.0)
+        if np.abs(vals).max(initial=0.0) <= float(1 << 53):
+            return vals.astype(np.int64).view(np.uint64)
+        raise TypeError(
+            "pd_to_u64: received a float batch with values beyond 2^53 "
+            "— an int64 key column with NULLs was degraded to float64 "
+            "at the Arrow boundary and large keys have already lost "
+            "bits (silent false negatives). Filter or coalesce NULL "
+            "keys JVM-side before the UDF (e.g. "
+            "WHERE key IS NOT NULL, or coalesce(key, 0) with an "
+            "IS NOT NULL mask on the result).")
     return s.to_numpy(dtype=np.int64, na_value=0).view(np.uint64)
 
 
@@ -317,6 +341,12 @@ def contains_grouped_kernel(bc_value, key: pd.Series,
             continue
         mask = codes == ci
         out[mask] = filt.contains(keys[mask])
+    # NULL keys are not members (the grouped build drops them) — same
+    # mask as contains_kernel; belt-and-braces behind the caller's
+    # JVM-side isNotNull guard
+    na = key.isna().to_numpy()
+    if na.any():
+        out[na] = False
     return pd.Series(out)
 
 

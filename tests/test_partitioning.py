@@ -340,3 +340,28 @@ def test_null_heavy_fact_never_hot(spark):
             .sort_values(["x"]).reset_index(drop=True))
     assert (got["x"] == want["x"]).all()
     assert got["y"].fillna(-1).tolist() == want["y"].fillna(-1).tolist()
+
+
+def test_asof_join_ignores_null_right_rows(spark):
+    """A right row with NULL ts sorts FIRST in the ascending window and
+    would match every left row as its 'preceding' value; NULL-key right
+    rows would attach to NULL-key left rows. Both are non-matches under
+    pandas merge_asof / DuckDB ASOF semantics."""
+    from fastfilter_spark.spark import asof_join
+
+    left = spark.createDataFrame([(1, 5.0), (1, 20.0)], "u long, ts double")
+    right = spark.createDataFrame(
+        [(1, None, 111), (1, 10.0, 222), (None, 1.0, 333)],
+        "u long, ts double, payload long")
+    out = {r.ts: (r.payload_asof, r.ts_asof)
+           for r in asof_join(left, right, "u", "ts").collect()}
+    assert out[5.0] == (None, None)          # nothing precedes ts=5
+    assert out[20.0] == (222, 10.0)          # real row, not the NULL one
+
+
+def test_salted_join_rejects_zero_salt(spark):
+    from fastfilter_spark.spark import salted_join
+    fact = spark.createDataFrame([("a", 1)], "k string, x long")
+    dim = spark.createDataFrame([("a", 2)], "k string, y long")
+    with pytest.raises(ValueError, match="salt_n"):
+        salted_join(fact, dim, "k", salt_n=0)

@@ -902,3 +902,30 @@ def test_make_fake_media_negative_ids_consistent(spark):
     for _, r in media.iterrows():
         assert r["n_frames"] >= 1
         assert decode_avi(bytes(r["payload"])).shape[0] == r["n_frames"]
+
+
+def test_shingles_empty_docs_no_phantom(spark):
+    """Empty/NULL documents must yield ZERO shingles — the unguarded
+    window emitted one xxhash64('') phantom that decontamination then
+    treated as an n-gram shared by every empty doc."""
+    from fastfilter_spark.pipeline import contamination_flags
+    from fastfilter_spark.pipeline.text import doc_fingerprint, shingles
+
+    df = spark.createDataFrame(
+        [(1, "some real document text here"), (2, ""), (3, None),
+         (4, "   ")],
+        "doc_id long, text string")
+    sh = {r.doc_id: r.sh for r in
+          df.select("doc_id", shingles("text", 3).alias("sh")).collect()}
+    assert len(sh[1]) >= 1
+    assert sh[2] == [] and sh[4] == []
+    assert sh[3] == []
+    fp = {r.doc_id: r.fp for r in
+          df.select("doc_id", doc_fingerprint("text").alias("fp")).collect()}
+    assert fp[2] is None and fp[3] is None
+    # decontam: an empty benchmark row must not contaminate empty docs
+    bench = spark.createDataFrame([(100, "")], "doc_id long, text string")
+    flags = contamination_flags(df, bench, "text", "doc_id",
+                                min_hits=1).toPandas()
+    empty_ids = {2, 3, 4}
+    assert not flags[flags["id"].isin(empty_ids)]["contaminated"].any()

@@ -1038,3 +1038,43 @@ def test_grouped_filter_for_nonstring_groups(spark):
     import pytest as _pt
     with _pt.raises(KeyError):
         gf.filter_for(True, 123.456)     # genuinely absent group
+
+
+def test_probe_null_keys_no_corruption(spark):
+    """One NULL in a probe batch degrades the int64 key column to
+    float64 at the Arrow boundary — keys >2^53 lose bits and the
+    batch's REAL members probe False. The JVM-side coalesce+mask must
+    keep every true member contained (single-partition input forces
+    the NULL into the same batch as real keys)."""
+    from fastfilter_spark.spark import build_partitioned_filter
+
+    keys = spark.range(5000).select(F.xxhash64("id").alias("key"))
+    pf = build_partitioned_filter(keys, kind="bf8", num_partitions=8)
+    dirty = keys.unionByName(
+        spark.createDataFrame([(None,)], "key long")).coalesce(1)
+    got = pf.with_contains(dirty, "key").toPandas()
+    assert not got[got["key"].notna()]["contained"].eq(False).any()
+    assert (got[got["key"].isna()]["contained"] == False).all()  # noqa: E712
+    # SQL surface: same guard via the SQL-defined wrapper function
+    pf.register_sql(spark, "ffsk_nulltest")
+    dirty.createOrReplaceTempView("ffsk_nulltest_probe")
+    row = spark.sql(
+        "SELECT SUM(CASE WHEN ffsk_nulltest(key) THEN 1 ELSE 0 END) AS c "
+        "FROM ffsk_nulltest_probe").collect()[0]
+    assert row.c == 5000
+
+
+def test_build_rejects_narrow_key_type(spark):
+    """int32 keys would serialize 4 bytes into the packed chunks (the
+    int64 frombuffer then fuses key pairs) and JVM xxhash64 hashes int
+    with hashInt vs the numpy replica's hashLong — both silent
+    corruption. The boundary guard must raise instead."""
+    from fastfilter_spark.spark import build_partitioned_filter
+
+    narrow = spark.range(100).select(F.col("id").cast("int").alias("key"))
+    with pytest.raises(TypeError, match="bigint"):
+        build_partitioned_filter(narrow, kind="bf8", num_partitions=4)
+    wide = spark.range(100).select(F.xxhash64("id").alias("key"))
+    pf = build_partitioned_filter(wide, kind="bf8", num_partitions=4)
+    with pytest.raises(TypeError, match="bigint"):
+        pf.with_contains(narrow, "key")
