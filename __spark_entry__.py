@@ -1078,6 +1078,57 @@ def q_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("bucket_end"))
 
 
+def q_sliding_top_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-6-hour heavy hitters per hour via mg_sliding: per-hour
+    Misra-Gries summaries merged across each window. Exactness surface:
+    the merged n_total must EQUAL the window's exact event count (MG
+    totals are exact under merge — a real value hash-match, not a
+    boolean), every event_type's window count must satisfy the
+    deterministic two-sided bound est ≤ f ≤ est + deficit, and every
+    type above the n/(k+1) presence threshold must be in the summary."""
+    import numpy as np
+    from fastfilter_spark.sketches import MisraGries
+    from fastfilter_spark.spark import mg_sliding
+    K = 32
+    ev = _events(spark, sf_dir).select(
+        F.floor(F.col("ts").cast("timestamp").cast("long") / 3600)
+        .cast("long").alias("hb"),
+        F.xxhash64("event_type").alias("key"), "event_type")
+    sl = mg_sliding(ev, "hb", "key", window=6, k=K)
+    x = (ev.select(F.explode(F.sequence(F.col("hb"),
+                                        F.col("hb") + F.lit(5)))
+                   .alias("bucket_end"), "key", "event_type")
+         .join(ev.select(F.col("hb").alias("bucket_end")).distinct(),
+               "bucket_end"))
+    per_type = x.groupBy("bucket_end", "key").agg(F.count("*").alias("cnt"))
+
+    @F.pandas_udf("long")
+    def _mg_est(sketch: pd.Series, key: pd.Series) -> pd.Series:
+        out = []
+        for blob, k in zip(sketch, key):
+            m = MisraGries.from_bytes(bytes(blob))
+            out.append(int(m.query(
+                np.array([k], dtype=np.int64).view(np.uint64))[0]))
+        return pd.Series(out)
+
+    checked = (per_type.join(sl, "bucket_end")
+               .withColumn("est", _mg_est("sketch", "key"))
+               .groupBy("bucket_end")
+               .agg(F.sum("cnt").alias("n_events"),
+                    F.first("n_total").alias("n_total"),
+                    F.min((F.col("est") <= F.col("cnt"))
+                          & (F.col("cnt") <= F.col("est")
+                             + F.col("deficit"))).alias("bounds_ok"),
+                    F.min((F.col("cnt") * (K + 1) <= F.col("n_total"))
+                          | (F.col("est") > 0)).alias("heavy_present_ok")))
+    return (checked
+            .select("bucket_end", "n_events",
+                    (F.col("n_total") == F.col("n_events"))
+                    .alias("mg_total_ok"),
+                    "bounds_ok", "heavy_present_ok")
+            .orderBy("bucket_end"))
+
+
 # ---------------------------------------------------------------------------
 # dedup / text / ANN
 # ---------------------------------------------------------------------------
@@ -1869,6 +1920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_quantiles": q_tdigest_quantiles,
         "hourly_distinct_users": q_hourly_distinct_users,
         "sliding_distinct_users": q_sliding_distinct_users,
+        "sliding_top_event_types": q_sliding_top_event_types,
         "theta_set_ops": q_theta_set_ops,
         "cube_doc_stats": q_cube_doc_stats,
         "window_topk_events": q_window_topk_events,
@@ -2391,6 +2443,15 @@ def oracle_sql() -> dict[str, str]:
             "JOIN obs o ON o.hb >= e.hb AND o.hb <= e.hb + 5) "
             "SELECT bucket_end, COUNT(DISTINCT user_id) AS n_exact, "
             "TRUE AS hll_ok FROM x GROUP BY 1 ORDER BY 1"),
+        "sliding_top_event_types": (
+            "WITH e AS (SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) "
+            "AS hb FROM events), "
+            "obs AS (SELECT DISTINCT hb FROM e), "
+            "x AS (SELECT o.hb AS bucket_end FROM e "
+            "JOIN obs o ON o.hb >= e.hb AND o.hb <= e.hb + 5) "
+            "SELECT bucket_end, CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "TRUE AS mg_total_ok, TRUE AS bounds_ok, "
+            "TRUE AS heavy_present_ok FROM x GROUP BY 1 ORDER BY 1"),
         "theta_set_ops": (
             "SELECT * FROM (VALUES "
             "('1_union', (SELECT COUNT(DISTINCT text) FROM documents "

@@ -14,7 +14,7 @@ from .sampling import (deterministic_sample, epoch_shuffle, hash_sample,
                        pack_into_shards,
                        sample_priority, stratified_sample, upsample)
 from .sketch_agg import (cms_agg, cms_query, hll_agg, hll_sliding, kll_agg,
-                         mg_agg, tdigest_agg, theta_agg)
+                         mg_agg, mg_sliding, tdigest_agg, theta_agg)
 from .sketch_sidecar import (build_sketch_sidecar, read_sketch_sidecar,
                              sketch_sidecar_lineage)
 from .partitioning import (auto_salted_join, detect_hot_keys,
@@ -31,7 +31,7 @@ __all__ = [
     "pd_to_u64", "build_partitioned_filter", "PartitionedFilter", "add_keys",
     "GroupedFilters", "build_grouped_filters",
     "hll_agg", "hll_sliding", "cms_agg", "cms_query", "kll_agg",
-    "tdigest_agg", "theta_agg",
+    "mg_sliding", "tdigest_agg", "theta_agg",
     "read_corpus", "write_filter_sidecar", "read_filter_sidecar", "contains_via_sidecar",
     "write_bucketed", "salted_join", "asof_join", "interval_join",
     "build_filter_sidecar", "cuckoo_update", "register_sql_sidecar",

@@ -288,6 +288,43 @@ def hll_sliding(df: DataFrame, bucket_col: str, key_col: str,
     this is KBs·1e5 even at decade scale, independent of corpus size;
     lower ``p`` if window × bucket-count is extreme.
     """
+    per = _bucket_blobs(hll_agg(df, [bucket_col], key_col, p=p),
+                        df, bucket_col, window)
+    return _sliding_merge(per, window, HyperLogLog.from_bytes,
+                          lambda a, b: a.merge(b),
+                          lambda sk: {"n_est": float(sk.estimate()),
+                                      "sketch": sk.to_bytes()},
+                          "n_est double, sketch binary")
+
+
+def mg_sliding(df: DataFrame, bucket_col: str, key_col: str,
+               window: int, k: int = 64) -> DataFrame:
+    """Trailing-window heavy hitters (trending keys over the last W
+    buckets): per-bucket Misra-Gries summaries merged across each
+    window → (bucket_end BIGINT, n_total, deficit, sketch).
+
+    Same single-pass shape as :func:`hll_sliding` (raw rows fold once,
+    the overlap is resolved on k-entry blobs). MG merge keeps the
+    deterministic two-sided bound per window: for every key,
+    mg.query(x) ≤ f_window(x) ≤ mg.query(x) + deficit, and any key with
+    f_window(x) > n_total/(k+1) is guaranteed present — so "top
+    event_types of the trailing 24 h" comes with provable error bars,
+    not sampling hope. ``n_total`` is the EXACT row count of the
+    window (MG totals are exact under merge)."""
+    per = _bucket_blobs(mg_agg(df, [bucket_col], key_col, k=k),
+                        df, bucket_col, window)
+    return _sliding_merge(per, window, MisraGries.from_bytes,
+                          lambda a, b: a.merge(b),
+                          lambda sk: {"n_total": int(sk.n_total),
+                                      "deficit": int(sk.deficit),
+                                      "sketch": sk.to_bytes()},
+                          "n_total long, deficit long, sketch binary")
+
+
+def _bucket_blobs(agg: DataFrame, df: DataFrame, bucket_col: str,
+                  window: int) -> DataFrame:
+    """(…agg over [bucket_col]) → (__b bigint, sketch) with the shared
+    sliding-window validations."""
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
     btype = dict((f.name, f.dataType.simpleString())
@@ -299,22 +336,27 @@ def hll_sliding(df: DataFrame, bucket_col: str, key_col: str,
     # bucket_end is always BIGINT: ends reach b + window - 1, which can
     # overflow the input's narrower type (tinyint bucket 127, window 4
     # → end 130 — declaring the input type makes the Arrow cast throw)
-    per = hll_agg(df, [bucket_col], key_col, p=p) \
-        .select(F.col(bucket_col).cast("bigint").alias("__b"), "sketch")
-    # each bucket contributes to window ends b .. b+window-1
+    return agg.select(F.col(bucket_col).cast("bigint").alias("__b"),
+                      "sketch")
+
+
+def _sliding_merge(per: DataFrame, window: int, from_bytes, merge_fn,
+                   finalize, out_cols: str) -> DataFrame:
+    """Explode per-bucket blobs to their ≤window covered ends and merge
+    per end — the shared tail of every *_sliding operator."""
     ends = per.select(
         F.explode(F.sequence(F.col("__b"),
                              F.col("__b") + F.lit(window - 1)))
         .alias("bucket_end"), "sketch")
-
-    out_schema = "bucket_end bigint, n_est double, sketch binary"
+    out_schema = "bucket_end bigint, " + out_cols
 
     def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        acc = HyperLogLog.from_bytes(pdf["sketch"].iloc[0])
+        acc = from_bytes(pdf["sketch"].iloc[0])
         for b in pdf["sketch"].iloc[1:]:
-            acc = acc.merge(HyperLogLog.from_bytes(b))
-        return pd.DataFrame({"bucket_end": [pdf["bucket_end"].iloc[0]],
-                             "n_est": [float(acc.estimate())],
-                             "sketch": [acc.to_bytes()]})
+            acc = merge_fn(acc, from_bytes(b))
+        row = {"bucket_end": [pdf["bucket_end"].iloc[0]]}
+        for c, v in finalize(acc).items():
+            row[c] = [v]
+        return pd.DataFrame(row)
 
     return ends.groupBy("bucket_end").applyInPandas(_merge, out_schema)

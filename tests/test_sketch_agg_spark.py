@@ -239,3 +239,38 @@ def test_hll_sliding_narrow_bucket_type_widens(spark):
     # ends 128/129 cover both buckets (3 users); end 130 only 127 (2)
     assert round(got[128]) == round(got[129]) == 3
     assert round(got[130]) == 2
+
+
+def test_mg_sliding_bounds_and_exact_totals(spark):
+    """Trailing-window Misra-Gries: merged n_total is EXACT per window,
+    the two-sided bound est <= f <= est+deficit holds for every key in
+    every window, and the window=1 case matches per-bucket mg_agg."""
+    import numpy as np
+    import pyspark.sql.functions as F
+    from fastfilter_spark.sketches import MisraGries
+    from fastfilter_spark.spark import mg_agg, mg_sliding
+
+    # planted zipf-ish stream: key j appears (10-j) times in bucket b
+    rows = [(b, j) for b in range(6) for j in range(8)
+            for _ in range(10 - j)]
+    df = spark.createDataFrame(rows, "b long, k long") \
+        .select("b", F.xxhash64("k").alias("key"), "k")
+    W = 3
+    sl = {r.bucket_end: r for r in
+          mg_sliding(df, "b", "key", window=W, k=16).collect()}
+    per_bucket_total = sum(10 - j for j in range(8))
+    for end in range(0, 6 + W - 1):
+        covered = [b for b in range(6) if b <= end <= b + W - 1]
+        assert sl[end].n_total == per_bucket_total * len(covered)
+        m = MisraGries.from_bytes(bytes(sl[end].sketch))
+        for j in range(8):
+            exact = (10 - j) * len(covered)
+            kh = df.where(f"k = {j}").select("key").first().key
+            est = int(m.query(np.array([kh], dtype=np.int64)
+                              .view(np.uint64))[0])
+            assert est <= exact <= est + sl[end].deficit, (end, j)
+    one = {r.bucket_end: (r.n_total, r.deficit, bytes(r.sketch)) for r in
+           mg_sliding(df, "b", "key", window=1, k=16).collect()}
+    per = {r.b: (r.n_total, r.deficit, bytes(r.sketch)) for r in
+           mg_agg(df, ["b"], "key", k=16).collect()}
+    assert one == per

@@ -474,6 +474,16 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
                    and "BroadcastNestedLoopJoin" not in p26
                    and "CartesianProduct" not in p26))
 
+    # 27. mg_sliding (shared _sliding_merge tail): same single-raw-scan
+    # contract as hll_sliding — trailing-window heavy hitters never
+    # re-aggregate raw rows per end.
+    from fastfilter_spark.spark import mg_sliding
+    p27 = plan_of(mg_sliding(ev26, "hb", "key", window=6, k=32))
+    checks.append(("mg_sliding: ONE raw scan, overlap on k-entry blobs",
+                   len(re.findall(r"\(\d+\) Scan parquet", p27)) == 1
+                   and "BroadcastNestedLoopJoin" not in p27
+                   and "CartesianProduct" not in p27))
+
     print(p2)
     print(p3[:3000])
     ok = True
