@@ -1515,7 +1515,12 @@ def q_streaming_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame
     qname = "win_" + _uuid.uuid4().hex[:8]
     q = (out.writeStream.format("memory").queryName(qname)
          .outputMode("update").trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # reading the half-populated memory sink would flake the
+        # correctness gate with no hint the real cause was a timeout
+        q.stop()
+        raise TimeoutError(
+            "streaming_windowed_distinct did not finish in 300 s")
     res = spark.sql(f"SELECT window_start, n_est FROM {qname}") \
                .withColumn("window_start",
                            F.to_date("window_start").cast("string"))

@@ -294,17 +294,19 @@ def _regressions(timings: dict, ctrl: float | None = None,
         # under "parsed"; accept both the raw and the wrapped shape
         prev = (doc.get("queries")
                 or doc.get("parsed", {}).get("queries") or {})
+        # host_ratio: how much slower THIS host window is than the
+        # previous round's (fixed numpy control). A flagged query whose
+        # ratio ≈ host_ratio regressed with the host, not the code.
         prev_ctrl = (doc.get("host_control_sec")
                      or doc.get("parsed", {}).get("host_control_sec"))
-    except (OSError, ValueError):
+        host_ratio = (round(float(ctrl) / float(prev_ctrl), 2)
+                      if ctrl and prev_ctrl else None)
+    except Exception:
         # the gate is informational — it must never cost the run its
         # one-line JSON after the whole suite has already executed
+        # (a malformed artifact can raise Attribute/TypeError too, not
+        # just OSError/ValueError — e.g. "parsed" captured as a string)
         return []
-    # host_ratio: how much slower THIS host window is than the previous
-    # round's (from the fixed numpy control). A flagged query whose
-    # ratio ≈ host_ratio regressed with the host, not with the code.
-    host_ratio = (round(ctrl / prev_ctrl, 2)
-                  if ctrl and prev_ctrl else None)
     out = []
     for q, t in timings.items():
         p = prev.get(q)

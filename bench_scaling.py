@@ -185,13 +185,29 @@ def run_fleet(k: int, n: int, cores: int, path: str) -> dict:
     efficiency. Disjoint pinning leaves shared DRAM/page-cache as the only
     cross-executor coupling, same as co-located executors on a real node.
     """
+    import tempfile
+    errfiles = [tempfile.NamedTemporaryFile("w+", prefix=f"fleet_err_{i}_",
+                                            suffix=".log", delete=False)
+                for i in range(k)]
     procs = [subprocess.Popen(
         ["taskset", "-c", f"{i * cores}-{i * cores + cores - 1}",
          sys.executable, "-c", FLEET_CHILD, str(cores), str(n), str(cores * 2), path],
-        stdin=subprocess.PIPE, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE, stderr=errfiles[i],
         text=True, cwd="/root/repo") for i in range(k)]
-    for p in procs:                      # wait until every JVM is warm
-        assert p.stdout.readline().strip() == "READY"
+    for i, p in enumerate(procs):        # wait until every JVM is warm
+        line = p.stdout.readline().strip()
+        if line != "READY":
+            # a child that dies pre-barrier (OOM kill, taskset range
+            # beyond the host's cores) must surface WHY, not a bare
+            # AssertionError with DEVNULL'd stderr
+            errfiles[i].flush()
+            with open(errfiles[i].name) as fh:
+                tail = fh.read()[-2000:]
+            for q in procs:
+                q.kill()
+            raise RuntimeError(
+                f"fleet child {i} failed before READY (got {line!r}); "
+                f"stderr tail:\n{tail}")
     t0 = __import__("time").time()
     for p in procs:                      # release the barrier
         p.stdin.write("\n")

@@ -44,8 +44,9 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
     p1 = plan_of(q1)
     checks.append(("scan pushdown: PushedFilters carries lang filter",
                    "PushedFilters" in p1 and "lang" in p1.split("PushedFilters")[1][:200]))
+    rs1 = re.search(r"ReadSchema:.*", p1)
     checks.append(("scan pruning: ReadSchema excludes text",
-                   "text" not in re.search(r"ReadSchema:.*", p1).group(0)))
+                   rs1 is not None and "text" not in rs1.group(0)))
 
     # 2. build plan: the one exchange moves packed chunk rows, and the
     # raw key rows never shuffle (pack runs pre-exchange, map-side)
