@@ -201,3 +201,75 @@ def test_avi_decode_mutation_never_crashes(pos, val, trunc, seed):
         decode_avi(payload)
     except ValueError:
         pass
+
+
+@given(keys=key_arrays, w=st.sampled_from([8, 16]),
+       data=st.data())
+def test_cuckoo_insert_delete_survivors_zero_fn(keys, w, data):
+    """Cuckoo contract under any keyset: after deleting a subset of the
+    INSERTED keys (each exactly once), every survivor is still
+    contained — deletes never strip a survivor's fingerprint."""
+    from fastfilter_spark.core.cuckoo import CuckooFilter
+
+    ks = np.unique(np.asarray(keys, dtype=np.uint64))
+    cf = CuckooFilter.populate(ks, w, rng_state=7, assume_unique=True)
+    assert cf.contains(ks).all()
+    if len(ks) == 0:
+        return
+    n_del = data.draw(st.integers(0, len(ks)))
+    victims = ks[:n_del]
+    assert cf.delete(victims) == n_del
+    survivors = ks[n_del:]
+    assert cf.contains(survivors).all()
+
+
+@given(n=st.integers(1, 6), h=st.integers(1, 10), w=st.integers(1, 10),
+       seed=st.integers(0, 2**31))
+def test_avi_roundtrip_any_dims(n, h, w, seed):
+    """encode_avi → decode_avi is identity for any (frames, h, w)."""
+    from fastfilter_spark.pipeline.multimodal import decode_avi, encode_avi
+
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+    out = decode_avi(encode_avi(frames, fps=7))
+    assert out.shape == frames.shape
+    assert np.array_equal(out, frames)
+
+
+@given(keys=key_arrays, data=st.data())
+def test_sketch_merge_associativity_any_split(keys, data):
+    """north_rule merge associativity, randomized: folding the keyset
+    through ANY partitioning and merge grouping yields byte-identical
+    HLL/CMS blobs (register max / counter addition are exactly
+    associative+commutative) and identical theta estimates."""
+    from fastfilter_spark.sketches import (CountMinSketch, HyperLogLog,
+                                           ThetaSketch)
+
+    ks = np.asarray(keys, dtype=np.uint64)
+    cut1 = data.draw(st.integers(0, len(ks)))
+    cut2 = data.draw(st.integers(0, len(ks)))
+    lo, hi = min(cut1, cut2), max(cut1, cut2)
+    parts = [ks[:lo], ks[lo:hi], ks[hi:]]
+
+    def fold(mk, merge_order):
+        sks = []
+        for p in parts:
+            s = mk()
+            s.add(p)
+            sks.append(s)
+        a, b, c = (sks[i] for i in merge_order)
+        m = a.merge(b) if hasattr(a, "merge") else a.union(b)
+        return m.merge(c) if hasattr(m, "merge") else m.union(c)
+
+    direct_h = HyperLogLog(10); direct_h.add(ks)
+    assert fold(lambda: HyperLogLog(10), (0, 1, 2)).to_bytes() \
+        == fold(lambda: HyperLogLog(10), (2, 0, 1)).to_bytes() \
+        == direct_h.to_bytes()
+    direct_c = CountMinSketch(1e-2, 0.05); direct_c.add(ks)
+    assert fold(lambda: CountMinSketch(1e-2, 0.05), (0, 1, 2)).to_bytes() \
+        == fold(lambda: CountMinSketch(1e-2, 0.05), (1, 2, 0)).to_bytes() \
+        == direct_c.to_bytes()
+    direct_t = ThetaSketch(256); direct_t.add(ks)
+    assert fold(lambda: ThetaSketch(256), (0, 1, 2)).estimate() \
+        == fold(lambda: ThetaSketch(256), (2, 1, 0)).estimate() \
+        == direct_t.estimate()
