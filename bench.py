@@ -245,6 +245,31 @@ def main() -> None:
         n_emb * 100 / timings["ann_brute_200k_q100"])
     timed("ann_ivf_200k_q100",
           lambda: ivf_topk(emb, ann_q, k=5, n_cells=64, nprobe=8).count())
+
+    # WARM IVF serve (VERDICT r4 #2: the cold entry above pays quantizer
+    # training + full-corpus assignment inside the timed call — that is
+    # the build cost, not the serve cost IVF exists to amortize). Build
+    # the cell-partitioned index ONCE outside the timed region, with the
+    # executor-side trainer at an at-scale cell count, then gate the
+    # partition-pruned ivf_topk_from_index path: a probe reads
+    # ~nprobe/n_cells of the corpus and matmuls only the queries that
+    # probed each cell.
+    import shutil
+    import tempfile
+    from fastfilter_spark.pipeline import (ivf_topk_from_index,
+                                           train_ivf_centroids_distributed,
+                                           write_ivf_index)
+    ivf_dir = tempfile.mkdtemp(prefix="ffsk_bench_ivf_")
+    try:
+        t0 = time.time()
+        cents = train_ivf_centroids_distributed(emb, n_cells=256, iters=3)
+        write_ivf_index(emb, ivf_dir + "/idx", centroids=cents)
+        extra["ann_ivf_index_build_sec"] = round(time.time() - t0, 3)
+        timed("ann_ivf_warm_200k_q100",
+              lambda: ivf_topk_from_index(spark, ivf_dir + "/idx", ann_q,
+                                          k=5, nprobe=16).count())
+    finally:
+        shutil.rmtree(ivf_dir, ignore_errors=True)
     emb.unpersist()
 
     total = round(sum(timings.values()), 3)

@@ -1,7 +1,8 @@
 from .ann import (
     brute_force_topk, cosine_near_dups, hyperplane_signatures, ivf_assign,
     ivf_cell_stats, ivf_topk, ivf_topk_from_index, lsh_candidate_pairs,
-    lsh_topk, read_ivf_index, train_ivf_centroids, write_ivf_index,
+    lsh_topk, read_ivf_index, train_ivf_centroids,
+    train_ivf_centroids_distributed, write_ivf_index,
 )
 from .decontam import contamination_flags
 from .graph import connected_components
