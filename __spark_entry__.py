@@ -224,10 +224,12 @@ def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub with exact cross-engine parity: deterministic PII is
-    planted per doc_id (email / phone / IPv4 suffixes), redact_pii
-    counts and replaces them with a Java↔RE2-identical regex subset,
-    and DuckDB re-runs the identical plant + sequential redaction —
-    full row parity on counts and redacted length."""
+    planted per doc_id (email / phone / IPv4 / SSN / credit-card — one
+    Luhn-VALID and one Luhn-INVALID negative fixture — / IPv6),
+    redact_pii counts and replaces them with a Java↔RE2-identical
+    regex subset (plus the Catalyst aggregate-fold Luhn check), and
+    DuckDB re-runs the identical plant + sequential redaction — full
+    row parity on counts and redacted length."""
     from fastfilter_spark.pipeline import redact_pii
     docs = _docs(spark, sf_dir)
     planted = docs.withColumn("t", F.concat(
@@ -240,10 +242,20 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.lit(" call +1 415 555 0199 now"))
          .when(F.col("doc_id") % 10 == 2,
                F.lit(" from 10.0.0.1 host"))
+         .when(F.col("doc_id") % 10 == 3,
+               F.lit(" ssn 219-09-9999 filed"))
+         .when(F.col("doc_id") % 10 == 4,
+               F.lit(" card 4111 1111 1111 1111 paid"))
+         .when(F.col("doc_id") % 10 == 5,
+               F.lit(" order 4111 1111 1111 1112 kept"))
+         .when(F.col("doc_id") % 10 == 6,
+               F.lit(" via 2001:db8::8a2e:370:7334 gw"))
          .otherwise(F.lit(""))))
     out = redact_pii(planted, "t")
     return (out.select(
-        "doc_id", "n_email", "n_ip",
+        "doc_id", "n_email",
+        (F.col("n_ip6") + F.col("n_ip6c")).alias("n_ipv6"),
+        "n_ip", "n_ssn", "n_cc",
         (F.col("n_phone_intl") + F.col("n_phone_nanp")).alias("n_phone"),
         F.length("redacted").alias("n_chars_red"))
         .orderBy("doc_id"))
@@ -1385,6 +1397,21 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("id_a", "id_b"))
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call semantic dedup (cosine edges → connected components →
+    keep-best): exact mode for oracle parity — DuckDB recomputes the
+    identical closure with a recursive CTE over exact-cosine edges and
+    the same min-id representative pick. The LSH mode of the same call
+    is the 100 TB path (plan-audited; recall-tested in pytest)."""
+    from fastfilter_spark.pipeline import semantic_dedup
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = semantic_dedup(emb, threshold=0.35, method="exact")
+    return (out.where("is_rep")
+            .select("component", F.col("vec_id").alias("rep_id"),
+                    F.col("cluster_size").cast("long").alias("cluster_size"))
+            .orderBy("component"))
+
+
 def q_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta/KMV sketch set algebra vs exact set cardinalities: union,
     intersection and difference of (lang='en') and (n_chars > 300)
@@ -1942,6 +1969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_index_topk": q_ivf_index_topk,
         "ivf_cell_stats": q_ivf_cell_stats,
         "embedding_near_dups": q_embedding_near_dups,
+        "semantic_dedup": q_semantic_dedup,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_candidates": q_simhash_candidates,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1987,25 +2015,51 @@ _DIGEST_BYTE_SUM = (
 
 def _pii_oracle() -> str:
     """DuckDB re-implementation of q_pii_redaction generated from the
-    SAME PII_PATTERNS tuple (one source of truth): identical plant
-    expression, then one CTE per pattern applying count + global
-    replace sequentially — the cross-engine regex subset makes the
-    redacted text byte-identical."""
-    from fastfilter_spark.pipeline.text import PII_PATTERNS
+    SAME PII_PATTERNS/CC_PATTERN constants (one source of truth):
+    identical plant expression, then one CTE per pattern applying
+    count + global replace sequentially, with the credit-card step
+    (Luhn list_filter + list_reduce literal fold) injected at the same
+    chain position as redact_pii's — the cross-engine regex subset
+    makes the redacted text byte-identical."""
+    from fastfilter_spark.pipeline.text import (CC_AFTER, CC_PATTERN,
+                                                CC_TOKEN, PII_PATTERNS)
+    # Luhn over the separator-stripped match, exact int arithmetic
+    ds = "regexp_replace(m, '[ -]', '', 'g')"
+    dig = f"(ascii(substr({ds}, CAST(i AS INT), 1)) - 48)"
+    luhn = (f"(list_sum(list_transform(range(1, len({ds}) + 1), "
+            f"i -> CASE WHEN (len({ds}) - i) % 2 = 1 "
+            f"THEN 2*{dig} - CASE WHEN {dig} > 4 THEN 9 ELSE 0 END "
+            f"ELSE {dig} END)) % 10 = 0)")
+    valid = (f"list_filter(regexp_extract_all(t, '{CC_PATTERN}'), "
+             f"m -> {luhn})")
     sql = ("WITH s0 AS (SELECT doc_id, text || CASE "
            "WHEN doc_id % 10 = 0 THEN ' mail bob' || "
            "CAST(doc_id AS VARCHAR) || '@example.com ok' "
            "WHEN doc_id % 10 = 1 THEN ' call +1 415 555 0199 now' "
            "WHEN doc_id % 10 = 2 THEN ' from 10.0.0.1 host' "
+           "WHEN doc_id % 10 = 3 THEN ' ssn 219-09-9999 filed' "
+           "WHEN doc_id % 10 = 4 THEN ' card 4111 1111 1111 1111 paid' "
+           "WHEN doc_id % 10 = 5 THEN ' order 4111 1111 1111 1112 kept' "
+           "WHEN doc_id % 10 = 6 THEN ' via 2001:db8::8a2e:370:7334 gw' "
            "ELSE '' END AS t FROM documents)")
-    for i, (name, pat, token) in enumerate(PII_PATTERNS, 1):
+    i = 0
+    for name, pat, token in PII_PATTERNS:
+        i += 1
         sql += (f", s{i} AS (SELECT * EXCLUDE (t), "
                 f"len(regexp_extract_all(t, '{pat}')) AS n_{name}, "
                 f"regexp_replace(t, '{pat}', '{token}', 'g') AS t "
                 f"FROM s{i - 1})")
-    return (sql + f" SELECT doc_id, n_email, n_ip, "
+        if name == CC_AFTER:
+            i += 1
+            sql += (f", s{i} AS (SELECT * EXCLUDE (t), "
+                    f"len({valid}) AS n_cc, "
+                    f"list_reduce(list_prepend(t, {valid}), "
+                    f"(acc, m) -> replace(acc, m, '{CC_TOKEN}')) AS t "
+                    f"FROM s{i - 1})")
+    return (sql + f" SELECT doc_id, n_email, "
+            f"n_ip6 + n_ip6c AS n_ipv6, n_ip, n_ssn, n_cc, "
             f"n_phone_intl + n_phone_nanp AS n_phone, "
-            f"length(t) AS n_chars_red FROM s{len(PII_PATTERNS)} "
+            f"length(t) AS n_chars_red FROM s{i} "
             "ORDER BY doc_id")
 
 
@@ -2536,6 +2590,30 @@ def oracle_sql() -> dict[str, str]:
             "AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
             "CAST(b.embedding AS DOUBLE[])) >= 0.35 "
             "ORDER BY id_a, id_b"),
+        "semantic_dedup": (
+            # same exact-cosine edges as embedding_near_dups, then the
+            # transitive closure + min-id representative per cluster
+            "WITH RECURSIVE pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+            "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id "
+            "AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.35), "
+            "e AS (SELECT id_a AS u, id_b AS v FROM pr "
+            "UNION SELECT id_b, id_a FROM pr), "
+            "reach AS (SELECT DISTINCT u AS id, u AS comp FROM e "
+            "UNION SELECT e.v, reach.comp FROM reach JOIN e "
+            "ON e.u = reach.id), "
+            "comp AS (SELECT id AS vec_id, MIN(comp) AS component "
+            "FROM reach GROUP BY id), "
+            "alld AS (SELECT v.vec_id, "
+            "COALESCE(c.component, v.vec_id) AS component "
+            "FROM embeddings v LEFT JOIN comp c USING (vec_id)), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY component "
+            "ORDER BY vec_id) AS rn, "
+            "COUNT(*) OVER (PARTITION BY component) AS cluster_size "
+            "FROM alld) "
+            "SELECT component, vec_id AS rep_id, "
+            "CAST(cluster_size AS BIGINT) AS cluster_size "
+            "FROM r WHERE rn = 1 ORDER BY component"),
         "lang_id": _lang_id_oracle(),
         "pii_redaction": _pii_oracle(),
         "minhash_near_dups": (

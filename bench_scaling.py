@@ -185,10 +185,27 @@ def run_fleet(k: int, n: int, cores: int, path: str) -> dict:
     efficiency. Disjoint pinning leaves shared DRAM/page-cache as the only
     cross-executor coupling, same as co-located executors on a real node.
     """
+    import os
     import tempfile
     errfiles = [tempfile.NamedTemporaryFile("w+", prefix=f"fleet_err_{i}_",
                                             suffix=".log", delete=False)
                 for i in range(k)]
+    try:
+        return _run_fleet(k, n, cores, path, errfiles)
+    finally:
+        # success path: close + remove the stderr logs (a scaling run is
+        # reps × tiers of these — leaking them grows /tmp and fds). The
+        # failure path re-raises with the relevant tail already read, so
+        # nothing diagnostic is lost by unlinking here.
+        for f in errfiles:
+            try:
+                f.close()
+                os.unlink(f.name)
+            except OSError:
+                pass
+
+
+def _run_fleet(k: int, n: int, cores: int, path: str, errfiles) -> dict:
     procs = [subprocess.Popen(
         ["taskset", "-c", f"{i * cores}-{i * cores + cores - 1}",
          sys.executable, "-c", FLEET_CHILD, str(cores), str(n), str(cores * 2), path],

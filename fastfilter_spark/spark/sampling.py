@@ -252,13 +252,25 @@ def upsample(df: DataFrame, factor, id_col: str, seed: int = 0,
                   base + F.when(u < fac - base.cast("double"), 1)
                   .otherwise(0)).otherwise(F.lit(0))
     # sequence(0, -1) would DESCEND (Spark auto-negates the step), so
-    # rows with reps == 0 must drop before the sequence is built
+    # rows with reps == 0 must drop before the sequence is built.
+    # Bounds stay BIGINT: casting (__reps - 1) to int would silently
+    # wrap a factor ≥ 2^31 and the wrapped negative bound would
+    # auto-descend into bogus negative copy ids — instead an in-plan
+    # assert_true fails loudly above Spark's own array-length ceiling
+    # (per-row copy arrays that size mean the mixture math is wrong).
+    cap = (1 << 31) - 16
+    guarded = F.when(
+        F.assert_true(
+            F.col("__reps") <= F.lit(cap),
+            F.lit(f"upsample: a row's copy count exceeds {cap} — "
+                  "cap factors upstream; the mixture weights are "
+                  "wrong, the engine cannot absorb this")).isNull(),
+        F.col("__reps") - 1)
     return (df.withColumn("__reps", reps)
             .where(F.col("__reps") > 0)
             .withColumn(copy_col,
-                        F.explode(F.sequence(F.lit(0),
-                                             (F.col("__reps") - 1)
-                                             .cast("int"))))
+                        F.explode(F.sequence(F.lit(0).cast("long"),
+                                             guarded)))
             .drop("__reps"))
 
 

@@ -69,8 +69,15 @@ def pd_to_u64(s: pd.Series) -> np.ndarray:
     probes, e.g. raw SQL over a null-able key column)."""
     if not pd.api.types.is_integer_dtype(s.dtype):
         vals = s.to_numpy(dtype=np.float64, na_value=0.0)
-        if np.abs(vals).max(initial=0.0) <= float(1 << 53):
+        if (np.abs(vals).max(initial=0.0) <= float(1 << 53)
+                and np.array_equal(vals, np.trunc(vals))):
             return vals.astype(np.int64).view(np.uint64)
+        if not np.array_equal(vals, np.trunc(vals)):
+            raise TypeError(
+                "pd_to_u64: received genuinely fractional DOUBLE keys — "
+                "membership keys must be integers (astype would floor "
+                "toward zero and answer for the wrong key). Cast or "
+                "derive an integral key column before probing.")
         raise TypeError(
             "pd_to_u64: received a float batch with values beyond 2^53 "
             "— an int64 key column with NULLs was degraded to float64 "

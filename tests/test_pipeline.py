@@ -763,6 +763,42 @@ def test_redact_pii_exact(spark):
     assert out[7].redacted == "<PHONE> x2" and phones(out[7]) == 1
 
 
+def test_redact_pii_ssn_cc_ipv6(spark):
+    """The r5 widened kinds: SSN shape, Luhn-gated credit cards (valid
+    redacted, invalid digit runs preserved — the checksum is the whole
+    point), IPv6 full + compressed; and the non-PII survivors stay
+    byte-identical."""
+    from fastfilter_spark.pipeline import redact_pii
+
+    rows = [
+        (0, "ssn 219-09-9999 filed"),
+        (1, "card 4111 1111 1111 1111 paid"),        # Luhn-valid grouped
+        (2, "bare 5500005555555559 wire"),           # Luhn-valid bare
+        (3, "order 4111 1111 1111 1112 kept"),       # Luhn-INVALID
+        (4, "serial 1234567890123 build"),           # 13 digits, invalid
+        (5, "via 2001:db8::8a2e:370:7334 gw"),       # compressed IPv6
+        (6, "full 2001:0db8:85a3:0000:0000:8a2e:0370:7334 end"),
+        (7, "amex 378282246310005 ok"),              # 15-digit bare Amex
+        (8, "date 2024-01-02 and 555-123-4567 call"),  # NANP, not SSN
+        (9, "time 12:30:45 ratio a:b code std::vector"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+
+    assert out[0].redacted == "ssn <SSN> filed" and out[0].n_ssn == 1
+    assert out[1].redacted == "card <CC> paid" and out[1].n_cc == 1
+    assert out[2].redacted == "bare <CC> wire" and out[2].n_cc == 1
+    assert out[3].redacted == rows[3][1] and out[3].n_cc == 0
+    assert out[4].redacted == rows[4][1] and out[4].n_cc == 0
+    assert out[5].redacted == "via <IP6> gw" and out[5].n_ip6c == 1
+    assert out[6].redacted == "full <IP6> end" and out[6].n_ip6 == 1
+    assert out[7].redacted == "amex <CC> ok" and out[7].n_cc == 1
+    assert out[8].redacted == "date 2024-01-02 and <PHONE> call"
+    assert out[8].n_ssn == 0
+    assert out[9].redacted == rows[9][1]
+    assert (out[9].n_ip6, out[9].n_ip6c) == (0, 0)
+
+
 def test_connected_components_chain_and_isolates(spark):
     """Alternating large-star/small-star must close transitive chains
     (a-b, b-c → one component), keep disjoint components apart, be
@@ -967,3 +1003,62 @@ def test_distributed_ivf_trainer_reaches_1024_cells(spark):
     res = ivf_topk(emb, q, k=3, nprobe=64, centroids=cents).toPandas()
     assert set(res.query_id.unique()) == set(range(10))
     assert (res.groupby("query_id")["rank"].max() == 3).all()
+
+
+def test_semantic_dedup_one_call(spark):
+    """semantic_dedup == hand-chained cosine_near_dups →
+    connected_components → keep_best_per_cluster, plus the reserved-name
+    guard and score-based representative selection."""
+    from fastfilter_spark.pipeline import (cosine_near_dups,
+                                           keep_best_per_cluster,
+                                           semantic_dedup)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    out = semantic_dedup(emb, threshold=0.35, method="exact").toPandas()
+    assert {"component", "cluster_size", "is_rep"} <= set(out.columns)
+    assert len(out) == emb.count()
+    # hand-chained reference gives the identical clustering + reps
+    pairs = cosine_near_dups(emb, threshold=0.35, method="exact")
+    ref = keep_best_per_cluster(
+        emb.withColumn("__s", F.lit(None).cast("double")),
+        pairs, "vec_id", "__s").drop("__s").toPandas()
+    key = ["vec_id", "component", "cluster_size", "is_rep"]
+    assert out[key].sort_values("vec_id").reset_index(drop=True).equals(
+        ref[key].sort_values("vec_id").reset_index(drop=True))
+    # min-id representative within every multi-member cluster
+    multi = out[out.cluster_size > 1]
+    if len(multi):
+        reps = multi[multi.is_rep].groupby("component").vec_id.min()
+        mins = multi.groupby("component").vec_id.min()
+        assert reps.equals(mins)
+    # score-based pick: highest label wins its cluster
+    scored = semantic_dedup(emb, score_col="label", threshold=0.35,
+                            method="exact").toPandas()
+    for comp, grp in scored[scored.cluster_size > 1].groupby("component"):
+        best = grp.sort_values(["label", "vec_id"],
+                               ascending=[False, True]).iloc[0]
+        assert grp[grp.is_rep].vec_id.iloc[0] == best.vec_id
+    # lsh mode runs end-to-end and recovers most exact clusters
+    lsh = semantic_dedup(emb, threshold=0.35, method="lsh").toPandas()
+    exact_dups = int((~out.is_rep).sum())
+    lsh_dups = int((~lsh.is_rep).sum())
+    assert lsh_dups <= exact_dups           # LSH can only miss edges
+    if exact_dups:
+        assert lsh_dups >= exact_dups * 0.5
+    # reserved working names fail loud
+    with pytest.raises(ValueError, match="reserved"):
+        semantic_dedup(emb.withColumn("component", F.lit(1)))
+
+
+def test_upsample_huge_factor_fails_loud(spark):
+    """A factor that would explode ≥2^31 copies per row must raise
+    in-plan (the old int cast wrapped negative and sequence()
+    auto-descended into bogus negative copy ids)."""
+    from fastfilter_spark.spark import upsample
+    df = spark.range(0, 3).select(F.col("id").alias("doc_id"))
+    big = upsample(df, F.lit(5e9), "doc_id")
+    with pytest.raises(Exception, match="cap factors upstream"):
+        big.count()
+    # normal factors still work and copy ids stay non-negative
+    ok = upsample(df, F.lit(2.0), "doc_id").toPandas()
+    assert (ok["copy"] >= 0).all() and len(ok) >= 6

@@ -485,6 +485,26 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
                    and "BroadcastNestedLoopJoin" not in p27
                    and "CartesianProduct" not in p27))
 
+    # 28. semantic_dedup composition (VERDICT r4 #4): the one-call
+    # pipeline must add NO exchange beyond its three components'
+    # (pair edges + connected components + keep_best), and the
+    # lsh-mode plan must never contain a cartesian.
+    from fastfilter_spark.pipeline import (cosine_near_dups,
+                                           keep_best_per_cluster,
+                                           semantic_dedup)
+    p28 = plan_of(semantic_dedup(emb16, threshold=0.5, method="lsh"))
+    pairs28 = cosine_near_dups(emb16, threshold=0.5, method="lsh")
+    p28_pairs = plan_of(pairs28)
+    p28_keep = plan_of(keep_best_per_cluster(
+        emb16.withColumn("s", F.lit(None).cast("double")),
+        pairs28, "vec_id", "s"))
+    n_ex = lambda p: len(re.findall(r"\bExchange\b", p))
+    checks.append(("semantic_dedup: no Exchange beyond the three "
+                   "components', no cartesian",
+                   n_ex(p28) <= n_ex(p28_pairs) + n_ex(p28_keep)
+                   and "CartesianProduct" not in p28
+                   and "BroadcastNestedLoopJoin" not in p28))
+
     print(p2)
     print(p3[:3000])
     ok = True
