@@ -13,12 +13,17 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app: str = "fastfilter_spark", cpus: int | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
+    """``extra_conf`` entries are applied last (override the defaults);
+    note getOrCreate only honors configs when it CREATES the session —
+    callers needing special configs (event log, etc.) should run in
+    their own process, as the bench tools do."""
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
-    spark = (
+    builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -38,7 +43,9 @@ def get_spark(app: str = "fastfilter_spark", cpus: int | None = None,
         # 10^12 path is io.build_filter_sidecar (driver never holds blobs)
         .config("spark.driver.maxResultSize", "8g")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        .getOrCreate()
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

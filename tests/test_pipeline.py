@@ -1062,3 +1062,53 @@ def test_upsample_huge_factor_fails_loud(spark):
     # normal factors still work and copy ids stay non-negative
     ok = upsample(df, F.lit(2.0), "doc_id").toPandas()
     assert (ok["copy"] >= 0).all() and len(ok) >= 6
+
+
+def test_list_matrix_arrow_edges():
+    """The Arrow-native matrix helper (VERDICT r4 #2): regular batches
+    reshape zero-copy, null rows become zero vectors (the old per-row
+    contract), sliced arrays respect their offset, ragged non-null rows
+    fail loud."""
+    import numpy as np
+    import pyarrow as pa
+    from fastfilter_spark.pipeline.ann import _list_matrix
+
+    reg = pa.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]],
+                   type=pa.list_(pa.float32()))
+    m = _list_matrix(reg, 2)
+    assert m.dtype == np.float64
+    assert np.array_equal(m, [[1, 2], [3, 4], [5, 6]])
+    # null row → zeros
+    withnull = pa.array([[1.0, 2.0], None, [5.0, 6.0]],
+                        type=pa.list_(pa.float32()))
+    m2 = _list_matrix(withnull, 2)
+    assert np.array_equal(m2, [[1, 2], [0, 0], [5, 6]])
+    # sliced view (non-zero array offset) must honor its offsets
+    m3 = _list_matrix(reg.slice(1, 2), 2)
+    assert np.array_equal(m3, [[3, 4], [5, 6]])
+    # ragged non-null row → loud error, never silent zeros
+    ragged = pa.array([[1.0, 2.0], [3.0]], type=pa.list_(pa.float32()))
+    with pytest.raises(ValueError, match="length"):
+        _list_matrix(ragged, 2)
+    # empty batch
+    assert _list_matrix(pa.array([], type=pa.list_(pa.float32())), 2) \
+        .shape == (0, 2)
+
+
+def test_pd_to_u64_float_batches():
+    """NULL-degraded int64 batches (exact floats) convert losslessly;
+    genuinely fractional keys and >2^53 magnitudes both fail loud."""
+    import numpy as np
+    import pandas as pd
+    from fastfilter_spark.workerside import pd_to_u64
+
+    ints = pd.Series([1, 2, 3], dtype="int64")
+    assert pd_to_u64(ints).dtype == np.uint64
+    # exact float batch (what Arrow produces for int64-with-NULL)
+    exact = pd.Series([1.0, None, 4096.0], dtype="float64")
+    out = pd_to_u64(exact)
+    assert out[0] == 1 and out[1] == 0 and out[2] == 4096
+    with pytest.raises(TypeError, match="fractional"):
+        pd_to_u64(pd.Series([1.5, 2.0], dtype="float64"))
+    with pytest.raises(TypeError, match="2\\^53"):
+        pd_to_u64(pd.Series([float(1 << 60)], dtype="float64"))
