@@ -718,6 +718,15 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"PartitionFilters: \[[^\]]*cell", plan), plan[:2000]
 
+    # cell-clustered layout: ~one parquet file per cell directory, not
+    # writer-tasks × cells tiny files (the r5 measured regression: 8k
+    # files made the pruned probe slower than brute force)
+    import glob
+    cell_dirs = glob.glob(os.path.join(idx, "cell=*"))
+    assert cell_dirs
+    for d in cell_dirs:
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1, d
+
     # interrupted write (sidecar is written last) must be refused
     os.remove(os.path.join(idx, "_ivf_centroids.npy"))
     import pytest as _pytest
