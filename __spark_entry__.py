@@ -1922,6 +1922,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xor16_membership": _membership("xor16"),
         "xorplus8_membership": _membership("xorplus8"),
         "xorplus16_membership": _membership("xorplus16"),
+        "fuse8_membership": _membership("fuse8"),
+        "fuse16_membership": _membership("fuse16"),
         "bloom_membership": _membership("bloom"),
         "sidecar_routed_membership": q_sidecar_routed_membership,
         "cuckoo_delete_membership": q_cuckoo_delete_membership,
@@ -2133,6 +2135,8 @@ def oracle_sql() -> dict[str, str]:
         "xor16_membership": _MEMBERSHIP_ORACLE,
         "xorplus8_membership": _MEMBERSHIP_ORACLE,
         "xorplus16_membership": _MEMBERSHIP_ORACLE,
+        "fuse8_membership": _MEMBERSHIP_ORACLE,
+        "fuse16_membership": _MEMBERSHIP_ORACLE,
         "bloom_membership": _MEMBERSHIP_ORACLE,
         "bf16_semijoin": ("SELECT doc_id FROM documents WHERE text IN "
                           "(SELECT text FROM documents WHERE lang = 'en') "

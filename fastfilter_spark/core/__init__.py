@@ -1,9 +1,10 @@
 from .binaryfuse import BinaryFuseFilter, FuseGeometry
 from .bloom import BloomFilter
+from .fuse import FuseFilter
 from .peel import MAX_ITERATIONS, PeelFailure
 from .xor import XorFilter, XorPlusFilter
 
 __all__ = [
-    "BinaryFuseFilter", "FuseGeometry", "BloomFilter",
+    "BinaryFuseFilter", "FuseGeometry", "BloomFilter", "FuseFilter",
     "XorFilter", "XorPlusFilter", "PeelFailure", "MAX_ITERATIONS",
 ]

@@ -34,6 +34,7 @@ KIND_TDIGEST = 8
 KIND_THETA = 9
 KIND_CUCKOO = 10
 KIND_MG = 11
+KIND_FUSE = 12
 
 
 def pack(kind: int, params: Dict[str, Any], payload: bytes) -> bytes:

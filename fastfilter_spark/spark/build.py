@@ -54,7 +54,7 @@ PARTIAL_SCHEMA = (
 # valid non-bloom kinds (builders live in fastfilter_spark.workerside so
 # executors never import pyspark-heavy modules)
 FILTER_KINDS = ("bf8", "bf16", "bf32", "xor8", "xor16", "xorplus8",
-                "xorplus16", "cuckoo8", "cuckoo16")
+                "xorplus16", "fuse8", "fuse16", "cuckoo8", "cuckoo16")
 
 
 @dataclass

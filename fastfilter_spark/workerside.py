@@ -24,11 +24,13 @@ from .core import serde
 from .core.binaryfuse import BinaryFuseFilter
 from .core.cuckoo import CuckooFilter
 from .core.bloom import BloomFilter
+from .core.fuse import FuseFilter
 from .core.hashing import U64, murmur64
 from .core.xor import XorFilter, XorPlusFilter
 
 _LOADERS = {
     serde.KIND_BINARY_FUSE: BinaryFuseFilter.from_bytes,
+    serde.KIND_FUSE: FuseFilter.from_bytes,
     serde.KIND_XOR: XorFilter.from_bytes,
     serde.KIND_XOR_PLUS: XorPlusFilter.from_bytes,
     serde.KIND_BLOOM: BloomFilter.from_bytes,
@@ -43,6 +45,8 @@ _BUILDERS = {
     "xor16": lambda k, r: XorFilter.populate(k, 16, rng_state=r, assume_unique=True),
     "xorplus8": lambda k, r: XorPlusFilter.populate(k, 8, rng_state=r, assume_unique=True),
     "xorplus16": lambda k, r: XorPlusFilter.populate(k, 16, rng_state=r, assume_unique=True),
+    "fuse8": lambda k, r: FuseFilter.populate(k, 8, rng_state=r, assume_unique=True),
+    "fuse16": lambda k, r: FuseFilter.populate(k, 16, rng_state=r, assume_unique=True),
     "cuckoo8": lambda k, r: CuckooFilter.populate(k, 8, rng_state=r, assume_unique=True),
     "cuckoo16": lambda k, r: CuckooFilter.populate(k, 16, rng_state=r, assume_unique=True),
 }

@@ -52,7 +52,7 @@ def test_build_zero_fn_and_dedup_metric(spark, corpus_df):
     assert probed.where("NOT contained").count() == 0
 
 
-@pytest.mark.parametrize("kind", ["bf16", "xor8", "xorplus8", "bloom"])
+@pytest.mark.parametrize("kind", ["bf16", "xor8", "xorplus8", "fuse8", "bloom"])
 def test_all_kinds_zero_fn(spark, corpus_df, kind):
     keys = keys_from_content(corpus_df, "content")
     pf = build_partitioned_filter(keys, kind=kind, num_partitions=4)
