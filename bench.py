@@ -1,7 +1,7 @@
 """Headline benchmark — prints ONE JSON line for the driver.
 
 Covers the BASELINE.md metrics: filter-construction throughput (keys/s)
-at the 10^6 tier for bf8/xor8/bloom, query (contains) throughput, and
+at the 10^6 tier for bf8/xor8/fuse8/bloom, query (contains) throughput, and
 the end-to-end flagship patterns at $SPARK_GRAFT_SF_DIR (default
 sf0.1): filter semi-join, HLL/KLL aggregation, MinHash dedup.
 
@@ -84,7 +84,7 @@ def main() -> None:
     keys = synth_keys(spark, N_KEYS).cache()
     keys.count()
 
-    for kind in ("bf8", "xor8", "bloom"):
+    for kind in ("bf8", "xor8", "fuse8", "bloom"):
         name = f"build_{kind}_1e6"
         pf = timed(name, lambda k=kind: build_partitioned_filter(
             keys, kind=k, num_partitions=CPUS,
