@@ -1367,6 +1367,42 @@ def q_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_queries long, ivf_recall_ok boolean, partition_pruned boolean")
 
 
+def q_ivfpq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN serve (product-quantized residual codes, the
+    byte-compression scale path): the persisted index stores m=16
+    uint8 codes per vector instead of 64 float32s (16× fewer bytes),
+    the probe scan partition-prunes on cell AND reads only
+    (vec_id, code), and the exact re-rank stage (refine_with) restores
+    recall — same deterministic invariant-row pattern as
+    ivf_index_topk, plus a codes_compressed check that every stored
+    code is exactly m bytes."""
+    import re
+    from fastfilter_spark.pipeline import (brute_force_topk,
+                                           ivfpq_topk_from_index,
+                                           write_ivfpq_index)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    m = 16
+    idx = "/tmp/ffsk_q_ivfpq_index/idx"
+    write_ivfpq_index(emb, idx, n_cells=16, m=m)
+    q = emb.where("vec_id < 10")
+    approx = ivfpq_topk_from_index(spark, idx, q, k=3, nprobe=8,
+                                   refine_with=emb)
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    pruned = bool(re.search(r"PartitionFilters: \[[^\]]*cell", plan))
+    exact = brute_force_topk(emb, q, k=3).select("query_id", "neighbor_id")
+    nq = q.count()
+    hits = (approx.select("query_id", "neighbor_id")
+            .join(exact, ["query_id", "neighbor_id"], "left_semi").count())
+    code_len = (spark.read.parquet(idx)
+                .agg(F.min(F.length("code")).alias("lo"),
+                     F.max(F.length("code")).alias("hi")).collect()[0])
+    return spark.createDataFrame(
+        [(int(nq), bool(hits / (3.0 * nq) >= 0.5), pruned,
+          bool(code_len.lo == m and code_len.hi == m))],
+        "n_queries long, pq_recall_ok boolean, partition_pruned boolean, "
+        "codes_compressed boolean")
+
+
 def q_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF cell-skew telemetry (VERDICT r3 #7) as a self-verifying
     invariant row: every vector lands in exactly one cell (n_rows ==
@@ -1969,6 +2005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
         "ivf_index_topk": q_ivf_index_topk,
+        "ivfpq_index_topk": q_ivfpq_index_topk,
         "ivf_cell_stats": q_ivf_cell_stats,
         "embedding_near_dups": q_embedding_near_dups,
         "semantic_dedup": q_semantic_dedup,
@@ -2588,6 +2625,10 @@ def oracle_sql() -> dict[str, str]:
         "ivf_index_topk": (
             "SELECT COUNT(*) AS n_queries, TRUE AS ivf_recall_ok, "
             "TRUE AS partition_pruned FROM embeddings WHERE vec_id < 10"),
+        "ivfpq_index_topk": (
+            "SELECT COUNT(*) AS n_queries, TRUE AS pq_recall_ok, "
+            "TRUE AS partition_pruned, TRUE AS codes_compressed "
+            "FROM embeddings WHERE vec_id < 10"),
         "embedding_near_dups": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
             "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id "

@@ -268,6 +268,24 @@ def main() -> None:
         timed("ann_ivf_warm_200k_q100",
               lambda: ivf_topk_from_index(spark, ivf_dir + "/idx", ann_q,
                                           k=5, nprobe=16).count())
+        # IVF-PQ warm serve: same centroids, corpus stored as m=8 uint8
+        # codes (32× fewer bytes than 64 float32) — the serve tier whose
+        # scan cost the plain-IVF entry showed is parquet-list-decode
+        # bound (BENCH/BASELINE.md r5: warm IVF ties brute at saturated
+        # nq·nprobe because decoding float lists dominates; codes make
+        # the pruned bytes actually small).
+        from fastfilter_spark.pipeline import (ivfpq_topk_from_index,
+                                               write_ivfpq_index)
+        t0 = time.time()
+        write_ivfpq_index(emb, ivf_dir + "/pq", centroids=cents, m=8)
+        extra["ann_ivfpq_index_build_sec"] = round(time.time() - t0, 3)
+        timed("ann_ivfpq_warm_200k_q100",
+              lambda: ivfpq_topk_from_index(spark, ivf_dir + "/pq", ann_q,
+                                            k=5, nprobe=16).count())
+        raw_b = n_emb * dim * 4
+        code_b = sum(os.path.getsize(os.path.join(r, f))
+                     for r, _, fs in os.walk(ivf_dir + "/pq") for f in fs)
+        extra["ann_ivfpq_disk_compression"] = round(raw_b / code_b, 1)
     finally:
         shutil.rmtree(ivf_dir, ignore_errors=True)
     emb.unpersist()

@@ -1,8 +1,10 @@
 from .ann import (
     brute_force_topk, cosine_near_dups, hyperplane_signatures, ivf_assign,
-    ivf_cell_stats, ivf_topk, ivf_topk_from_index, lsh_candidate_pairs,
-    lsh_topk, read_ivf_index, train_ivf_centroids,
-    train_ivf_centroids_distributed, write_ivf_index,
+    ivf_cell_stats, ivf_topk, ivf_topk_from_index, ivfpq_topk_from_index,
+    lsh_candidate_pairs,
+    lsh_topk, read_ivf_index, read_ivfpq_index, train_ivf_centroids,
+    train_ivf_centroids_distributed, train_pq_codebooks, write_ivf_index,
+    write_ivfpq_index,
 )
 from .decontam import contamination_flags
 from .graph import connected_components

@@ -298,6 +298,67 @@ def test_ivf_assign_covers_all_cells_filterable(spark):
     assert some == int((pdf.cell < 2).sum())
 
 
+def test_ivfpq_index_recall_compression_determinism(spark, tmp_path):
+    """IVF-PQ (the byte-compression serve path): codes are exactly m
+    bytes per vector (vs 4·dim raw), the written index is deterministic
+    (same corpus → byte-identical codes), pure-ADC top-k has usable
+    recall at full probe, and the exact re-rank stage (refine_with)
+    recovers ≥ the plain-IVF recall bar."""
+    from fastfilter_spark.pipeline import (ivfpq_topk_from_index,
+                                           read_ivfpq_index,
+                                           write_ivfpq_index)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "pq_idx")
+    m = 16
+    cents, books = write_ivfpq_index(emb, idx, n_cells=8, m=m)
+    assert books.shape == (m, 256, 64 // m)
+    code_df, c2, b2 = read_ivfpq_index(spark, idx)
+    np.testing.assert_array_equal(cents, c2)
+    np.testing.assert_array_equal(books, b2)
+    pdf = code_df.orderBy("vec_id").toPandas()
+    n = emb.count()
+    assert len(pdf) == n
+    assert all(len(c) == m for c in pdf.code)      # m bytes, not 4·dim
+    # determinism: rebuild in place → identical codes and cells
+    write_ivfpq_index(emb, idx, n_cells=8, m=m)
+    pdf2 = spark.read.parquet(idx).orderBy("vec_id").toPandas()
+    assert (pdf.code == pdf2.code).all() and (pdf.cell == pdf2.cell).all()
+
+    q = emb.where("vec_id < 10")
+    exact = brute_force_topk(emb, q, k=3).toPandas()
+    exact_pairs = set(zip(exact.query_id, exact.neighbor_id))
+    adc = ivfpq_topk_from_index(spark, idx, q, k=3, nprobe=8).toPandas()
+    adc_pairs = set(zip(adc.query_id, adc.neighbor_id))
+    assert len(adc_pairs & exact_pairs) / len(exact_pairs) >= 0.5
+    ref = ivfpq_topk_from_index(spark, idx, q, k=3, nprobe=8,
+                                refine_with=emb).toPandas()
+    ref_pairs = set(zip(ref.query_id, ref.neighbor_id))
+    # exact re-rank can only improve on the ADC ordering of the same
+    # candidate set
+    assert len(ref_pairs & exact_pairs) >= len(adc_pairs & exact_pairs)
+    assert len(ref_pairs & exact_pairs) / len(exact_pairs) >= 0.5
+
+
+def test_ivfpq_guards(spark, tmp_path):
+    from fastfilter_spark.pipeline import (read_ivfpq_index,
+                                           train_ivf_centroids,
+                                           train_pq_codebooks,
+                                           write_ivfpq_index)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = train_ivf_centroids(emb, n_cells=4)
+    with pytest.raises(ValueError, match="not divisible"):
+        train_pq_codebooks(emb, cents, m=7)        # 64 % 7 != 0
+    with pytest.raises(ValueError, match="uint8"):
+        train_pq_codebooks(emb, cents, m=8, n_codes=512)
+    # incomplete index (missing codebooks sidecar) must refuse to serve
+    idx = str(tmp_path / "broken")
+    write_ivfpq_index(emb, idx, n_cells=4, m=8)
+    import os
+    os.remove(os.path.join(idx, "_pq_codebooks.npy"))
+    with pytest.raises(FileNotFoundError, match="incomplete"):
+        read_ivfpq_index(spark, idx)
+
+
 def test_cosine_near_dups_exact_vs_numpy(spark):
     from fastfilter_spark.pipeline import cosine_near_dups
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

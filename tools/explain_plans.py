@@ -325,6 +325,28 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
                    "(scan prunes cell directories)",
                    bool(re.search(r"PartitionFilters: \[[^\]]*cell", p17))))
 
+    # 17b. the persisted IVF-PQ index: same partition pruning, AND the
+    # probe scan's ReadSchema must carry only (vec_id, code) — the
+    # m-bytes-per-vector compression claim is void if the scan still
+    # decodes a float array column.
+    from fastfilter_spark.pipeline import (ivfpq_topk_from_index,
+                                           write_ivfpq_index)
+    pq_tmp = tempfile.mkdtemp(prefix="ffsk_plans_ivfpq_")
+    try:
+        write_ivfpq_index(emb16, pq_tmp + "/idx", n_cells=8, m=8)
+        p17b = plan_of(ivfpq_topk_from_index(spark, pq_tmp + "/idx",
+                                             emb16.where("vec_id < 5"),
+                                             k=3, nprobe=4))
+    finally:
+        shutil.rmtree(pq_tmp, ignore_errors=True)
+    rs17b = re.search(r"ReadSchema[^\n]*", p17b)
+    checks.append(("IVF-PQ index probe: cell PartitionFilter AND the scan "
+                   "reads only vec_id+code (no float embedding column)",
+                   bool(re.search(r"PartitionFilters: \[[^\]]*cell", p17b))
+                   and rs17b is not None
+                   and "code" in rs17b.group(0)
+                   and "embedding" not in rs17b.group(0)))
+
     # 18. KLL range repartition: the claim is "range layout WITHOUT the
     # bound-sampling job" — the executed plan must contain a hash
     # exchange (on the carrier) and NO RangePartitioning anywhere, and
