@@ -1841,6 +1841,57 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(stream_dir, ignore_errors=True)
 
 
+def q_streaming_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming IVF-PQ ingest replayed with availableNow over the
+    embeddings parquet: every streamed vector must land encoded in the
+    live index exactly once (n_indexed == corpus count), and serving
+    top-k from the streamed index must return EXACTLY the rows a
+    one-shot write_ivfpq_index over the same corpus + quantizer
+    returns (the byte-identical-to-batch invariant the other streaming
+    sinks also keep)."""
+    import os
+    import shutil
+    import tempfile
+    from fastfilter_spark.pipeline import (ivfpq_topk_from_index,
+                                           train_ivf_centroids,
+                                           train_pq_codebooks,
+                                           write_ivfpq_index)
+    from fastfilter_spark.streaming import ivfpq_ingest_sink
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+               .select("vec_id", "embedding")
+    cents = train_ivf_centroids(emb, n_cells=16)
+    books = train_pq_codebooks(emb, cents, m=16)
+    work = tempfile.mkdtemp(prefix="ffsk_sann_")
+    try:
+        src = os.path.join(work, "src")
+        emb.repartition(3).write.parquet(src)
+        stream = (spark.readStream.schema(emb.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        idx = os.path.join(work, "idx")
+        q = ivfpq_ingest_sink(stream, idx, cents, books,
+                              checkpoint_dir=os.path.join(work, "ck"))
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming_ann_ingest did not finish")
+        batch_idx = os.path.join(work, "batch_idx")
+        write_ivfpq_index(emb, batch_idx, centroids=cents, codebooks=books)
+        queries = emb.where("vec_id < 10")
+        streamed = ivfpq_topk_from_index(spark, idx, queries,
+                                         k=3, nprobe=8) \
+            .select("query_id", "neighbor_id", "rank")
+        oneshot = ivfpq_topk_from_index(spark, batch_idx, queries,
+                                        k=3, nprobe=8) \
+            .select("query_id", "neighbor_id", "rank")
+        same = (streamed.exceptAll(oneshot).count() == 0
+                and oneshot.exceptAll(streamed).count() == 0)
+        n_indexed = spark.read.parquet(idx).count()
+        return spark.createDataFrame(
+            [(int(n_indexed), bool(same))],
+            "n_indexed long, matches_batch_index boolean")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_mg_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra-Gries heavy hitters over document tokens: the exact top-20
     tokens (oracle-recomputable) each flagged with the deterministic MG
@@ -2039,6 +2090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_dup_spans": q_remove_dup_spans,
         "decontamination": q_decontamination,
         "streaming_dedup": q_streaming_dedup,
+        "streaming_ann_ingest": q_streaming_ann_ingest,
         "tfidf_top_terms": q_tfidf_top_terms,
     }
 
@@ -2729,6 +2781,9 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup": (
             "SELECT COUNT(DISTINCT text) AS n_unique, "
             "TRUE AS no_dup_survives FROM documents"),
+        "streaming_ann_ingest": (
+            "SELECT COUNT(*) AS n_indexed, "
+            "TRUE AS matches_batch_index FROM embeddings"),
         "tfidf_top_terms": (
             f"WITH lt AS (SELECT lang, unnest({_TOKENS_SQL}) AS token "
             "FROM documents), "

@@ -935,33 +935,13 @@ def _binary_matrix(col, m: int) -> np.ndarray:
 IVFPQ_CODEBOOKS_FILE = "_pq_codebooks.npy"
 
 
-def write_ivfpq_index(corpus: DataFrame, path: str,
-                      vec_col: str = "embedding", id_col: str = "vec_id",
-                      n_cells: int = 16, m: int = 8, n_codes: int = 256,
-                      train_limit: int = 32768, seed: int = 42,
-                      centroids: Optional[np.ndarray] = None,
-                      codebooks: Optional[np.ndarray] = None):
-    """Persist the corpus as a cell-partitioned IVF-PQ index: rows are
-    (id, m-byte PQ code) only — the full-precision embedding is NOT
-    stored, so the on-disk serve set is ~m/(4·dim) of the raw corpus
-    (32× at dim=64, m=8) ON TOP of the nprobe/n_cells partition
-    pruning. One mapInArrow pass assigns the cell and encodes the
-    residual together; same hash-clustered one-file-per-cell write and
-    written-last sidecar completion discipline as
-    :func:`write_ivf_index` (codebooks land after centroids, and the
-    reader requires both, so an interrupted write never serves).
-    At-scale cell counts: train with
-    :func:`train_ivf_centroids_distributed` and pass ``centroids=``
-    (PQ codebooks have no such need — see :func:`train_pq_codebooks`).
-    Returns (centroids, codebooks)."""
-    import os
+def ivfpq_encode(corpus: DataFrame, centroids: np.ndarray,
+                 codebooks: np.ndarray, vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> DataFrame:
+    """-> (vec_id, code binary, cell int): one mapInArrow pass assigns
+    the coarse cell and PQ-encodes the residual. The shared kernel
+    under :func:`write_ivfpq_index` and the streaming ingest sink."""
     spark = corpus.sparkSession
-    if centroids is None:
-        centroids = train_ivf_centroids(corpus, vec_col, id_col, n_cells,
-                                        seed=seed)
-    if codebooks is None:
-        codebooks = train_pq_codebooks(corpus, centroids, vec_col, id_col,
-                                       m, n_codes, train_limit, seed=seed)
     m = codebooks.shape[0]
     dim = centroids.shape[1]
     bc = spark.sparkContext.broadcast(
@@ -991,7 +971,36 @@ def write_ivfpq_index(corpus: DataFrame, path: str,
                  pa.array(cells, type=pa.int32())],
                 ["vec_id", "code", "cell"])
 
-    (src.mapInArrow(_encode, "vec_id long, code binary, cell int")
+    return src.mapInArrow(_encode, "vec_id long, code binary, cell int")
+
+
+def write_ivfpq_index(corpus: DataFrame, path: str,
+                      vec_col: str = "embedding", id_col: str = "vec_id",
+                      n_cells: int = 16, m: int = 8, n_codes: int = 256,
+                      train_limit: int = 32768, seed: int = 42,
+                      centroids: Optional[np.ndarray] = None,
+                      codebooks: Optional[np.ndarray] = None):
+    """Persist the corpus as a cell-partitioned IVF-PQ index: rows are
+    (id, m-byte PQ code) only — the full-precision embedding is NOT
+    stored, so the on-disk serve set is ~m/(4·dim) of the raw corpus
+    (32× at dim=64, m=8) ON TOP of the nprobe/n_cells partition
+    pruning. One mapInArrow pass assigns the cell and encodes the
+    residual together; same hash-clustered one-file-per-cell write and
+    written-last sidecar completion discipline as
+    :func:`write_ivf_index` (codebooks land after centroids, and the
+    reader requires both, so an interrupted write never serves).
+    At-scale cell counts: train with
+    :func:`train_ivf_centroids_distributed` and pass ``centroids=``
+    (PQ codebooks have no such need — see :func:`train_pq_codebooks`).
+    Returns (centroids, codebooks)."""
+    import os
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, vec_col, id_col, n_cells,
+                                        seed=seed)
+    if codebooks is None:
+        codebooks = train_pq_codebooks(corpus, centroids, vec_col, id_col,
+                                       m, n_codes, train_limit, seed=seed)
+    (ivfpq_encode(corpus, centroids, codebooks, vec_col, id_col)
      .repartition(F.col("cell"))
      .write.mode("overwrite")
      .option("partitionOverwriteMode", "static")
@@ -1019,6 +1028,31 @@ def read_ivfpq_index(spark, path: str):
                 "write_ivfpq_index)")
         out.append(np.load(f))
     return spark.read.parquet(path), out[0], out[1]
+
+
+def compact_ivfpq_index(spark, src_path: str, out_path: str) -> None:
+    """Seal a streaming-ingest index (``streaming.ivfpq_ingest_sink``'s
+    batch=N/cell=K accretion) into the canonical one-file-per-cell
+    layout ``write_ivfpq_index`` produces: ONE deterministic hash
+    exchange on cell, sidecars copied last (the completion marker), the
+    batch partition column dropped. A long-running ingest accretes
+    ≤ n_cells files per trigger; probes pay file listing/open per
+    probed cell × batch, so compaction restores the O(probed cells)
+    file count. Also accepts an already-canonical index (idempotent
+    re-layout)."""
+    import os
+    df, centroids, codebooks = read_ivfpq_index(spark, src_path)
+    (df.select("vec_id", "code", "cell")
+     .repartition(F.col("cell"))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "static")
+     .partitionBy("cell").parquet(out_path))
+    for fname, arr in ((IVF_CENTROIDS_FILE, centroids),
+                       (IVFPQ_CODEBOOKS_FILE, codebooks)):
+        tmp = os.path.join(out_path, fname + ".tmp")
+        with open(tmp, "wb") as fh:
+            np.save(fh, arr)
+        os.replace(tmp, os.path.join(out_path, fname))
 
 
 def ivfpq_topk_from_index(spark, path: str, queries: DataFrame,

@@ -349,6 +349,76 @@ def cuckoo_mutation_sink(stream_ops: DataFrame, work_dir: str,
     return writer.start()
 
 
+def ivfpq_ingest_sink(stream_vecs: DataFrame, index_dir: str,
+                      centroids, codebooks,
+                      vec_col: str = "embedding", id_col: str = "vec_id",
+                      checkpoint_dir: str | None = None,
+                      trigger_available_now: bool = True):
+    """Streaming ANN ingest: each micro-batch of vectors is coarse-
+    assigned + PQ-encoded (the shared ``pipeline.ann.ivfpq_encode``
+    kernel) and appended to a servable IVF-PQ index — the shape a
+    continuously-arriving embedding corpus needs (a full
+    ``write_ivfpq_index`` rebuild per trigger would re-encode
+    everything ever seen).
+
+    Layout: ``index_dir/{_ivf_centroids.npy, _pq_codebooks.npy,
+    _state.json, batch=N/cell=K/*.parquet}`` — every sidecar and
+    marker is underscore-prefixed so Spark's reader ignores them, and
+    ``ivfpq_topk_from_index(spark, index_dir, ...)`` serves the live
+    index directly between triggers: partition discovery exposes
+    (batch, cell) and the probe's cell predicate still prunes cell
+    directories inside every batch. Exactly-once under replays via the
+    per-batch idempotent overwrite + applied-batch marker (the
+    ``filter_rebuild_sink`` scheme). Seal a finished epoch into the
+    canonical one-file-per-cell layout with
+    ``pipeline.ann.compact_ivfpq_index`` (a long-running ingest
+    otherwise accretes ≤ n_cells files per trigger).
+
+    The quantizer is FROZEN for the sink's life — centroids/codebooks
+    are written before the first batch and every batch encodes against
+    them (retraining mid-stream would mix two quantizers in one index;
+    to retrain, compact + rebuild offline). Upstream must dedup ids
+    (compose with :func:`dedup_stream`): appended rows are never
+    reconciled, so a re-ingested id would serve twice."""
+    import numpy as np
+
+    from ..pipeline.ann import (IVF_CENTROIDS_FILE, IVFPQ_CODEBOOKS_FILE,
+                                ivfpq_encode)
+
+    state_path = os.path.join(index_dir, "_state.json")
+    _guard_marker_without_checkpoint(state_path, checkpoint_dir)
+    os.makedirs(index_dir, exist_ok=True)
+    for fname, arr in ((IVF_CENTROIDS_FILE, centroids),
+                       (IVFPQ_CODEBOOKS_FILE, codebooks)):
+        tmp = os.path.join(index_dir, fname + ".tmp")
+        with open(tmp, "wb") as fh:
+            np.save(fh, np.asarray(arr))
+        os.replace(tmp, os.path.join(index_dir, fname))
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        applied = -1
+        if os.path.exists(state_path):
+            with open(state_path) as fh:
+                applied = json.load(fh)["applied"]
+        if batch_id <= applied:
+            return  # replayed batch after restart — already appended
+        (ivfpq_encode(batch_df, centroids, codebooks, vec_col, id_col)
+         .repartition(F.col("cell"))
+         .write.mode("overwrite")
+         .partitionBy("cell")
+         .parquet(os.path.join(index_dir, f"batch={batch_id}")))
+        with open(state_path, "w") as fh:
+            json.dump({"applied": batch_id}, fh)
+
+    writer = stream_vecs.writeStream.foreachBatch(_fold) \
+                        .outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def dedup_stream(stream: DataFrame, key_col: str,
                  event_time_col: str | None = None,
                  watermark: str | None = None) -> DataFrame:

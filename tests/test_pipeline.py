@@ -339,6 +339,34 @@ def test_ivfpq_index_recall_compression_determinism(spark, tmp_path):
     assert len(ref_pairs & exact_pairs) / len(exact_pairs) >= 0.5
 
 
+def test_binary_matrix_handles_slices_and_chunks():
+    """_binary_matrix reads straight from the Arrow buffers, so it must
+    honor the slice offset a sliced RecordBatch carries (a wrong slice
+    would silently score every row against the wrong codes) and reject
+    ragged or NULL rows loudly."""
+    import pyarrow as pa
+
+    from fastfilter_spark.pipeline.ann import _binary_matrix
+
+    rng = np.random.default_rng(3)
+    m = 8
+    codes = rng.integers(0, 256, size=(50, m), dtype=np.uint8)
+    arr = pa.array([c.tobytes() for c in codes], type=pa.binary())
+    np.testing.assert_array_equal(_binary_matrix(arr, m), codes)
+    # sliced view: offsets no longer start at 0
+    np.testing.assert_array_equal(_binary_matrix(arr.slice(13, 20), m),
+                                  codes[13:33])
+    # chunked (combine_chunks path)
+    ch = pa.chunked_array([arr.slice(0, 10), arr.slice(10, 40)])
+    np.testing.assert_array_equal(_binary_matrix(ch, m), codes)
+    assert _binary_matrix(arr.slice(5, 0), m).shape == (0, m)
+    with pytest.raises(ValueError, match="!= m"):
+        _binary_matrix(pa.array([b"short"], type=pa.binary()), m)
+    with pytest.raises(ValueError, match="NULL"):
+        _binary_matrix(pa.array([codes[0].tobytes(), None],
+                                type=pa.binary()), m)
+
+
 def test_ivfpq_guards(spark, tmp_path):
     from fastfilter_spark.pipeline import (read_ivfpq_index,
                                            train_ivf_centroids,

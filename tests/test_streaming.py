@@ -477,3 +477,69 @@ def test_incremental_quantile_sink(spark, events_stream_dir, tmp_path):
                                      checkpoint_dir=str(tmp_path / "ckk"))
     q3.awaitTermination(120)
     assert read_incremental_sketch(sk, "kll").to_bytes() == blob
+
+
+def test_ivfpq_ingest_sink_serves_and_compacts(spark, tmp_path):
+    """Streaming ANN ingest: vectors arriving across micro-batches are
+    PQ-encoded against a frozen quantizer and appended to a LIVE
+    servable index — top-k from the streamed index must equal top-k
+    from a one-shot write_ivfpq_index over the same corpus with the
+    same quantizer, replays must not double-append, and compaction
+    must preserve answers while collapsing the batch=* accretion."""
+    import numpy as np
+
+    from fastfilter_spark.pipeline import (compact_ivfpq_index,
+                                           ivfpq_topk_from_index,
+                                           train_ivf_centroids,
+                                           train_pq_codebooks,
+                                           write_ivfpq_index)
+    from fastfilter_spark.streaming import ivfpq_ingest_sink
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+               .select("vec_id", "embedding")
+    src = str(tmp_path / "src")
+    emb.repartition(3).write.parquet(src)
+    cents = train_ivf_centroids(emb, n_cells=8)
+    books = train_pq_codebooks(emb, cents, m=8)
+
+    def mkstream():
+        return (spark.readStream.schema(emb.schema)
+                .option("maxFilesPerTrigger", 1).parquet(src))
+
+    idx = str(tmp_path / "pq_stream")
+    q = ivfpq_ingest_sink(mkstream(), idx, cents, books,
+                          checkpoint_dir=str(tmp_path / "ck"))
+    q.awaitTermination(180)
+    batches = glob.glob(os.path.join(idx, "batch=*"))
+    assert len(batches) >= 2                  # multi-trigger really ran
+
+    batch_idx = str(tmp_path / "pq_batch")
+    write_ivfpq_index(emb, batch_idx, centroids=cents, codebooks=books)
+    queries = emb.where("vec_id < 5")
+
+    def pairs(path):
+        pdf = ivfpq_topk_from_index(spark, path, queries, k=3,
+                                    nprobe=8).toPandas()
+        return sorted(zip(pdf.query_id, pdf.neighbor_id, pdf["rank"]))
+
+    want = pairs(batch_idx)
+    assert pairs(idx) == want
+
+    # replay: restart on the same (exhausted) checkpoint — no new
+    # batch dirs, identical answers
+    q2 = ivfpq_ingest_sink(mkstream(), idx, cents, books,
+                           checkpoint_dir=str(tmp_path / "ck"))
+    q2.awaitTermination(180)
+    assert sorted(glob.glob(os.path.join(idx, "batch=*"))) \
+        == sorted(batches)
+    assert pairs(idx) == want
+
+    # compaction: canonical layout (cell=* at top level), same answers
+    comp = str(tmp_path / "pq_compact")
+    compact_ivfpq_index(spark, idx, comp)
+    assert not glob.glob(os.path.join(comp, "batch=*"))
+    assert glob.glob(os.path.join(comp, "cell=*"))
+    assert pairs(comp) == want
+    # total row count preserved through the whole chain
+    n = emb.count()
+    assert spark.read.parquet(comp).count() == n
