@@ -1030,7 +1030,9 @@ def read_ivfpq_index(spark, path: str):
     return spark.read.parquet(path), out[0], out[1]
 
 
-def compact_ivfpq_index(spark, src_path: str, out_path: str) -> None:
+def compact_ivfpq_index(spark, src_path: str, out_path: str,
+                        delete_ids: Optional[DataFrame] = None,
+                        id_col: str = "vec_id") -> None:
     """Seal a streaming-ingest index (``streaming.ivfpq_ingest_sink``'s
     batch=N/cell=K accretion) into the canonical one-file-per-cell
     layout ``write_ivfpq_index`` produces: ONE deterministic hash
@@ -1039,9 +1041,26 @@ def compact_ivfpq_index(spark, src_path: str, out_path: str) -> None:
     ≤ n_cells files per trigger; probes pay file listing/open per
     probed cell × batch, so compaction restores the O(probed cells)
     file count. Also accepts an already-canonical index (idempotent
-    re-layout)."""
+    re-layout).
+
+    ``delete_ids`` (a DataFrame carrying ``id_col``): drop those
+    vectors while rewriting — the index's deletion path. Codes are
+    static (like xor/fuse filters, an encoded row cannot be retracted
+    in place), so deletes ride the compaction rewrite as a broadcast
+    anti-join; between compactions, filter deleted ids from the serve
+    RESULT instead (an anti-join on the top-k output is k·nq rows)."""
     import os
+    if os.path.abspath(out_path) == os.path.abspath(src_path):
+        raise ValueError(
+            "compact_ivfpq_index cannot compact in place: the overwrite "
+            "would delete its own input mid-scan. Write to a new path "
+            "and swap directories afterwards.")
     df, centroids, codebooks = read_ivfpq_index(spark, src_path)
+    if delete_ids is not None:
+        df = df.join(
+            F.broadcast(delete_ids.select(F.col(id_col).alias("vec_id"))
+                        .dropDuplicates()),
+            "vec_id", "left_anti")
     (df.select("vec_id", "code", "cell")
      .repartition(F.col("cell"))
      .write.mode("overwrite")

@@ -390,10 +390,24 @@ def ivfpq_ingest_sink(stream_vecs: DataFrame, index_dir: str,
     os.makedirs(index_dir, exist_ok=True)
     for fname, arr in ((IVF_CENTROIDS_FILE, centroids),
                        (IVFPQ_CODEBOOKS_FILE, codebooks)):
-        tmp = os.path.join(index_dir, fname + ".tmp")
+        dst = os.path.join(index_dir, fname)
+        if os.path.exists(dst):
+            # restart guard: batches already encoded under the OLD
+            # quantizer — appending rows encoded under a different one
+            # would silently mix two code spaces in one index
+            old = np.load(dst)
+            if old.shape != np.shape(arr) or not np.array_equal(
+                    old, np.asarray(arr, dtype=old.dtype)):
+                raise ValueError(
+                    f"{dst} already holds a DIFFERENT quantizer than the "
+                    "one passed — an IVF-PQ index cannot mix encodings. "
+                    "Resume with the original centroids/codebooks, or "
+                    "compact + rebuild offline to retrain.")
+            continue
+        tmp = dst + ".tmp"
         with open(tmp, "wb") as fh:
             np.save(fh, np.asarray(arr))
-        os.replace(tmp, os.path.join(index_dir, fname))
+        os.replace(tmp, dst)
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         applied = -1

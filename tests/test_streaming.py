@@ -543,3 +543,24 @@ def test_ivfpq_ingest_sink_serves_and_compacts(spark, tmp_path):
     # total row count preserved through the whole chain
     n = emb.count()
     assert spark.read.parquet(comp).count() == n
+
+    # restart with a DIFFERENT quantizer must fail loudly (appending
+    # rows encoded under new centroids would mix two code spaces)
+    with pytest.raises(ValueError, match="DIFFERENT quantizer"):
+        ivfpq_ingest_sink(mkstream(), idx, cents * 0.5, books,
+                          checkpoint_dir=str(tmp_path / "ck"))
+    # in-place compaction would delete its own input mid-scan
+    with pytest.raises(ValueError, match="in place"):
+        compact_ivfpq_index(spark, idx, idx)
+
+    # deletion rides the compaction rewrite: dropped ids are gone from
+    # the index and can never be served
+    dele = str(tmp_path / "pq_deleted")
+    gone = emb.where("vec_id < 3").select("vec_id")
+    compact_ivfpq_index(spark, idx, dele, delete_ids=gone)
+    left = spark.read.parquet(dele)
+    assert left.count() == n - 3
+    assert left.where("vec_id < 3").count() == 0
+    served = ivfpq_topk_from_index(spark, dele, queries, k=3,
+                                   nprobe=8).toPandas()
+    assert not set(served.neighbor_id) & {0, 1, 2}
