@@ -1403,6 +1403,36 @@ def q_ivfpq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "codes_compressed boolean")
 
 
+def q_ivfpq_joined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-shaped bulk ANN serve (queries shuffled to their probed
+    cells via cogroup — nothing driver-side or broadcast is
+    proportional to nq, the shape for 10⁶+-query offline sweeps):
+    must return EXACTLY the rows the broadcast probe-plan path returns
+    on the same index, and keep the recall bar vs exact brute force."""
+    from fastfilter_spark.pipeline import (brute_force_topk,
+                                           ivfpq_topk_from_index,
+                                           ivfpq_topk_joined,
+                                           write_ivfpq_index)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = "/tmp/ffsk_q_ivfpq_joined/idx"
+    write_ivfpq_index(emb, idx, n_cells=16, m=16)
+    q = emb.where("vec_id < 10")
+    joined = ivfpq_topk_joined(spark, idx, q, k=3, nprobe=8) \
+        .select("query_id", "neighbor_id", "rank")
+    bcast = ivfpq_topk_from_index(spark, idx, q, k=3, nprobe=8) \
+        .select("query_id", "neighbor_id", "rank")
+    same = (joined.exceptAll(bcast).count() == 0
+            and bcast.exceptAll(joined).count() == 0)
+    exact = brute_force_topk(emb, q, k=3).select("query_id", "neighbor_id")
+    nq = q.count()
+    hits = (joined.select("query_id", "neighbor_id")
+            .join(exact, ["query_id", "neighbor_id"], "left_semi").count())
+    return spark.createDataFrame(
+        [(int(nq), bool(same), bool(hits / (3.0 * nq) >= 0.5))],
+        "n_queries long, matches_broadcast_path boolean, "
+        "pq_recall_ok boolean")
+
+
 def q_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF cell-skew telemetry (VERDICT r3 #7) as a self-verifying
     invariant row: every vector lands in exactly one cell (n_rows ==
@@ -2057,6 +2087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": q_ivf_ann_topk,
         "ivf_index_topk": q_ivf_index_topk,
         "ivfpq_index_topk": q_ivfpq_index_topk,
+        "ivfpq_joined_topk": q_ivfpq_joined_topk,
         "ivf_cell_stats": q_ivf_cell_stats,
         "embedding_near_dups": q_embedding_near_dups,
         "semantic_dedup": q_semantic_dedup,
@@ -2680,6 +2711,10 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq_index_topk": (
             "SELECT COUNT(*) AS n_queries, TRUE AS pq_recall_ok, "
             "TRUE AS partition_pruned, TRUE AS codes_compressed "
+            "FROM embeddings WHERE vec_id < 10"),
+        "ivfpq_joined_topk": (
+            "SELECT COUNT(*) AS n_queries, "
+            "TRUE AS matches_broadcast_path, TRUE AS pq_recall_ok "
             "FROM embeddings WHERE vec_id < 10"),
         "embedding_near_dups": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b "

@@ -2,7 +2,7 @@ from .ann import (
     brute_force_topk, compact_ivfpq_index, cosine_near_dups,
     hyperplane_signatures, ivf_assign,
     ivf_cell_stats, ivf_topk, ivf_topk_from_index, ivfpq_encode,
-    ivfpq_topk_from_index,
+    ivfpq_topk_from_index, ivfpq_topk_joined,
     lsh_candidate_pairs,
     lsh_topk, read_ivf_index, read_ivfpq_index, train_ivf_centroids,
     train_ivf_centroids_distributed, train_pq_codebooks, write_ivf_index,

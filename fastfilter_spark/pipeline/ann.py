@@ -768,6 +768,116 @@ def ivf_topk_from_index(spark, path: str, queries: DataFrame,
                       k, exclude_self, centroids.shape[1])
 
 
+def ivfpq_topk_joined(spark, path: str, queries: DataFrame,
+                      vec_col: str = "embedding", id_col: str = "vec_id",
+                      k: int = 5, nprobe: int = 8,
+                      exclude_self: bool = True) -> DataFrame:
+    """Join-shaped IVF-PQ serve for query sets too large to broadcast:
+    (query_id, neighbor_id, adc_sim, rank), same answer surface as
+    :func:`ivfpq_topk_from_index`.
+
+    The broadcast path collects EVERY query to the driver and ships an
+    (n_cells × nq) probe mask to each task — at 10⁶ queries × 3·10⁴
+    cells that is a multi-GB broadcast and a driver OOM (the same
+    scale-killer class as driver-side quantizer training). Here the
+    queries stay distributed end to end: one mapInArrow pass emits
+    (cell, query_id, unit qvec as fixed-width bytes) probe rows —
+    nq·nprobe rows, ~(8 + 8·dim) bytes each, the LSH-band-row idiom —
+    then a cogroup on cell scores each cell's code block against
+    exactly the queries that probed it (per-query LUTs recomputed
+    in-task: m·n_codes·dsub flops, noise), with the per-cell partial
+    top-k bounding the window exchange to ≤ nq·nprobe·k rows. Nothing
+    anywhere is proportional to nq × n_cells or to nq on the driver.
+
+    Use the broadcast path for interactive batches (≲10⁴ queries — it
+    reads only probed-cell FILES, while this path's cogroup reads the
+    index once); use this for offline bulk serving (model-eval sweeps,
+    all-corpus kNN joins)."""
+    code_df, centroids, codebooks = read_ivfpq_index(spark, path)
+    m, n_codes, dsub = codebooks.shape
+    dim = centroids.shape[1]
+    n_cells = len(centroids)
+    nprobe = min(nprobe, n_cells)
+    kk = k + (1 if exclude_self else 0)
+    bc = spark.sparkContext.broadcast(
+        (np.ascontiguousarray(centroids), np.ascontiguousarray(codebooks)))
+
+    qsrc = queries.select(F.col(id_col).alias("query_id"),
+                          F.col(vec_col).alias("v"))
+
+    def _probe_rows(batches):
+        import pyarrow as pa
+        cents, _ = bc.value
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            qm = _unit(_list_matrix(batch.column(1), dim))
+            qids = _i64(batch.column(0))
+            sims = qm @ cents.T
+            if nprobe < n_cells:
+                top = np.argpartition(-sims, nprobe - 1,
+                                      axis=1)[:, :nprobe]
+            else:
+                top = np.tile(np.arange(n_cells), (len(qm), 1))
+            n = len(qids)
+            rows = n * nprobe
+            vec_bytes = qm[np.repeat(np.arange(n), nprobe)]
+            qv_arr = pa.Array.from_buffers(
+                pa.binary(), rows,
+                [None,
+                 pa.py_buffer(np.arange(rows + 1, dtype=np.int32)
+                              * (8 * dim)),
+                 pa.py_buffer(np.ascontiguousarray(vec_bytes).tobytes())])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(top.ravel().astype(np.int32)),
+                 pa.array(np.repeat(qids, nprobe), type=pa.int64()),
+                 qv_arr],
+                ["cell", "query_id", "qv"])
+
+    probes = qsrc.mapInArrow(
+        _probe_rows, "cell int, query_id long, qv binary")
+
+    def _score_cell(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                              "neighbor_id": pd.Series([], dtype="int64"),
+                              "adc_sim": pd.Series([], dtype="float64")})
+        if left.empty or right.empty:
+            return empty
+        cents, books = bc.value
+        cell = int(left["cell"].iloc[0])
+        codes = np.frombuffer(b"".join(left["code"]),
+                              dtype=np.uint8).reshape(-1, m)
+        qm = np.frombuffer(b"".join(right["qv"]),
+                           dtype=np.float64).reshape(-1, dim)
+        lut = np.einsum("qjd,jcd->qjc", qm.reshape(-1, m, dsub), books)
+        lutT = np.ascontiguousarray(lut.transpose(1, 2, 0))
+        base = qm @ cents[cell]                       # (nq_c,)
+        sims = np.broadcast_to(base, (len(codes), len(qm))).copy()
+        for j in range(m):
+            sims += lutT[j][codes[:, j]]
+        sims = np.where(np.isfinite(sims), sims, -np.inf)
+        cids = left["vec_id"].to_numpy()
+        bi, qj = _partial_topk(sims, cids, kk)
+        ok = np.isfinite(sims[bi, qj])
+        bi, qj = bi[ok], qj[ok]
+        return pd.DataFrame({
+            "query_id": right["query_id"].to_numpy()[qj],
+            "neighbor_id": cids[bi],
+            "adc_sim": sims[bi, qj]})
+
+    scored = (code_df.select("vec_id", "code", "cell").groupby("cell")
+              .cogroup(probes.groupby("cell"))
+              .applyInPandas(_score_cell,
+                             "query_id long, neighbor_id long, "
+                             "adc_sim double"))
+    if exclude_self:
+        scored = scored.where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_sim").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
 def ivf_cell_stats(assigned: DataFrame) -> DataFrame:
     """Cell-skew telemetry for an ``ivf_assign``ed corpus (mirrors
     ``dedup.lsh_bucket_stats``): one row with n_cells_used, the largest

@@ -367,6 +367,33 @@ def test_binary_matrix_handles_slices_and_chunks():
                                 type=pa.binary()), m)
 
 
+def test_ivfpq_joined_matches_broadcast_path(spark, tmp_path):
+    """The join-shaped bulk serve (queries never touch the driver) must
+    return the same neighbors as the broadcast probe-plan path on the
+    same index — same ADC arithmetic, different distribution shape."""
+    from fastfilter_spark.pipeline import (ivfpq_topk_from_index,
+                                           ivfpq_topk_joined,
+                                           write_ivfpq_index)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "pq_idx_j")
+    write_ivfpq_index(emb, idx, n_cells=8, m=16)
+    q = emb.where("vec_id < 10")
+    a = ivfpq_topk_from_index(spark, idx, q, k=3, nprobe=4).toPandas()
+    b = ivfpq_topk_joined(spark, idx, q, k=3, nprobe=4).toPandas()
+    want = sorted(zip(a.query_id, a.neighbor_id, a["rank"]))
+    got = sorted(zip(b.query_id, b.neighbor_id, b["rank"]))
+    assert got == want
+    # and the sims agree numerically (gemm vs gemv accumulation)
+    ja = a.set_index(["query_id", "neighbor_id"]).adc_sim
+    jb = b.set_index(["query_id", "neighbor_id"]).adc_sim
+    assert np.allclose(ja.sort_index(), jb.sort_index(), atol=1e-9)
+    # full probe: joined == broadcast == every cell scored
+    c = ivfpq_topk_joined(spark, idx, q, k=3, nprobe=8).toPandas()
+    d = ivfpq_topk_from_index(spark, idx, q, k=3, nprobe=8).toPandas()
+    assert sorted(zip(c.query_id, c.neighbor_id, c["rank"])) \
+        == sorted(zip(d.query_id, d.neighbor_id, d["rank"]))
+
+
 def test_ivfpq_guards(spark, tmp_path):
     from fastfilter_spark.pipeline import (read_ivfpq_index,
                                            train_ivf_centroids,

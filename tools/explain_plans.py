@@ -347,6 +347,28 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
                    and "code" in rs17b.group(0)
                    and "embedding" not in rs17b.group(0)))
 
+    # 17c. the join-shaped bulk serve: queries shuffle to their probed
+    # cells (one hash exchange per cogroup side + the top-k window's),
+    # nothing broadcast is proportional to nq, and there is no
+    # cartesian/nested-loop anywhere.
+    from fastfilter_spark.pipeline import ivfpq_topk_joined
+    pq_tmp2 = tempfile.mkdtemp(prefix="ffsk_plans_ivfpqj_")
+    try:
+        write_ivfpq_index(emb16, pq_tmp2 + "/idx", n_cells=8, m=8)
+        p17c = plan_of(ivfpq_topk_joined(spark, pq_tmp2 + "/idx",
+                                         emb16.where("vec_id < 5"),
+                                         k=3, nprobe=4))
+    finally:
+        shutil.rmtree(pq_tmp2, ignore_errors=True)
+    # formatted explain prints every node twice (tree + details), so
+    # count numbered nodes, not raw token occurrences
+    n17c = len(re.findall(r"\(\d+\) Exchange", p17c))
+    checks.append(("IVF-PQ joined bulk serve: cogroup exchanges + window "
+                   f"only ({n17c} Exchange ≤ 3), no cartesian",
+                   n17c <= 3
+                   and "CartesianProduct" not in p17c
+                   and "BroadcastNestedLoopJoin" not in p17c))
+
     # 18. KLL range repartition: the claim is "range layout WITHOUT the
     # bound-sampling job" — the executed plan must contain a hash
     # exchange (on the carrier) and NO RangePartitioning anywhere, and
