@@ -592,8 +592,16 @@ def ivf_assign(corpus: DataFrame, centroids: np.ndarray,
 
 def _ivf_probe_plan(queries: DataFrame, centroids: np.ndarray,
                     vec_col: str, id_col: str, nprobe: int):
-    """Driver-side probe plan: which cells each query visits.
-    -> (qids, unit qmat, (n_cells, nq) membership mask, probed cells)"""
+    """Driver-side probe plan: which cells each query visits, as a CSR
+    cell→query-columns map -> (qids, unit qmat, (indptr, qcols),
+    probed cells). CSR instead of the earlier (n_cells × nq) bool mask:
+    the broadcast payload is O(nq·nprobe) int32 (~0.4 MB at 10⁴ queries
+    × nprobe 8) where the dense mask was O(n_cells·nq) (~300 MB at
+    3·10⁴ cells × 10⁴ queries — a per-task broadcast that would have
+    capped the interactive path's batch size long before the driver
+    collect did). Query sets beyond ~10⁴ belong on
+    :func:`ivfpq_topk_joined`, which never materializes queries
+    driver-side at all."""
     n_cells = len(centroids)
     nprobe = min(nprobe, n_cells)
     qrows = queries.select(id_col, vec_col).collect()
@@ -601,15 +609,42 @@ def _ivf_probe_plan(queries: DataFrame, centroids: np.ndarray,
     qmat = _unit(np.vstack([np.asarray(r[1], dtype=np.float64)
                             for r in qrows]))
     order = np.argsort(-(qmat @ centroids.T), axis=1)[:, :nprobe]
-    probe_mask = np.zeros((n_cells, len(qids)), dtype=bool)
-    for qi in range(len(qids)):
-        probe_mask[order[qi], qi] = True
-    probed_cells = sorted({int(c) for c in order.ravel()})
-    return qids, qmat, probe_mask, probed_cells
+    cell_ids = order.ravel()
+    q_ids = np.repeat(np.arange(len(qids), dtype=np.int32), nprobe)
+    perm = np.lexsort((q_ids, cell_ids))
+    indptr = np.zeros(n_cells + 1, dtype=np.int64)
+    np.cumsum(np.bincount(cell_ids, minlength=n_cells), out=indptr[1:])
+    qcols = q_ids[perm]
+    probed_cells = np.unique(cell_ids).tolist()
+    return qids, qmat, (indptr, qcols), probed_cells
+
+
+def _probe_subset(cells: np.ndarray, indptr: np.ndarray,
+                  qcols: np.ndarray):
+    """-> (cols, keep, ucells, inv) for one Arrow batch: the global
+    query columns that probed ANY of the batch's cells, a
+    (len(cells), len(cols)) bool saying which row-query pairs are live,
+    and the batch's distinct cells + row→distinct-cell index (so
+    callers can compute per-unique-cell terms once and gather). The
+    python loop is over the DISTINCT cells — 1 under a cell-partitioned
+    scan, small always — never over rows or queries."""
+    ucells, inv = np.unique(cells, return_inverse=True)
+    parts = [qcols[indptr[c]:indptr[c + 1]] for c in ucells]
+    flat = np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+    if not len(flat):
+        return (np.empty(0, dtype=np.int64),
+                np.zeros((len(cells), 0), dtype=bool), ucells, inv)
+    cols = np.unique(flat)
+    pos = np.zeros(int(cols[-1]) + 1, dtype=np.int64)
+    pos[cols] = np.arange(len(cols))
+    keep_u = np.zeros((len(ucells), len(cols)), dtype=bool)
+    for i, p in enumerate(parts):
+        keep_u[i, pos[p]] = True
+    return cols, keep_u[inv], ucells, inv
 
 
 def _ivf_score(assigned: DataFrame, qids: np.ndarray, qmat: np.ndarray,
-               probe_mask: np.ndarray, vec_col: str, id_col: str,
+               probes, vec_col: str, id_col: str,
                k: int, exclude_self: bool, dim: int) -> DataFrame:
     """Score an already cell-filtered corpus against the probe plan:
     partial top-k per Arrow batch (same reduction as brute_force_topk).
@@ -623,18 +658,17 @@ def _ivf_score(assigned: DataFrame, qids: np.ndarray, qmat: np.ndarray,
     masked to -inf so a row is never returned to a query that did not
     probe its cell."""
     spark = assigned.sparkSession
-    bc = spark.sparkContext.broadcast((qids, qmat, probe_mask))
+    bc = spark.sparkContext.broadcast((qids, qmat, probes))
     out_schema = "query_id long, neighbor_id long, cos_sim double"
     m = k + (1 if exclude_self else 0)
 
     def _score(batches):
-        qids_b, qn, mask = bc.value
+        qids_b, qn, (indptr, qcols) = bc.value
         for batch in batches:
             if batch.num_rows == 0:
                 continue
             cells = _i64(batch.column(2))
-            keep = mask[cells]                            # (batch, nq)
-            cols = np.nonzero(keep.any(axis=0))[0]
+            cols, subkeep, _, _ = _probe_subset(cells, indptr, qcols)
             if not len(cols):
                 continue
             cmat = _unit(_list_matrix(batch.column(1), dim))
@@ -643,7 +677,6 @@ def _ivf_score(assigned: DataFrame, qids: np.ndarray, qmat: np.ndarray,
             # as brute_force_topk: NaN would rank first in the final
             # desc window and poison every probed query)
             sims = np.where(np.isfinite(sims), sims, -np.inf)
-            subkeep = keep[:, cols]
             masked = np.where(subkeep, sims, -np.inf)
             cids = _i64(batch.column(0))
             bi, qj = _partial_topk(masked, cids, m)
@@ -680,11 +713,11 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame,
     if centroids is None:
         centroids = train_ivf_centroids(corpus, vec_col, id_col, n_cells,
                                         train_limit, kmeans_iters, seed)
-    qids, qmat, probe_mask, probed_cells = _ivf_probe_plan(
+    qids, qmat, probes, probed_cells = _ivf_probe_plan(
         queries, centroids, vec_col, id_col, nprobe)
     assigned = ivf_assign(corpus, centroids, vec_col).where(
         F.col("cell").isin(probed_cells))
-    return _ivf_score(assigned, qids, qmat, probe_mask, vec_col, id_col,
+    return _ivf_score(assigned, qids, qmat, probes, vec_col, id_col,
                       k, exclude_self, centroids.shape[1])
 
 
@@ -761,10 +794,10 @@ def ivf_topk_from_index(spark, path: str, queries: DataFrame,
     lists only the probed cells' directories (plan-audited:
     tools/explain_plans.py checks `PartitionFilters: [cell IN ...]`)."""
     corpus, centroids = read_ivf_index(spark, path)
-    qids, qmat, probe_mask, probed_cells = _ivf_probe_plan(
+    qids, qmat, probes, probed_cells = _ivf_probe_plan(
         queries, centroids, vec_col, id_col, nprobe)
     assigned = corpus.where(F.col("cell").isin(probed_cells))
-    return _ivf_score(assigned, qids, qmat, probe_mask, vec_col, id_col,
+    return _ivf_score(assigned, qids, qmat, probes, vec_col, id_col,
                       k, exclude_self, centroids.shape[1])
 
 
@@ -1205,42 +1238,45 @@ def ivfpq_topk_from_index(spark, path: str, queries: DataFrame,
     the exact ``cos_sim``."""
     code_df, centroids, codebooks = read_ivfpq_index(spark, path)
     m, n_codes, dsub = codebooks.shape
-    qids, qmat, probe_mask, probed_cells = _ivf_probe_plan(
+    qids, qmat, probes, probed_cells = _ivf_probe_plan(
         queries, centroids, vec_col, id_col, nprobe)
-    base = qmat @ centroids.T                              # (nq, n_cells)
-    lut = np.einsum("qjd,jcd->qjc",
-                    qmat.reshape(len(qmat), m, dsub), codebooks)
+    # broadcast payload is O(nq·dim + n_cells·dim + m·n_codes·dsub):
+    # per-query LUTs and centroid dots are recomputed in-kernel for the
+    # batch's probing columns only (the joined path's idiom) — the
+    # earlier driver-side (nq, n_cells) base + (nq, m, n_codes) LUT
+    # arrays were a quadratic-class broadcast (160+ MB at 10⁴ queries)
     bc = spark.sparkContext.broadcast(
-        (qids, np.ascontiguousarray(base), np.ascontiguousarray(lut),
-         probe_mask))
+        (qids, np.ascontiguousarray(qmat), probes,
+         np.ascontiguousarray(centroids), np.ascontiguousarray(codebooks)))
     kk = (k * refine_factor if refine_with is not None else k) \
         + (1 if exclude_self else 0)
 
     def _adc(batches):
         import pyarrow as pa
-        qids_b, base_b, lut_b, mask = bc.value
+        qids_b, qn, (indptr, qcols), cents, books = bc.value
         for batch in batches:
             if batch.num_rows == 0:
                 continue
             cells = _i64(batch.column(2))
-            keep = mask[cells]                             # (batch, nq)
-            cols = np.nonzero(keep.any(axis=0))[0]
+            cols, subkeep, ucells, inv = _probe_subset(cells, indptr,
+                                                       qcols)
             if not len(cols):
                 continue
             codes = _binary_matrix(batch.column(1), m)
             # gathers laid out so the OUTPUT (batch, ncols) is the
-            # contiguous axis: row-gather from (n_cells|n_codes, ncols)
-            # tables. The obvious lut[cols, j][:, codes].T form
-            # column-gathers then transposes — measured ~2.5× slower
-            # end-to-end at the 200k bench tier.
-            baseT = np.ascontiguousarray(base_b[cols].T)   # (n_cells, ncols)
-            lutT = np.ascontiguousarray(
-                lut_b[cols].transpose(1, 2, 0))            # (m, n_codes, ncols)
-            sims = baseT[cells]                            # (batch, ncols)
+            # contiguous axis: row-gather from (n_codes, ncols) tables.
+            # The obvious lut[cols, j][:, codes].T form column-gathers
+            # then transposes — measured ~2.5× slower end-to-end at
+            # the 200k bench tier. einsum emits lutT directly in
+            # (m, n_codes, ncols) layout, no transpose copy.
+            qsub = qn[cols]
+            lutT = np.einsum("qjd,jcd->jcq",
+                             qsub.reshape(len(qsub), m, dsub), books)
+            base_u = cents[ucells] @ qsub.T                # (ucells, ncols)
+            sims = base_u[inv]                             # (batch, ncols)
             for j in range(m):
                 sims += lutT[j][codes[:, j]]
             sims = np.where(np.isfinite(sims), sims, -np.inf)
-            subkeep = keep[:, cols]
             masked = np.where(subkeep, sims, -np.inf)
             cids = _i64(batch.column(0))
             bi, qj = _partial_topk(masked, cids, kk)
