@@ -792,7 +792,10 @@ def ivf_topk_from_index(spark, path: str, queries: DataFrame,
     UDF at query time (cells are read from the partition column), and
     the cell predicate prunes whole partitions at plan time — the scan
     lists only the probed cells' directories (plan-audited:
-    tools/explain_plans.py checks `PartitionFilters: [cell IN ...]`)."""
+    tools/explain_plans.py checks `PartitionFilters: [cell IN ...]`).
+    Queries are collected driver-side (the interactive-batch shape,
+    ≲10⁴ queries); for bulk query sets build a PQ index and use
+    :func:`ivfpq_topk_joined`, which keeps queries distributed."""
     corpus, centroids = read_ivf_index(spark, path)
     qids, qmat, probes, probed_cells = _ivf_probe_plan(
         queries, centroids, vec_col, id_col, nprobe)
