@@ -1083,10 +1083,17 @@ IVFPQ_CODEBOOKS_FILE = "_pq_codebooks.npy"
 
 def ivfpq_encode(corpus: DataFrame, centroids: np.ndarray,
                  codebooks: np.ndarray, vec_col: str = "embedding",
-                 id_col: str = "vec_id") -> DataFrame:
+                 id_col: str = "vec_id",
+                 with_coarse_dist: bool = False) -> DataFrame:
     """-> (vec_id, code binary, cell int): one mapInArrow pass assigns
     the coarse cell and PQ-encodes the residual. The shared kernel
-    under :func:`write_ivfpq_index` and the streaming ingest sink."""
+    under :func:`write_ivfpq_index` and the streaming ingest sink.
+
+    ``with_coarse_dist`` appends a float64 ``coarse_dist`` column
+    (1 − cos to the assigned centroid — the quantizer-fit residual):
+    its distribution over arriving data is the drift signal a frozen
+    quantizer needs (rising coarse_dist = the corpus has moved away
+    from the cells; retrain + compact)."""
     spark = corpus.sparkSession
     m = codebooks.shape[0]
     dim = centroids.shape[1]
@@ -1094,6 +1101,9 @@ def ivfpq_encode(corpus: DataFrame, centroids: np.ndarray,
         (np.ascontiguousarray(centroids), np.ascontiguousarray(codebooks)))
     src = corpus.select(F.col(id_col).alias("vec_id"),
                         F.col(vec_col).alias("v"))
+    schema = "vec_id long, code binary, cell int"
+    if with_coarse_dist:
+        schema += ", coarse_dist double"
 
     def _encode(batches):
         import pyarrow as pa
@@ -1112,12 +1122,17 @@ def ivfpq_encode(corpus: DataFrame, centroids: np.ndarray,
                 [None,
                  pa.py_buffer(np.arange(n + 1, dtype=np.int32) * m),
                  pa.py_buffer(np.ascontiguousarray(codes).tobytes())])
-            yield pa.RecordBatch.from_arrays(
-                [batch.column(0), code_arr,
-                 pa.array(cells, type=pa.int32())],
-                ["vec_id", "code", "cell"])
+            cols = [batch.column(0), code_arr,
+                    pa.array(cells, type=pa.int32())]
+            names = ["vec_id", "code", "cell"]
+            if with_coarse_dist:
+                cols.append(pa.array(
+                    1.0 - np.einsum("nd,nd->n", mat, cents[cells]),
+                    type=pa.float64()))
+                names.append("coarse_dist")
+            yield pa.RecordBatch.from_arrays(cols, names)
 
-    return src.mapInArrow(_encode, "vec_id long, code binary, cell int")
+    return src.mapInArrow(_encode, schema)
 
 
 def write_ivfpq_index(corpus: DataFrame, path: str,

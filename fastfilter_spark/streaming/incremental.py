@@ -409,18 +409,41 @@ def ivfpq_ingest_sink(stream_vecs: DataFrame, index_dir: str,
             np.save(fh, np.asarray(arr))
         os.replace(tmp, dst)
 
+    drift_path = os.path.join(index_dir, "_drift.jsonl")
+
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Observation
         applied = -1
         if os.path.exists(state_path):
             with open(state_path) as fh:
                 applied = json.load(fh)["applied"]
         if batch_id <= applied:
             return  # replayed batch after restart — already appended
-        (ivfpq_encode(batch_df, centroids, codebooks, vec_col, id_col)
+        # drift telemetry rides the write action via observe() — zero
+        # extra passes: coarse_dist (1 − cos to the assigned centroid)
+        # measures how well the FROZEN quantizer still fits arriving
+        # data; a rising mean vs the first epochs means the corpus has
+        # drifted and the index needs a retrain + compact cycle.
+        obs = Observation()
+        enc = ivfpq_encode(batch_df, centroids, codebooks, vec_col,
+                           id_col, with_coarse_dist=True)
+        enc = enc.observe(obs,
+                          F.count(F.lit(1)).alias("n"),
+                          F.avg("coarse_dist").alias("mean_coarse_dist"),
+                          F.max("coarse_dist").alias("max_coarse_dist"))
+        (enc.drop("coarse_dist")
          .repartition(F.col("cell"))
          .write.mode("overwrite")
          .partitionBy("cell")
          .parquet(os.path.join(index_dir, f"batch={batch_id}")))
+        row = obs.get
+        with open(drift_path, "a") as fh:
+            fh.write(json.dumps({"batch": batch_id,
+                                 "n": int(row["n"] or 0),
+                                 "mean_coarse_dist":
+                                     row["mean_coarse_dist"],
+                                 "max_coarse_dist":
+                                     row["max_coarse_dist"]}) + "\n")
         with open(state_path, "w") as fh:
             json.dump({"applied": batch_id}, fh)
 
@@ -431,6 +454,20 @@ def ivfpq_ingest_sink(stream_vecs: DataFrame, index_dir: str,
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_ingest_drift(index_dir: str) -> list:
+    """Per-batch quantizer-fit telemetry appended by
+    :func:`ivfpq_ingest_sink` -> list of {batch, n, mean_coarse_dist,
+    max_coarse_dist} dicts in batch order. The operational alert: a
+    sustained rise of ``mean_coarse_dist`` over the first epochs means
+    arriving vectors no longer fit the frozen quantizer — schedule a
+    retrain + ``compact_ivfpq_index`` cycle."""
+    path = os.path.join(index_dir, "_drift.jsonl")
+    if not os.path.exists(path):
+        return []
+    with open(path) as fh:
+        return [json.loads(line) for line in fh if line.strip()]
 
 
 def dedup_stream(stream: DataFrame, key_col: str,

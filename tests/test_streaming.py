@@ -564,3 +564,54 @@ def test_ivfpq_ingest_sink_serves_and_compacts(spark, tmp_path):
     served = ivfpq_topk_from_index(spark, dele, queries, k=3,
                                    nprobe=8).toPandas()
     assert not set(served.neighbor_id) & {0, 1, 2}
+
+
+def test_ivfpq_ingest_drift_telemetry(spark, tmp_path):
+    """Quantizer-fit drift: every ingested batch appends a
+    {batch, n, mean_coarse_dist, max_coarse_dist} row (n sums to the
+    rows ingested), and a planted out-of-distribution epoch (vectors
+    collapsed onto one axis the quantizer never trained on) must read
+    a clearly worse mean fit than the in-distribution epochs."""
+    import numpy as np
+
+    from fastfilter_spark.pipeline import (train_ivf_centroids,
+                                           train_pq_codebooks)
+    from fastfilter_spark.streaming import (ivfpq_ingest_sink,
+                                            read_ingest_drift)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+               .select("vec_id", "embedding")
+    n = emb.count()
+    cents = train_ivf_centroids(emb, n_cells=8)
+    books = train_pq_codebooks(emb, cents, m=8)
+    src = str(tmp_path / "src")
+    emb.repartition(2).write.parquet(src)
+
+    idx = str(tmp_path / "drift_idx")
+    ck = str(tmp_path / "ck")
+    q = ivfpq_ingest_sink(
+        (spark.readStream.schema(emb.schema)
+         .option("maxFilesPerTrigger", 1).parquet(src)),
+        idx, cents, books, checkpoint_dir=ck)
+    q.awaitTermination(180)
+    drift = read_ingest_drift(idx)
+    assert len(drift) >= 2
+    assert sum(d["n"] for d in drift) == n
+    base_mean = max(d["mean_coarse_dist"] for d in drift)
+
+    # planted drift epoch: new files whose vectors all point down one
+    # axis (scaled + shifted) — nowhere near any trained centroid
+    shifted = emb.select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform("embedding",
+                    lambda x: (x * F.lit(0.01) + F.lit(5.0))
+                    .cast("float")).alias("embedding"))
+    shifted.repartition(1).write.mode("append").parquet(src)
+    q2 = ivfpq_ingest_sink(
+        (spark.readStream.schema(emb.schema)
+         .option("maxFilesPerTrigger", 1).parquet(src)),
+        idx, cents, books, checkpoint_dir=ck)
+    q2.awaitTermination(180)
+    drift2 = read_ingest_drift(idx)
+    assert sum(d["n"] for d in drift2) == 2 * n
+    assert drift2[-1]["mean_coarse_dist"] > base_mean
