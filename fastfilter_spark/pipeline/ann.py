@@ -608,7 +608,12 @@ def _ivf_probe_plan(queries: DataFrame, centroids: np.ndarray,
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = _unit(np.vstack([np.asarray(r[1], dtype=np.float64)
                             for r in qrows]))
-    order = np.argsort(-(qmat @ centroids.T), axis=1)[:, :nprobe]
+    # stable sort: an exact sim tie at the nprobe boundary (duplicate
+    # centroids are reachable — duplicate init vectors persist through
+    # k-means) must resolve to the LOWEST cell id in every serve path,
+    # or the joined and broadcast paths would probe different cells
+    order = np.argsort(-(qmat @ centroids.T), axis=1,
+                       kind="stable")[:, :nprobe]
     cell_ids = order.ravel()
     q_ids = np.repeat(np.arange(len(qids), dtype=np.int32), nprobe)
     perm = np.lexsort((q_ids, cell_ids))
@@ -850,25 +855,33 @@ def ivfpq_topk_joined(spark, path: str, queries: DataFrame,
             qm = _unit(_list_matrix(batch.column(1), dim))
             qids = _i64(batch.column(0))
             sims = qm @ cents.T
-            if nprobe < n_cells:
-                top = np.argpartition(-sims, nprobe - 1,
-                                      axis=1)[:, :nprobe]
-            else:
-                top = np.tile(np.arange(n_cells), (len(qm), 1))
-            n = len(qids)
-            rows = n * nprobe
-            vec_bytes = qm[np.repeat(np.arange(n), nprobe)]
-            qv_arr = pa.Array.from_buffers(
-                pa.binary(), rows,
-                [None,
-                 pa.py_buffer(np.arange(rows + 1, dtype=np.int32)
-                              * (8 * dim)),
-                 pa.py_buffer(np.ascontiguousarray(vec_bytes).tobytes())])
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(top.ravel().astype(np.int32)),
-                 pa.array(np.repeat(qids, nprobe), type=pa.int64()),
-                 qv_arr],
-                ["cell", "query_id", "qv"])
+            # stable argsort, NOT argpartition: must pick the same
+            # cells as _ivf_probe_plan on boundary ties or the two
+            # serve paths would disagree
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+            # chunk so each emitted batch's binary offsets stay well
+            # under int32 (nq·nprobe·8·dim bytes overflows at ~10k
+            # rows × dim 768 × nprobe 64 — silent numpy wraparound)
+            max_rows = (2**30) // (8 * dim)
+            step = max(1, max_rows // nprobe)
+            for lo in range(0, len(qids), step):
+                q_c = qids[lo:lo + step]
+                t_c = top[lo:lo + step]
+                n = len(q_c)
+                rows = n * nprobe
+                vec_bytes = qm[lo + np.repeat(np.arange(n), nprobe)]
+                qv_arr = pa.Array.from_buffers(
+                    pa.binary(), rows,
+                    [None,
+                     pa.py_buffer(np.arange(rows + 1, dtype=np.int32)
+                                  * (8 * dim)),
+                     pa.py_buffer(
+                         np.ascontiguousarray(vec_bytes).tobytes())])
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(t_c.ravel().astype(np.int32)),
+                     pa.array(np.repeat(q_c, nprobe), type=pa.int64()),
+                     qv_arr],
+                    ["cell", "query_id", "qv"])
 
     probes = qsrc.mapInArrow(
         _probe_rows, "cell int, query_id long, qv binary")
@@ -885,8 +898,9 @@ def ivfpq_topk_joined(spark, path: str, queries: DataFrame,
                               dtype=np.uint8).reshape(-1, m)
         qm = np.frombuffer(b"".join(right["qv"]),
                            dtype=np.float64).reshape(-1, dim)
-        lut = np.einsum("qjd,jcd->qjc", qm.reshape(-1, m, dsub), books)
-        lutT = np.ascontiguousarray(lut.transpose(1, 2, 0))
+        # jcq layout straight from einsum — the qjc + transpose copy
+        # was the exact gather-layout tax the broadcast kernel avoids
+        lutT = np.einsum("qjd,jcd->jcq", qm.reshape(-1, m, dsub), books)
         base = qm @ cents[cell]                       # (nq_c,)
         sims = np.broadcast_to(base, (len(codes), len(qm))).copy()
         for j in range(m):
@@ -1081,6 +1095,22 @@ def _binary_matrix(col, m: int) -> np.ndarray:
 IVFPQ_CODEBOOKS_FILE = "_pq_codebooks.npy"
 
 
+def _write_ivfpq_sidecars(path: str, centroids: np.ndarray,
+                          codebooks: np.ndarray) -> None:
+    """Atomically publish the two quantizer sidecars (tmp + rename,
+    centroids first, codebooks LAST = the completion marker the reader
+    requires). The ONE place the write/read sidecar contract lives —
+    write_ivfpq_index, compact_ivfpq_index and the streaming ingest
+    sink all go through here."""
+    import os
+    for fname, arr in ((IVF_CENTROIDS_FILE, centroids),
+                       (IVFPQ_CODEBOOKS_FILE, codebooks)):
+        tmp = os.path.join(path, fname + ".tmp")
+        with open(tmp, "wb") as fh:
+            np.save(fh, np.asarray(arr))
+        os.replace(tmp, os.path.join(path, fname))
+
+
 def ivfpq_encode(corpus: DataFrame, centroids: np.ndarray,
                  codebooks: np.ndarray, vec_col: str = "embedding",
                  id_col: str = "vec_id",
@@ -1166,12 +1196,7 @@ def write_ivfpq_index(corpus: DataFrame, path: str,
      .write.mode("overwrite")
      .option("partitionOverwriteMode", "static")
      .partitionBy("cell").parquet(path))
-    for fname, arr in ((IVF_CENTROIDS_FILE, centroids),
-                       (IVFPQ_CODEBOOKS_FILE, codebooks)):
-        tmp = os.path.join(path, fname + ".tmp")
-        with open(tmp, "wb") as fh:
-            np.save(fh, arr)
-        os.replace(tmp, os.path.join(path, fname))
+    _write_ivfpq_sidecars(path, centroids, codebooks)
     return centroids, codebooks
 
 
@@ -1211,7 +1236,10 @@ def compact_ivfpq_index(spark, src_path: str, out_path: str,
     anti-join; between compactions, filter deleted ids from the serve
     RESULT instead (an anti-join on the top-k output is k·nq rows)."""
     import os
-    if os.path.abspath(out_path) == os.path.abspath(src_path):
+    # realpath, not abspath: a symlinked out_path aliasing src_path
+    # would pass an abspath compare and the overwrite would delete its
+    # own input mid-scan
+    if os.path.realpath(out_path) == os.path.realpath(src_path):
         raise ValueError(
             "compact_ivfpq_index cannot compact in place: the overwrite "
             "would delete its own input mid-scan. Write to a new path "
@@ -1227,12 +1255,7 @@ def compact_ivfpq_index(spark, src_path: str, out_path: str,
      .write.mode("overwrite")
      .option("partitionOverwriteMode", "static")
      .partitionBy("cell").parquet(out_path))
-    for fname, arr in ((IVF_CENTROIDS_FILE, centroids),
-                       (IVFPQ_CODEBOOKS_FILE, codebooks)):
-        tmp = os.path.join(out_path, fname + ".tmp")
-        with open(tmp, "wb") as fh:
-            np.save(fh, arr)
-        os.replace(tmp, os.path.join(out_path, fname))
+    _write_ivfpq_sidecars(out_path, centroids, codebooks)
 
 
 def ivfpq_topk_from_index(spark, path: str, queries: DataFrame,
@@ -1333,6 +1356,12 @@ def ivfpq_topk_from_index(spark, path: str, queries: DataFrame,
     exact = (cand.join(full, "neighbor_id")
              .join(F.broadcast(qv), "query_id")
              .withColumn("cos_sim", dot / nrm)
+             # a corrupt full-precision vector (NaN component) yields a
+             # NaN cosine, and Spark ranks NaN ABOVE every double in a
+             # desc window — without this filter one bad row wins rank
+             # 1 for every query it reaches (same guard as
+             # cosine_near_dups / the ADC kernels' -inf sanitize)
+             .where(~F.isnan(F.col("cos_sim")))
              .select("query_id", "neighbor_id", "cos_sim"))
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc())

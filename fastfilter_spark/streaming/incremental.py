@@ -383,7 +383,7 @@ def ivfpq_ingest_sink(stream_vecs: DataFrame, index_dir: str,
     import numpy as np
 
     from ..pipeline.ann import (IVF_CENTROIDS_FILE, IVFPQ_CODEBOOKS_FILE,
-                                ivfpq_encode)
+                                _write_ivfpq_sidecars, ivfpq_encode)
 
     state_path = os.path.join(index_dir, "_state.json")
     _guard_marker_without_checkpoint(state_path, checkpoint_dir)
@@ -403,11 +403,8 @@ def ivfpq_ingest_sink(stream_vecs: DataFrame, index_dir: str,
                     "one passed — an IVF-PQ index cannot mix encodings. "
                     "Resume with the original centroids/codebooks, or "
                     "compact + rebuild offline to retrain.")
-            continue
-        tmp = dst + ".tmp"
-        with open(tmp, "wb") as fh:
-            np.save(fh, np.asarray(arr))
-        os.replace(tmp, dst)
+    if not os.path.exists(os.path.join(index_dir, IVFPQ_CODEBOOKS_FILE)):
+        _write_ivfpq_sidecars(index_dir, centroids, codebooks)
 
     drift_path = os.path.join(index_dir, "_drift.jsonl")
 
@@ -462,12 +459,22 @@ def read_ingest_drift(index_dir: str) -> list:
     max_coarse_dist} dicts in batch order. The operational alert: a
     sustained rise of ``mean_coarse_dist`` over the first epochs means
     arriving vectors no longer fit the frozen quantizer — schedule a
-    retrain + ``compact_ivfpq_index`` cycle."""
+    retrain + ``compact_ivfpq_index`` cycle.
+
+    Deduped by batch id (last line wins): a crash between the drift
+    append and the applied-batch marker replays the batch, whose
+    parquet overwrite is idempotent but whose drift line appends
+    again — the duplicate must not double-count here."""
     path = os.path.join(index_dir, "_drift.jsonl")
     if not os.path.exists(path):
         return []
+    by_batch: dict = {}
     with open(path) as fh:
-        return [json.loads(line) for line in fh if line.strip()]
+        for line in fh:
+            if line.strip():
+                d = json.loads(line)
+                by_batch[d["batch"]] = d
+    return [by_batch[b] for b in sorted(by_batch)]
 
 
 def dedup_stream(stream: DataFrame, key_col: str,
