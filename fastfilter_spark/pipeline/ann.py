@@ -812,7 +812,9 @@ def ivf_topk_from_index(spark, path: str, queries: DataFrame,
 def ivfpq_topk_joined(spark, path: str, queries: DataFrame,
                       vec_col: str = "embedding", id_col: str = "vec_id",
                       k: int = 5, nprobe: int = 8,
-                      exclude_self: bool = True) -> DataFrame:
+                      exclude_self: bool = True,
+                      refine_with: Optional[DataFrame] = None,
+                      refine_factor: int = 4) -> DataFrame:
     """Join-shaped IVF-PQ serve for query sets too large to broadcast:
     (query_id, neighbor_id, adc_sim, rank), same answer surface as
     :func:`ivfpq_topk_from_index`.
@@ -833,13 +835,19 @@ def ivfpq_topk_joined(spark, path: str, queries: DataFrame,
     Use the broadcast path for interactive batches (≲10⁴ queries — it
     reads only probed-cell FILES, while this path's cogroup reads the
     index once); use this for offline bulk serving (model-eval sweeps,
-    all-corpus kNN joins)."""
+    all-corpus kNN joins). Measured crossover at 2M×1024 cells:
+    broadcast wins 100-query batches by ~17%, joined wins 10⁴-query
+    batches 30× (BENCH/BASELINE.md r5). ``refine_with``/
+    ``refine_factor`` as in :func:`ivfpq_topk_from_index`, except the
+    re-rank joins are plain shuffle joins — nothing O(nq) is ever
+    broadcast on this path."""
     code_df, centroids, codebooks = read_ivfpq_index(spark, path)
     m, n_codes, dsub = codebooks.shape
     dim = centroids.shape[1]
     n_cells = len(centroids)
     nprobe = min(nprobe, n_cells)
-    kk = k + (1 if exclude_self else 0)
+    kk = (k * refine_factor if refine_with is not None else k) \
+        + (1 if exclude_self else 0)
     bc = spark.sparkContext.broadcast(
         (np.ascontiguousarray(centroids), np.ascontiguousarray(codebooks)))
 
@@ -924,8 +932,15 @@ def ivfpq_topk_joined(spark, path: str, queries: DataFrame,
         scored = scored.where(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_sim").desc(), F.col("neighbor_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k))
+    topped = (scored.withColumn("rank", F.row_number().over(w))
+              .where(F.col("rank") <= kk))
+    if refine_with is None:
+        return topped.where(F.col("rank") <= k)
+    # bulk exact re-rank: plain shuffle joins — broadcasting O(nq)
+    # query vectors here would reintroduce the exact payload this
+    # path exists to avoid
+    return _exact_rerank(topped, refine_with, queries, vec_col, id_col,
+                         k, broadcast_queries=False)
 
 
 def ivf_cell_stats(assigned: DataFrame) -> DataFrame:
@@ -1341,20 +1356,31 @@ def ivfpq_topk_from_index(spark, path: str, queries: DataFrame,
               .where(F.col("rank") <= kk))
     if refine_with is None:
         return topped.where(F.col("rank") <= k)
-    # exact re-rank: join full vectors onto the ≤ nq·k·refine_factor
-    # candidates (never the reverse — the big relation stays the probe
-    # side of a semi-sized join), broadcast the tiny query vectors,
-    # cosine in Catalyst (the cosine_near_dups fold)
+    return _exact_rerank(topped, refine_with, queries, vec_col, id_col,
+                         k, broadcast_queries=True)
+
+
+def _exact_rerank(topped: DataFrame, refine_with: DataFrame,
+                  queries: DataFrame, vec_col: str, id_col: str,
+                  k: int, broadcast_queries: bool) -> DataFrame:
+    """[PQ11 §V] exact re-rank of the ADC candidate set: join full
+    vectors onto the ≤ nq·k·refine_factor candidates (never the
+    reverse — the big relation stays the probe side of a semi-sized
+    join), cosine in Catalyst (the cosine_near_dups fold).
+    ``broadcast_queries`` for interactive batches only — a bulk
+    (joined-path) caller must NOT broadcast O(nq) vectors."""
     cand = topped.select("query_id", "neighbor_id")
     full = refine_with.select(F.col(id_col).alias("neighbor_id"),
                               F.col(vec_col).alias("__nv"))
     qv = queries.select(F.col(id_col).alias("query_id"),
                         F.col(vec_col).alias("__qv"))
+    if broadcast_queries:
+        qv = F.broadcast(qv)
     dot = _jvm_dot(F.col("__qv"), F.col("__nv"))
     nrm = (F.sqrt(_jvm_dot(F.col("__qv"), F.col("__qv")))
            * F.sqrt(_jvm_dot(F.col("__nv"), F.col("__nv"))))
     exact = (cand.join(full, "neighbor_id")
-             .join(F.broadcast(qv), "query_id")
+             .join(qv, "query_id")
              .withColumn("cos_sim", dot / nrm)
              # a corrupt full-precision vector (NaN component) yields a
              # NaN cosine, and Spark ranks NaN ABOVE every double in a

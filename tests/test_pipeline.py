@@ -392,6 +392,14 @@ def test_ivfpq_joined_matches_broadcast_path(spark, tmp_path):
     d = ivfpq_topk_from_index(spark, idx, q, k=3, nprobe=8).toPandas()
     assert sorted(zip(c.query_id, c.neighbor_id, c["rank"])) \
         == sorted(zip(d.query_id, d.neighbor_id, d["rank"]))
+    # exact re-rank parity: bulk (shuffle-join) refine returns the same
+    # rows as the interactive (broadcast) refine
+    e = ivfpq_topk_joined(spark, idx, q, k=3, nprobe=8,
+                          refine_with=emb).toPandas()
+    f = ivfpq_topk_from_index(spark, idx, q, k=3, nprobe=8,
+                              refine_with=emb).toPandas()
+    assert sorted(zip(e.query_id, e.neighbor_id, e["rank"])) \
+        == sorted(zip(f.query_id, f.neighbor_id, f["rank"]))
 
 
 def test_ivfpq_guards(spark, tmp_path):
