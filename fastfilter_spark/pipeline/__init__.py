@@ -8,6 +8,10 @@ from .ann import (
     train_ivf_centroids_distributed, train_pq_codebooks, write_ivf_index,
     write_ivfpq_index,
 )
+from .code import (
+    code_quality_features, fork_candidates, redact_secrets,
+    repo_minhash_signatures, scan_licenses,
+)
 from .decontam import contamination_flags
 from .graph import connected_components
 from .dedup import (

@@ -549,6 +549,22 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
                    and "CartesianProduct" not in p28
                    and "BroadcastNestedLoopJoin" not in p28))
 
+    # 29. fork_candidates (repo-level set-MinHash LSH): the signature
+    # build is ONE hash aggregate with map-side partial mins (no
+    # per-repo materialization), and nothing in the candidate or
+    # verify stage is an all-pairs product.
+    from fastfilter_spark.pipeline import fork_candidates
+    repos = docs.select(
+        F.concat(F.lit("r"), (F.col("doc_id") % 20).cast("string"))
+        .alias("repo"), content_key("text").alias("key"))
+    p29 = plan_of(fork_candidates(repos, num_hashes=64, bands=16))
+    checks.append(("fork_candidates: banded LSH + equi verify, "
+                   "no cartesian/BNLJ anywhere",
+                   "CartesianProduct" not in p29
+                   and "BroadcastNestedLoopJoin" not in p29))
+    checks.append(("fork_candidates: signature agg has map-side "
+                   "partial_min", "partial_min" in p29))
+
     print(p2)
     print(p3[:3000])
     ok = True
