@@ -2122,6 +2122,33 @@ def q_license_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "license", "permissive").orderBy("doc_id")
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph dedup with full string parity: each doc is
+    re-chunked into 10-token paragraphs (let-bound transform — the
+    shingles() O(n²) hazard), paragraph_dedup keeps only the corpus-
+    wide first occurrence of each paragraph (min (doc_id, pos)) and
+    reassembles, and DuckDB re-derives the identical plant + keep-first
+    window + ordered string_agg — full row parity on clean_text."""
+    from fastfilter_spark.pipeline import paragraph_dedup
+    from fastfilter_spark.pipeline.text import tokens as _tokens
+    docs = _docs(spark, sf_dir)
+    para = F.transform(F.array(_tokens(F.col("text"))), lambda tk:
+        F.array_join(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.ceil(F.size(tk) / F.lit(10.0)), F.lit(1))
+                    .cast("int") - 1),
+                lambda j: F.array_join(
+                    F.slice(tk, j * F.lit(10) + F.lit(1), F.lit(10)), " ")),
+            "\n\n"))[0]
+    planted = docs.select("doc_id", para.alias("text"))
+    out = paragraph_dedup(planted, "text", "doc_id")
+    return (out.select("doc_id", "clean_text", "n_paras", "n_kept",
+                       "n_dropped")
+            .orderBy("doc_id"))
+
+
 def q_fork_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repo-level fork dedup: documents are assigned to 20 base repos
     (doc_id%20) plus 20 planted forks that drop every 8th file — the
@@ -2253,6 +2280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "secrets_redaction": q_secrets_redaction,
         "license_scan": q_license_scan,
         "fork_candidates": q_fork_candidates,
+        "paragraph_dedup": q_paragraph_dedup,
     }
 
 
@@ -2432,6 +2460,32 @@ def _license_oracle() -> str:
         f"SELECT doc_id, license, license IN ({perm}) AS permissive "
         "FROM l ORDER BY doc_id")
 
+
+_PARA_SEP = "chr(10) || chr(10)"
+
+_PARA_ORACLE = (
+    # identical 10-token-paragraph plant, keep-first window (length<1
+    # paragraphs exempt, matching min_chars=1), ordered reassembly
+    f"WITH d AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents), "
+    "c AS (SELECT doc_id, array_to_string(list_transform("
+    "range(0, greatest(CAST(ceil(len(toks) / 10.0) AS BIGINT), 1)), "
+    "j -> array_to_string(list_slice(toks, 10*j + 1, 10*j + 10), ' ')), "
+    f"{_PARA_SEP}) AS t FROM d), "
+    f"ps AS (SELECT doc_id, t, string_split(t, {_PARA_SEP}) AS l FROM c), "
+    "e AS (SELECT doc_id, unnest(l) AS p, "
+    "unnest(range(1, len(l) + 1)) AS pos FROM ps), "
+    "r AS (SELECT doc_id, p, pos, CASE WHEN length(p) >= 1 THEN "
+    "row_number() OVER (PARTITION BY p ORDER BY doc_id, pos) "
+    "ELSE 1 END AS rn FROM e), "
+    "k AS (SELECT doc_id, "
+    f"COALESCE(string_agg(p, {_PARA_SEP} ORDER BY pos) "
+    "FILTER (WHERE rn = 1), '') AS clean_text, "
+    "COUNT(*) FILTER (WHERE rn = 1) AS n_kept FROM r GROUP BY doc_id) "
+    "SELECT ps.doc_id, k.clean_text, "
+    "CAST(len(ps.l) AS BIGINT) AS n_paras, "
+    "CAST(k.n_kept AS BIGINT) AS n_kept, "
+    "CAST(len(ps.l) - k.n_kept AS BIGINT) AS n_dropped "
+    "FROM ps JOIN k ON ps.doc_id = k.doc_id ORDER BY ps.doc_id")
 
 _FORKS_ORACLE = (
     # exact set Jaccard over the planted repo/fork text sets; the
@@ -3152,4 +3206,5 @@ def oracle_sql() -> dict[str, str]:
         "secrets_redaction": _secrets_oracle(),
         "license_scan": _license_oracle(),
         "fork_candidates": _FORKS_ORACLE,
+        "paragraph_dedup": _PARA_ORACLE,
     }

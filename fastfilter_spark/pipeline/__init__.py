@@ -16,6 +16,7 @@ from .decontam import contamination_flags
 from .graph import connected_components
 from .dedup import (
     dup_span_stats, exact_dedup, distinct_by_content, jaccard_verify,
+    paragraph_dedup,
     keep_best_per_cluster,
     lsh_bucket_stats, minhash_dedup, minhash_lsh_candidates,
     minhash_signatures, ngram_jaccard_pairs, remove_dup_spans,

@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from typing import List, Optional
 
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -61,6 +63,69 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str,
                 .agg(F.sort_array(F.collect_list(id_col)).alias("member_ids")))
         agg = agg.join(topk, ["__k", text_col])
     return agg.drop("__k", text_col)
+
+
+def paragraph_dedup(df: DataFrame, text_col: str, id_col: str,
+                    sep: str = "\n\n", min_chars: int = 1,
+                    out_col: str = "clean_text") -> DataFrame:
+    """CCNet-style paragraph-level dedup: drop every corpus-wide
+    repeated paragraph except its FIRST occurrence (min (id, pos)),
+    and reassemble each document — the standard middle tier between
+    document-level ``exact_dedup`` and gram-level ``remove_dup_spans``
+    (boilerplate headers/footers repeat across pages whose documents
+    are NOT near-dups).
+
+    Paragraphs shorter than ``min_chars`` are exempt (always kept):
+    they are separators/headings, and deduping the empty paragraph
+    would glue every document to the first one scanned.
+
+    Shape at scale: one Generate (posexplode), ONE hash aggregate
+    keyed on (xxhash64(para), para) — the exact_dedup collision-safe
+    group key; a million-copy boilerplate paragraph costs each task
+    one partial min — a join back on the same key (exchange reused
+    under SMJ), and one groupBy(id) to reassemble. Keep-first is a
+    min-struct, never a window over the full occurrence list.
+
+    Returns the input columns plus ``out_col``, ``n_paras``,
+    ``n_kept``, ``n_dropped``. Deterministic: rerun ⇒ byte-identical.
+    """
+    reserved = {"__id", "__pos", "__p", "__h", "__w",
+                out_col, "n_paras", "n_kept", "n_dropped"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(f"input columns collide with paragraph_dedup "
+                         f"internals/outputs: {sorted(clash)}")
+    id_c, txt = F.col(id_col), F.col(text_col)
+    # F.split takes a Java regex — escape the separator so "\n\n" and
+    # friends split literally
+    paras = F.split(txt, re.escape(sep), -1)
+    exploded = (df.select(id_c.alias("__id"),
+                          F.posexplode(paras).alias("__pos", "__p")))
+    elig = exploded.where(F.length("__p") >= min_chars)
+    short = exploded.where(F.length("__p") < min_chars)
+    keyed = elig.withColumn("__h", F.xxhash64(F.col("__p")))
+    winners = (keyed.groupBy("__h", "__p")
+               .agg(F.min(F.struct("__id", "__pos")).alias("__w")))
+    kept_elig = (keyed.join(winners, ["__h", "__p"])
+                 .where(F.struct("__id", "__pos") == F.col("__w"))
+                 .select("__id", "__pos", "__p"))
+    kept = kept_elig.unionByName(short.select("__id", "__pos", "__p"))
+    rebuilt = (kept.groupBy("__id")
+               .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("__pos", "__p"))),
+                            lambda s: s["__p"]),
+                        sep).alias(out_col),
+                    F.count("*").alias("n_kept")))
+    base = df.withColumn("n_paras", F.size(paras).cast("long"))
+    out = base.join(rebuilt, base[id_col] == rebuilt["__id"], "left")
+    return (out
+            .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
+            .withColumn("n_kept", F.coalesce(F.col("n_kept"), F.lit(0))
+                        .cast("long"))
+            .withColumn("n_dropped", F.col("n_paras") - F.col("n_kept"))
+            .drop("__id"))
 
 
 def distinct_by_content(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

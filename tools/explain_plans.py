@@ -565,6 +565,21 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
     checks.append(("fork_candidates: signature agg has map-side "
                    "partial_min", "partial_min" in p29))
 
+    # 30. paragraph_dedup: the keep-first winner is a map-side-combined
+    # min-struct aggregate (never a window over the full occurrence
+    # list), and nothing in the dedup/reassembly is an all-pairs join.
+    from fastfilter_spark.pipeline import paragraph_dedup
+    p30 = plan_of(paragraph_dedup(
+        docs.select("doc_id", F.replace(F.col("text"), F.lit(" "),
+                                        F.lit("\n\n")).alias("text")),
+        "text", "doc_id"))
+    checks.append(("paragraph_dedup: keep-first via partial_min struct "
+                   "agg, no cartesian/BNLJ, no Window",
+                   "partial_min" in p30
+                   and "CartesianProduct" not in p30
+                   and "BroadcastNestedLoopJoin" not in p30
+                   and "Window" not in p30))
+
     print(p2)
     print(p3[:3000])
     ok = True
