@@ -11,7 +11,12 @@ shuffle volume parsed from the Spark event log — the number that
 decides whether the shape survives a 100× scale-up.
 
 Usage:  python tools/bench_text_dedup.py [n_docs] [op ...]
-        op ∈ {span, minhash}; default both at 1e6.
+        op ∈ {span, minhash, paragraph, fork}; default span+minhash
+        at 1e6.
+`paragraph` re-chunks the same corpus into 10-token paragraphs and
+runs paragraph_dedup; `fork` synthesizes n FILES across n/50 repos
+(every 10th repo has a planted fork keeping 43/50 files, J=0.86)
+and runs the repo-level set-MinHash fork detector.
 Prints one JSON line per op. Results are recorded in
 BENCH/BASELINE.md §text-dedup-tier.
 """
@@ -63,6 +68,27 @@ def synth_docs(spark, n: int):
     return df.select("doc_id", text.alias("text"))
 
 
+def synth_repo_files(spark, n: int):
+    """Deterministic (repo, key) file corpus for the fork detector:
+    n files across n/50 repos of 50 files each (key = xxhash64(repo,
+    slot), distinct per repo); every 10th repo also has a planted fork
+    'f<k>' keeping the 43 slots with slot%8!=0 (exact Jaccard 43/50
+    = 0.86 against the base — above the 0.5 threshold, below
+    exact-copy, so banding recall is exercised for real)."""
+    from pyspark.sql import functions as F
+    n_repos = max(1, n // 50)
+    df = spark.range(0, n, 1, CPUS)
+    k = F.col("id") % n_repos
+    slot = (F.col("id") / n_repos).cast("long")
+    key = F.xxhash64(k, slot)
+    base = df.select(F.concat(F.lit("r"), k.cast("string")).alias("repo"),
+                     key.alias("key"))
+    fork = (df.where((k % 10 == 0) & (slot % 8 != 0))
+            .select(F.concat(F.lit("f"), k.cast("string")).alias("repo"),
+                    key.alias("key")))
+    return base.unionByName(fork)
+
+
 def _shuffle_bytes(log_dir: str) -> tuple:
     """(write, read) bytes summed over SparkListenerTaskEnd events of
     every app log in log_dir — the listener store is not reachable from
@@ -92,7 +118,8 @@ def main(n_docs: int = 1_000_000, *ops: str) -> None:
     ops = tuple(ops) or ("span", "minhash")
     from pyspark.sql import functions as F
 
-    from fastfilter_spark.pipeline import dup_span_stats, minhash_dedup
+    from fastfilter_spark.pipeline import (dup_span_stats, fork_candidates,
+                                           minhash_dedup, paragraph_dedup)
     from fastfilter_spark.spark import get_spark
 
     for op in ops:
@@ -106,9 +133,34 @@ def main(n_docs: int = 1_000_000, *ops: str) -> None:
                         # log so plain-json parsing works
                         "spark.eventLog.rolling.enabled": "false",
                         "spark.eventLog.compress": "false"})
-        docs = synth_docs(spark, n_docs).cache()
+        if op == "fork":
+            docs = synth_repo_files(spark, n_docs).cache()
+        else:
+            docs = synth_docs(spark, n_docs).cache()
         docs.count()                      # narrow: no shuffle in the log
-        if op == "span":
+        if op == "fork":
+            fn = lambda: fork_candidates(docs, num_hashes=64, bands=16,
+                                         threshold=0.5,
+                                         max_bucket=2000).count()
+        elif op == "paragraph":
+            # let-bound (the shingles() per-element re-eval hazard);
+            # dynamic chunk count so the planted 12-token spans become
+            # real duplicate paragraphs
+            para = F.transform(
+                F.array(F.split("text", " ", -1)), lambda tk:
+                F.array_join(
+                    F.transform(
+                        F.sequence(F.lit(0),
+                                   F.greatest(F.ceil(F.size(tk) / 10.0),
+                                              F.lit(1)).cast("int") - 1),
+                        lambda j: F.array_join(
+                            F.slice(tk, j * F.lit(10) + F.lit(1),
+                                    F.lit(10)), " ")),
+                    "\n\n"))[0]
+            pdocs = docs.select("doc_id", para.alias("text"))
+            fn = lambda: paragraph_dedup(pdocs, "text", "doc_id") \
+                .agg(F.sum("n_dropped")).collect()[0][0]
+        elif op == "span":
             fn = lambda: dup_span_stats(docs, "text", "doc_id", g=8) \
                 .agg(F.sum("dup_tokens")).collect()[0][0]
         elif op == "minhash":
@@ -117,7 +169,7 @@ def main(n_docs: int = 1_000_000, *ops: str) -> None:
                                        bands=8, shingle_k=3,
                                        max_bucket=2000).count()
         else:
-            raise SystemExit(f"unknown op {op!r} (span|minhash)")
+            raise SystemExit(f"unknown op {op!r} (span|minhash|paragraph|fork)")
         reps, out = [], None
         for _ in range(2):                # min-of-2: host-throttle guard
             t0 = time.time()
