@@ -59,3 +59,30 @@ def test_plan_no_cartesian_and_partial_min(spark):
         .executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_randomized_python_reference(spark):
+    # 3 seeded corpora vs a pure-Python keep-first reference
+    import random
+    from fastfilter_spark.pipeline import paragraph_dedup
+    pool = [f"para{i}" for i in range(12)]
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        texts = {i: "\n\n".join(rng.choice(pool)
+                                for _ in range(rng.randint(1, 6)))
+                 for i in range(40)}
+        seen, ref = set(), {}
+        for i in sorted(texts):
+            kept = []
+            for p in texts[i].split("\n\n"):
+                if len(p) < 1:
+                    kept.append(p)
+                elif p not in seen:
+                    seen.add(p)
+                    kept.append(p)
+            ref[i] = "\n\n".join(kept)
+        df = spark.createDataFrame(list(texts.items()),
+                                   ["doc_id", "text"])
+        got = {r["doc_id"]: r["clean_text"]
+               for r in paragraph_dedup(df, "text", "doc_id").collect()}
+        assert got == ref
