@@ -2122,6 +2122,44 @@ def q_license_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "license", "permissive").orderBy("doc_id")
 
 
+def q_code_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE-call code-corpus composition end-to-end: the quality
+    plant (per-lang headers / long line / autogen banner) + per-doc_id
+    license headers + a planted AWS key, through prepare_code_corpus
+    (gates → license → exact dedup → secret redaction). Every stage is
+    exact Catalyst, so DuckDB reproduces reason, keep, and the shipped
+    redacted length for all rows."""
+    from fastfilter_spark.pipeline import prepare_code_corpus
+    corpus = _code_corpus(spark, sf_dir)
+    m8 = F.col("doc_id") % 8
+    hdr = (F.when(m8 == 0, "// SPDX-License-Identifier: MIT\n")
+           .when(m8 == 1, "Permission is hereby granted, free of charge\n")
+           .when(m8 == 2, "Licensed under the Apache License, Version 2.0\n")
+           .when(m8 == 3, "GNU Lesser General Public License terms\n")
+           .when(m8 == 4, "GNU General Public License v3\n")
+           .when(m8 == 5, "Redistribution and use in source and binary "
+                          "forms\n")
+           .when(m8 == 6, "SPDX-License-Identifier: BSD-2-Clause\n"
+                          "GNU General Public License\n")
+           .otherwise(""))
+    hx = F.sha2(F.col("doc_id").cast("string"), 256)
+    tail = F.when(F.col("doc_id") % 16 == 1,
+                  F.concat(F.lit(" key AKIA"),
+                           F.upper(F.substring(hx, 1, 16)),
+                           F.lit(" end"))).otherwise(F.lit(""))
+    planted = corpus.select(
+        "doc_id", "lang",
+        F.concat(hdr, F.col("content"), tail).alias("content"))
+    out = prepare_code_corpus(planted, content_col="content",
+                              id_col="doc_id", lang_col="lang",
+                              max_line_cap=120)
+    return (out.select(
+        "doc_id", "license",
+        F.coalesce(F.col("reason"), F.lit("")).alias("reason"), "keep",
+        "n_aws_key", F.length("redacted").alias("n_chars_out"))
+        .orderBy("doc_id"))
+
+
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style paragraph dedup with full string parity: each doc is
     re-chunked into 10-token paragraphs (let-bound transform — the
@@ -2281,6 +2319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "license_scan": q_license_scan,
         "fork_candidates": q_fork_candidates,
         "paragraph_dedup": q_paragraph_dedup,
+        "code_corpus_prep": q_code_corpus_prep,
     }
 
 
@@ -2427,38 +2466,112 @@ def _secrets_oracle() -> str:
             "ORDER BY doc_id")
 
 
-def _license_oracle() -> str:
-    """DuckDB re-implementation of q_license_scan from the SAME
-    LICENSE_PHRASES / PERMISSIVE / SPDX_RE constants, with the
-    identical LGPL-before-GPL CASE order."""
-    from fastfilter_spark.pipeline.code import (LICENSE_PHRASES,
-                                                PERMISSIVE, SPDX_RE)
+def _license_case_parts() -> tuple:
+    """(phrase_case, permissive_in_list) SQL fragments generated from
+    the pipeline.code constants — shared by the license and the
+    corpus-prep oracles."""
+    from fastfilter_spark.pipeline.code import LICENSE_PHRASES, PERMISSIVE
     ordered = sorted(LICENSE_PHRASES,
                      key=lambda e: 0 if e[0] == "LGPL" else 1)
     phrase_case = " ".join(
         f"WHEN contains(lc, '{phrase}') THEN '{lid}'"
         for lid, phrase in ordered)
     perm = ", ".join(f"'{p}'" for p in PERMISSIVE)
+    return phrase_case, perm
+
+
+# license plant (doc_id % 8), shared by q_license_scan's and
+# q_code_corpus_prep's oracles
+_LIC_HDR_CASE = (
+    "CASE doc_id % 8 "
+    "WHEN 0 THEN '// SPDX-License-Identifier: MIT' || chr(10) "
+    "WHEN 1 THEN 'Permission is hereby granted, free of charge' "
+    "|| chr(10) "
+    "WHEN 2 THEN 'Licensed under the Apache License, Version 2.0' "
+    "|| chr(10) "
+    "WHEN 3 THEN 'GNU Lesser General Public License terms' || chr(10) "
+    "WHEN 4 THEN 'GNU General Public License v3' || chr(10) "
+    "WHEN 5 THEN 'Redistribution and use in source and binary forms' "
+    "|| chr(10) "
+    "WHEN 6 THEN 'SPDX-License-Identifier: BSD-2-Clause' || chr(10) "
+    "|| 'GNU General Public License' || chr(10) "
+    "ELSE '' END")
+
+
+def _license_oracle() -> str:
+    """DuckDB re-implementation of q_license_scan from the SAME
+    LICENSE_PHRASES / PERMISSIVE / SPDX_RE constants, with the
+    identical LGPL-before-GPL CASE order."""
+    from fastfilter_spark.pipeline.code import SPDX_RE
+    phrase_case, perm = _license_case_parts()
     return (
-        "WITH p AS (SELECT doc_id, CASE doc_id % 8 "
-        "WHEN 0 THEN '// SPDX-License-Identifier: MIT' || chr(10) "
-        "WHEN 1 THEN 'Permission is hereby granted, free of charge' "
-        "|| chr(10) "
-        "WHEN 2 THEN 'Licensed under the Apache License, Version 2.0' "
-        "|| chr(10) "
-        "WHEN 3 THEN 'GNU Lesser General Public License terms' || chr(10) "
-        "WHEN 4 THEN 'GNU General Public License v3' || chr(10) "
-        "WHEN 5 THEN 'Redistribution and use in source and binary forms' "
-        "|| chr(10) "
-        "WHEN 6 THEN 'SPDX-License-Identifier: BSD-2-Clause' || chr(10) "
-        "|| 'GNU General Public License' || chr(10) "
-        "ELSE '' END || text AS c FROM documents), "
+        f"WITH p AS (SELECT doc_id, {_LIC_HDR_CASE} || text AS c "
+        "FROM documents), "
         f"s AS (SELECT doc_id, regexp_extract(c, '{SPDX_RE}', 1) AS spdx, "
         "lower(c) AS lc FROM p), "
         "l AS (SELECT doc_id, CASE WHEN spdx <> '' THEN spdx "
         f"{phrase_case} ELSE 'unknown' END AS license FROM s) "
         f"SELECT doc_id, license, license IN ({perm}) AS permissive "
         "FROM l ORDER BY doc_id")
+
+
+def _code_prep_oracle() -> str:
+    """DuckDB re-implementation of q_code_corpus_prep, generated from
+    the SAME pipeline.code constants: quality plant + license header +
+    AWS tail, the gate CASE in prepare_code_corpus's REASON_ORDER,
+    min-id dedup among surviving rows, and the sequential secrets
+    chain for the shipped-length parity."""
+    from fastfilter_spark.pipeline.code import (AUTOGEN_MARKERS,
+                                                SECRET_PATTERNS, SPDX_RE)
+    phrase_case, perm = _license_case_parts()
+    autogen = " OR ".join(f"contains(lower(t), '{m}')"
+                          for m in AUTOGEN_MARKERS)
+    sql = (
+        f"WITH p AS ({_code_plant_sql()}), "
+        f"b AS (SELECT doc_id, lang, {_LIC_HDR_CASE} || c || "
+        "CASE WHEN doc_id % 16 = 1 THEN ' key AKIA' || "
+        "upper(substr(sha256(CAST(doc_id AS VARCHAR)), 1, 16)) || ' end' "
+        "ELSE '' END AS t FROM p), "
+        "g AS (SELECT doc_id, lang, t, list_transform("
+        "string_split(t, chr(10)), l -> length(l)) AS lens, "
+        "len(string_split(t, chr(10))) AS n_lines FROM b), "
+        "feat AS (SELECT doc_id, lang, t, "
+        "list_max(lens) AS maxl, "
+        "CAST(list_sum(lens) AS DOUBLE) "
+        "/ greatest(CAST(n_lines AS DOUBLE), 1.0) AS avgl, "
+        "CAST(length(regexp_replace(t, '[^A-Za-z0-9]', '', 'g')) "
+        "AS DOUBLE) / greatest(CAST(length(t) AS DOUBLE), 1.0) AS alnum, "
+        f"({autogen}) AS autog, "
+        f"regexp_extract(t, '{SPDX_RE}', 1) AS spdx, lower(t) AS lc "
+        "FROM g), "
+        "lic AS (SELECT *, CASE WHEN spdx <> '' THEN spdx "
+        f"{phrase_case} ELSE 'unknown' END AS license FROM feat), "
+        "r1 AS (SELECT *, CASE WHEN autog THEN 'autogenerated' "
+        "WHEN maxl > 120 THEN 'long_lines' "
+        "WHEN avgl > 100.0 THEN 'long_avg_line' "
+        "WHEN alnum < 0.25 THEN 'low_alnum' "
+        f"WHEN license NOT IN ({perm}) THEN 'license' END AS reason0 "
+        "FROM lic), "
+        "w AS (SELECT t AS wt, MIN(doc_id) AS keep_id FROM r1 "
+        "WHERE reason0 IS NULL GROUP BY t), "
+        "s0 AS (SELECT doc_id, license, "
+        "COALESCE(reason0, CASE WHEN doc_id <> keep_id "
+        "THEN 'duplicate' END) AS reason, t "
+        "FROM r1 LEFT JOIN w ON r1.t = w.wt)")
+    i = 0
+    for name, pat, token in SECRET_PATTERNS:
+        i += 1
+        p = pat.replace("'", "''")
+        keepcols = "doc_id, license, reason" + \
+            "".join(f", n_{n}" for n, _, _ in SECRET_PATTERNS[:i - 1])
+        sql += (f", s{i} AS (SELECT {keepcols}, "
+                f"len(regexp_extract_all(t, '{p}')) AS n_{name}, "
+                f"regexp_replace(t, '{p}', '{token}', 'g') AS t "
+                f"FROM s{i - 1})")
+    return (sql + f" SELECT doc_id, license, "
+            "COALESCE(reason, '') AS reason, reason IS NULL AS keep, "
+            "n_aws_key, CASE WHEN reason IS NULL THEN length(t) "
+            f"ELSE 0 END AS n_chars_out FROM s{i} ORDER BY doc_id")
 
 
 _PARA_SEP = "chr(10) || chr(10)"
@@ -3207,4 +3320,5 @@ def oracle_sql() -> dict[str, str]:
         "license_scan": _license_oracle(),
         "fork_candidates": _FORKS_ORACLE,
         "paragraph_dedup": _PARA_ORACLE,
+        "code_corpus_prep": _code_prep_oracle(),
     }

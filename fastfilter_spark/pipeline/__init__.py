@@ -9,8 +9,8 @@ from .ann import (
     write_ivfpq_index,
 )
 from .code import (
-    code_quality_features, fork_candidates, redact_secrets,
-    repo_minhash_signatures, scan_licenses,
+    code_quality_features, fork_candidates, prepare_code_corpus,
+    redact_secrets, repo_minhash_signatures, scan_licenses,
 )
 from .decontam import contamination_flags
 from .graph import connected_components

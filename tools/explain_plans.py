@@ -580,6 +580,23 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
                    and "BroadcastNestedLoopJoin" not in p30
                    and "Window" not in p30))
 
+    # 31. prepare_code_corpus composition: gates/license/redaction are
+    # pure projection work (no exchange of their own); the only
+    # aggregate is the dedup winner (map-side partial_min on the
+    # collision-safe key), and nothing is a cartesian.
+    from fastfilter_spark.pipeline import prepare_code_corpus
+    p31 = plan_of(prepare_code_corpus(
+        docs.select(F.col("doc_id").alias("id"), F.col("lang"),
+                    F.col("text").alias("content")),
+        min_alnum_frac=0.0))
+    checks.append(("prepare_code_corpus: ONE aggregate (dedup winner, "
+                   "partial_min + final), no cartesian/BNLJ",
+                   "partial_min" in p31
+                   # one two-phase agg = exactly 2 HashAggregate nodes
+                   and len(re.findall(r"\(\d+\) HashAggregate", p31)) == 2
+                   and "CartesianProduct" not in p31
+                   and "BroadcastNestedLoopJoin" not in p31))
+
     print(p2)
     print(p3[:3000])
     ok = True
