@@ -1176,6 +1176,25 @@ def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Published Gopher quality-rule gate (pipeline/text.py
+    gopher_quality): per-doc metrics + keep decision, all exact-int
+    arithmetic or IEEE divisions of exact ints — DuckDB reproduces
+    every column (ratios rounded to 6 in both engines)."""
+    from fastfilter_spark.pipeline import gopher_quality
+    out = gopher_quality(_docs(spark, sf_dir))
+    return (out.select(
+        "doc_id", "n_words",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("symbol_word_ratio", 6).alias("symbol_word_ratio"),
+        F.round("bullet_line_ratio", 6).alias("bullet_line_ratio"),
+        F.round("ellipsis_line_ratio", 6).alias("ellipsis_line_ratio"),
+        F.round("alpha_word_ratio", 6).alias("alpha_word_ratio"),
+        F.col("stopword_hits").cast("long").alias("stopword_hits"),
+        "gopher_keep")
+        .orderBy("doc_id"))
+
+
 def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data pipeline composition, exact: exact
     dedup (keep lowest doc_id per content) → quality gate (>=5 tokens,
@@ -2233,6 +2252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuse8_membership": _membership("fuse8"),
         "fuse16_membership": _membership("fuse16"),
         "bloom_membership": _membership("bloom"),
+        "blockedbloom_membership": _membership("blockedbloom"),
         "sidecar_routed_membership": q_sidecar_routed_membership,
         "cuckoo_delete_membership": q_cuckoo_delete_membership,
         "bf16_semijoin": q_bf16_semijoin,
@@ -2273,6 +2293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "token_stats_by_lang": q_token_stats_by_lang,
         "quality_features": q_quality_features,
+        "gopher_quality": q_gopher_quality,
         "training_pipeline": q_training_pipeline,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
@@ -2696,6 +2717,7 @@ def oracle_sql() -> dict[str, str]:
         "fuse8_membership": _MEMBERSHIP_ORACLE,
         "fuse16_membership": _MEMBERSHIP_ORACLE,
         "bloom_membership": _MEMBERSHIP_ORACLE,
+        "blockedbloom_membership": _MEMBERSHIP_ORACLE,
         "bf16_semijoin": ("SELECT doc_id FROM documents WHERE text IN "
                           "(SELECT text FROM documents WHERE lang = 'en') "
                           "ORDER BY doc_id"),
@@ -3126,6 +3148,44 @@ def oracle_sql() -> dict[str, str]:
             f"len({_TOKENS_SQL}) AS n_tokens, "
             "length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) "
             "AS n_punct FROM documents ORDER BY doc_id"),
+        "gopher_quality": (
+            "WITH b AS (SELECT doc_id, text, "
+            f"{_TOKENS_SQL} AS tk, "
+            "string_split(text, chr(10)) AS ls FROM documents), "
+            "m AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_words, "
+            "CAST(greatest(len(tk), 1) AS BIGINT) AS nw, "
+            "CAST(greatest(len(ls), 1) AS BIGINT) AS nl, "
+            "coalesce(list_sum(list_transform(tk, w -> length(w))), 0) "
+            "AS swc, "
+            "length(text) - length(replace(text, '#', '')) AS nhash, "
+            "(length(text) - length(replace(text, '...', ''))) // 3 "
+            "+ length(text) - length(replace(text, '…', '')) AS nell, "
+            "len(list_filter(ls, l -> regexp_matches(trim(l), '^[-*•]'))) "
+            "AS bl, "
+            r"len(list_filter(ls, l -> regexp_matches(l, '(\.\.\.|…)$'))) "
+            "AS el, "
+            "len(list_filter(tk, w -> regexp_matches(w, '[A-Za-z]'))) AS aw, "
+            + " + ".join(
+                "CAST(list_contains(list_transform(tk, t -> lower(t)), "
+                f"'{s}') AS INT)" for s in (
+                    "the", "be", "to", "of", "and", "that", "have", "with"))
+            + " AS sw_hits FROM b) "
+            "SELECT doc_id, n_words, "
+            "ROUND(CAST(swc AS DOUBLE) / nw, 6) AS mean_word_len, "
+            "ROUND(CAST(nhash + nell AS DOUBLE) / nw, 6) "
+            "AS symbol_word_ratio, "
+            "ROUND(CAST(bl AS DOUBLE) / nl, 6) AS bullet_line_ratio, "
+            "ROUND(CAST(el AS DOUBLE) / nl, 6) AS ellipsis_line_ratio, "
+            "ROUND(CAST(aw AS DOUBLE) / nw, 6) AS alpha_word_ratio, "
+            "CAST(sw_hits AS BIGINT) AS stopword_hits, "
+            "((n_words BETWEEN 50 AND 100000) "
+            "AND (CAST(swc AS DOUBLE) / nw BETWEEN 3.0 AND 10.0) "
+            "AND (CAST(nhash + nell AS DOUBLE) / nw <= 0.1) "
+            "AND (CAST(bl AS DOUBLE) / nl <= 0.9) "
+            "AND (CAST(el AS DOUBLE) / nl <= 0.3) "
+            "AND (CAST(aw AS DOUBLE) / nw >= 0.8) "
+            "AND sw_hits >= 2) AS gopher_keep "
+            "FROM m ORDER BY doc_id"),
         "training_pipeline": (
             "WITH reps AS (SELECT text, MIN(doc_id) AS doc_id "
             "FROM documents GROUP BY text), "

@@ -84,7 +84,7 @@ def main() -> None:
     keys = synth_keys(spark, N_KEYS).cache()
     keys.count()
 
-    for kind in ("bf8", "xor8", "fuse8", "bloom"):
+    for kind in ("bf8", "xor8", "fuse8", "bloom", "blockedbloom"):
         name = f"build_{kind}_1e6"
         pf = timed(name, lambda k=kind: build_partitioned_filter(
             keys, kind=k, num_partitions=CPUS,
@@ -93,6 +93,15 @@ def main() -> None:
         extra[f"{kind}_bits_per_entry"] = round(pf.bits_per_entry(), 2)
         if kind == "bf8":
             bf8 = pf
+        elif kind == "blockedbloom":
+            # probe-side: the blocked variant's one-cache-line gather vs
+            # bf8's 3 scattered segment reads (contains_1e6 below)
+            nbb = timed("contains_blockedbloom_1e6",
+                        lambda p=pf: p.with_contains(keys, "key")
+                        .where("contained").count())
+            extra["blockedbloom_contains_keys_per_sec"] = round(
+                N_KEYS / timings["contains_blockedbloom_1e6"])
+            assert nbb >= N_KEYS * 0.9
 
     probes = synth_keys(spark, N_KEYS)
     n_hits = timed("contains_1e6", lambda: bf8.with_contains(probes, "key")

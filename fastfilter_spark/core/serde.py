@@ -35,6 +35,7 @@ KIND_THETA = 9
 KIND_CUCKOO = 10
 KIND_MG = 11
 KIND_FUSE = 12
+KIND_BLOCKED_BLOOM = 13
 
 
 def pack(kind: int, params: Dict[str, Any], payload: bytes) -> bytes:

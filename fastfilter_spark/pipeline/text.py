@@ -328,3 +328,106 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return (per_doc.join(bg_stats, "id", "left")
             .withColumn("top_bigram_frac",
                         F.coalesce("top_bigram_frac", F.lit(0.0))))
+
+
+# ---------------------------------------------------------------------------
+# Gopher document-quality gate (Rae et al. 2021, Table A1) — pure Catalyst
+# ---------------------------------------------------------------------------
+
+# the published rule requires ≥2 of these to appear in the document
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+_GOPHER_OUT_COLS = (
+    "n_words", "mean_word_len", "symbol_word_ratio", "bullet_line_ratio",
+    "ellipsis_line_ratio", "alpha_word_ratio", "stopword_hits",
+    "r_word_count", "r_mean_word_len", "r_symbol_ratio", "r_bullet_lines",
+    "r_ellipsis_lines", "r_alpha_words", "r_stopwords", "gopher_keep",
+)
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text",
+                   min_words: int = 50, max_words: int = 100_000,
+                   min_mean_word_len: float = 3.0,
+                   max_mean_word_len: float = 10.0,
+                   max_symbol_word_ratio: float = 0.1,
+                   max_bullet_line_ratio: float = 0.9,
+                   max_ellipsis_line_ratio: float = 0.3,
+                   min_alpha_word_ratio: float = 0.8,
+                   min_stopword_hits: int = 2) -> DataFrame:
+    """The published Gopher quality-filter ruleset as ONE zero-shuffle
+    Catalyst projection: per-document metrics, one boolean per rule,
+    and the conjunction ``gopher_keep``.
+
+    Rules (Rae et al. 2021 "Scaling Language Models" Table A1):
+    word count in [50, 100k]; mean word length in [3, 10]; '#'/'…'
+    symbols ≤0.1 per word; ≤90% of lines bullet-started; ≤30% of lines
+    ellipsis-ended; ≥80% of words contain an alphabetic character; ≥2
+    of 8 required English stopwords present.
+
+    Every metric is an exact integer or one IEEE division of exact
+    integers, and every regex sits in the Java∩RE2 subset, so a DuckDB
+    oracle reproduces all columns bit-identically (the redact_pii
+    discipline). The token/line arrays are materialized ONCE as real
+    columns — each derived metric reads the array, not a re-split.
+    """
+    clash = set(_GOPHER_OUT_COLS) & set(df.columns)
+    if clash:
+        raise ValueError(f"gopher_quality output columns already exist: "
+                         f"{sorted(clash)}")
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    base = df.withColumn("__tk", tokens(text_col)) \
+             .withColumn("__lines", F.split(c, r"\n"))
+
+    tk, lines = F.col("__tk"), F.col("__lines")
+    n_words = F.size(tk).cast("long")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("long")
+    sum_word_chars = F.aggregate(
+        tk, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
+    # '...' counted via non-overlapping left-to-right replacement —
+    # identical semantics in Spark regexp_replace and DuckDB 'g' mode
+    n_hash = F.length(c) - F.length(F.regexp_replace(c, r"#", ""))
+    n_ell = ((F.length(c) - F.length(F.regexp_replace(c, r"\.\.\.", "")))
+             / F.lit(3)).cast("long") \
+        + F.length(c) - F.length(F.regexp_replace(c, "…", ""))
+    bullet_lines = F.size(F.filter(
+        lines, lambda l: F.trim(l).rlike("^[-*•]")))
+    ellipsis_lines = F.size(F.filter(
+        lines, lambda l: l.rlike(r"(\.\.\.|…)$")))
+    alpha_words = F.size(F.filter(tk, lambda w: w.rlike("[A-Za-z]")))
+    low = F.transform(tk, lambda t: F.lower(t))
+    stopword_hits = sum(
+        (F.array_contains(low, F.lit(s)).cast("int") for s in GOPHER_STOPWORDS),
+        F.lit(0))
+
+    nw_safe = F.greatest(n_words, F.lit(1))
+    out = (base
+           .withColumn("n_words", n_words)
+           .withColumn("mean_word_len", sum_word_chars / nw_safe)
+           .withColumn("symbol_word_ratio", (n_hash + n_ell) / nw_safe)
+           .withColumn("bullet_line_ratio", bullet_lines / n_lines)
+           .withColumn("ellipsis_line_ratio", ellipsis_lines / n_lines)
+           .withColumn("alpha_word_ratio", alpha_words / nw_safe)
+           .withColumn("stopword_hits", stopword_hits)
+           .drop("__tk", "__lines"))
+    out = (out
+           .withColumn("r_word_count",
+                       F.col("n_words").between(min_words, max_words))
+           .withColumn("r_mean_word_len",
+                       F.col("mean_word_len").between(min_mean_word_len,
+                                                      max_mean_word_len))
+           .withColumn("r_symbol_ratio",
+                       F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+           .withColumn("r_bullet_lines",
+                       F.col("bullet_line_ratio") <= max_bullet_line_ratio)
+           .withColumn("r_ellipsis_lines",
+                       F.col("ellipsis_line_ratio") <= max_ellipsis_line_ratio)
+           .withColumn("r_alpha_words",
+                       F.col("alpha_word_ratio") >= min_alpha_word_ratio)
+           .withColumn("r_stopwords",
+                       F.col("stopword_hits") >= min_stopword_hits))
+    keep = F.lit(True)
+    for r in ("r_word_count", "r_mean_word_len", "r_symbol_ratio",
+              "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words",
+              "r_stopwords"):
+        keep = keep & F.col(r)
+    return out.withColumn("gopher_keep", keep)

@@ -156,16 +156,20 @@ class PartitionedFilter:
         routing — a packed-built (xxhash_pmod) and a rows-built
         (spark_hash) filter place the same key in DIFFERENT pids, so
         OR-merging them would lose other's keys (false negatives)."""
-        if not self.kind.startswith("bloom") or not other.kind.startswith("bloom"):
-            raise ValueError("blob-level merge is only algebraic for Bloom; "
-                             "use union-keys-and-rebuild for xor/fuse kinds")
+        from .. import workerside
+        if (self.kind not in workerside.BLOOM_KINDS
+                or self.kind != other.kind):
+            raise ValueError("blob-level merge is only algebraic for the "
+                             "bloom kinds (same kind both sides); use "
+                             "union-keys-and-rebuild for xor/fuse kinds")
         if (self.num_partitions, self.salt) != (other.num_partitions, other.salt):
             raise ValueError("partitioning mismatch")
         if self.routing != other.routing:
             raise ValueError("routing mismatch: keys were placed by "
                              "different pid functions — rebuild instead")
         blobs = [
-            BloomFilter.from_bytes(a).merge(BloomFilter.from_bytes(b)).to_bytes()
+            workerside.load_filter(a).merge(
+                workerside.load_filter(b)).to_bytes()
             for a, b in zip(self.blobs, other.blobs)
         ]
         # per-pid n_keys adds (an upper bound when key sets overlap —
@@ -186,13 +190,14 @@ class PartitionedFilter:
         return PartitionedFilter(self.kind, self.num_partitions, self.salt,
                                  blobs, merged, self.routing)
 
-    def to_global_bloom(self) -> BloomFilter:
-        """Collapse Bloom partials to one filter (tree OR)."""
-        if not self.kind.startswith("bloom"):
-            raise ValueError("only Bloom collapses blob-level")
-        acc = BloomFilter.from_bytes(self.blobs[0])
+    def to_global_bloom(self):
+        """Collapse bloom-kind partials to one filter (tree OR)."""
+        from .. import workerside
+        if self.kind not in workerside.BLOOM_KINDS:
+            raise ValueError("only the bloom kinds collapse blob-level")
+        acc = workerside.load_filter(self.blobs[0])
         for b in self.blobs[1:]:
-            acc = acc.merge(BloomFilter.from_bytes(b))
+            acc = acc.merge(workerside.load_filter(b))
         return acc
 
     # -- metrics ---------------------------------------------------------------
@@ -252,12 +257,12 @@ def build_partitioned_filter(
               .withColumn("route", route_expr("key", salt)))
 
     bloom_args = None
-    if kind == "bloom":
+    if kind in workerside.BLOOM_KINDS:
         n_exp = bloom_n_expected
         if n_exp is None:
             n_exp = placed.select("key").dropDuplicates().count()
         bloom_args = (max(16, int(1.2 * n_exp / P)), bloom_fpp)
-        kind_name = "bloom"
+        kind_name = kind
     else:
         if kind not in FILTER_KINDS:
             raise ValueError(f"unknown filter kind {kind!r}")
@@ -334,7 +339,8 @@ def _empty_blob(kind: str, n_total: int, P: int, rng_state: int,
         cap = max(16, int(np.ceil(1.2 * n_total / max(1, P))))
         return CuckooFilter.empty(cap, int(kind[len("cuckoo"):]),
                                   rng_state).to_bytes()
-    builder = (workerside.bloom_builder(*bloom_args) if kind == "bloom"
+    builder = (workerside.bloom_builder(kind, *bloom_args)
+               if kind in workerside.BLOOM_KINDS
                else workerside._BUILDERS[kind])
     return builder(np.empty(0, dtype=U64), rng_state).to_bytes()
 
@@ -508,12 +514,12 @@ def add_keys(
                .where(F.col("pid").isin(touched_pids))
 
     bloom_args = None
-    if pf.kind == "bloom":
+    if pf.kind in workerside.BLOOM_KINDS:
         # reuse the EXACT geometry (m, k, seed) of an existing blob so
         # OR-merge with untouched blobs stays valid — re-deriving an
         # (n_expected, fpp) pair reconstructs the same m but a
         # different k whenever the original fpp wasn't the default
-        b0 = BloomFilter.from_bytes(pf.blobs[0])
+        b0 = workerside.load_filter(pf.blobs[0])
         bloom_args = ("exact", b0.m_bits, b0.k, b0.seed)
 
     def _build(tbl):

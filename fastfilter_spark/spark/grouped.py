@@ -181,7 +181,7 @@ def build_grouped_filters(
     from .. import workerside
 
     bloom_args = None
-    if kind == "bloom":
+    if kind in workerside.BLOOM_KINDS:
         if bloom_n_expected_per_group is None:
             raise ValueError("bloom grouped build needs "
                              "bloom_n_expected_per_group")

@@ -457,8 +457,8 @@ def read_filter_sidecar(path: str) -> PartitionedFilter:
     # executor-written sidecars omit zero-key pids; synthesize their
     # empty filters (deterministic: per-pid RNG) so queries stay total
     missing = [pid for pid in range(m["P"]) if not blobs[pid]]
-    if missing and not m["kind"].startswith("bloom"):
-        from .. import workerside
+    from .. import workerside
+    if missing and m["kind"] not in workerside.BLOOM_KINDS:
         from .build import _empty_blob
         rng_base = m.get("base_rng_state", 0x726B2B9D438B9D4D)
         n_total = m.get("n_keys", int(rows["n_keys"].sum()))

@@ -23,6 +23,7 @@ import pyarrow as pa
 from .core import serde
 from .core.binaryfuse import BinaryFuseFilter
 from .core.cuckoo import CuckooFilter
+from .core.blockedbloom import BlockedBloomFilter
 from .core.bloom import BloomFilter
 from .core.fuse import FuseFilter
 from .core.hashing import U64, murmur64
@@ -34,8 +35,13 @@ _LOADERS = {
     serde.KIND_XOR: XorFilter.from_bytes,
     serde.KIND_XOR_PLUS: XorPlusFilter.from_bytes,
     serde.KIND_BLOOM: BloomFilter.from_bytes,
+    serde.KIND_BLOCKED_BLOOM: BlockedBloomFilter.from_bytes,
     serde.KIND_CUCKOO: CuckooFilter.from_bytes,
 }
+
+# OR-mergeable kinds whose geometry derives from (n_expected, fpp)
+# rather than the exact key set; they share the bloom_args plumbing
+BLOOM_KINDS = ("bloom", "blockedbloom")
 
 _BUILDERS = {
     "bf8": lambda k, r: BinaryFuseFilter.populate(k, 8, rng_state=r, assume_unique=True),
@@ -99,23 +105,25 @@ def part_rng_state(base: int, pid: int) -> int:
     return int(murmur64(x)[0])
 
 
-def bloom_builder(*args):
+def bloom_builder(kind, *args):
     """bloom_args is either (n_expected_per_part, fpp) — geometry derived
     — or ("exact", m_bits, k, seed) — geometry copied verbatim from an
-    existing blob so incremental rebuilds stay OR-merge-compatible."""
+    existing blob so incremental rebuilds stay OR-merge-compatible.
+    ``kind`` picks the class: "bloom" (unblocked) or "blockedbloom"
+    (one-cache-line probes); both share the ctor/empty signatures."""
+    cls = BlockedBloomFilter if kind == "blockedbloom" else BloomFilter
     if args and args[0] == "exact":
         _, m_bits, k, seed = args
 
-        def build(keys: np.ndarray, rng_state: int) -> BloomFilter:
-            bf = BloomFilter(m_bits, k, seed,
-                             np.zeros(m_bits // 64, dtype=U64), 0)
+        def build(keys: np.ndarray, rng_state: int):
+            bf = cls(m_bits, k, seed, np.zeros(m_bits // 64, dtype=U64), 0)
             bf.add(keys)
             return bf
         return build
     n_expected_per_part, fpp = args
 
-    def build(keys: np.ndarray, rng_state: int) -> BloomFilter:
-        bf = BloomFilter.empty(n_expected_per_part, fpp)
+    def build(keys: np.ndarray, rng_state: int):
+        bf = cls.empty(n_expected_per_part, fpp)
         bf.add(keys)
         return bf
     return build
@@ -204,8 +212,8 @@ def _build_one(pid: int, raw: np.ndarray, kind: str, base_rng_state: int,
     builds one filter blob + its lineage/metrics row."""
     keys = np.unique(raw)
     t0 = time.time()
-    if kind == "bloom":
-        build = bloom_builder(*bloom_args)
+    if kind in BLOOM_KINDS:
+        build = bloom_builder(kind, *bloom_args)
     else:
         build = _BUILDERS[kind]
     filt = build(keys, part_rng_state(base_rng_state, pid))
@@ -271,7 +279,8 @@ def build_group_arrow(tbl: "pa.Table", kind: str, base_rng_state: int,
     raw = tbl.column("key").to_numpy(zero_copy_only=False).view(np.uint64)
     keys = np.unique(raw)
     t0 = time.time()
-    build = bloom_builder(*bloom_args) if kind == "bloom" else _BUILDERS[kind]
+    build = (bloom_builder(kind, *bloom_args) if kind in BLOOM_KINDS
+             else _BUILDERS[kind])
     filt = build(keys, group_rng_state(base_rng_state, gkey))
     dt = time.time() - t0
     batch = pa.RecordBatch.from_arrays([

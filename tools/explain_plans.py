@@ -597,6 +597,16 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
                    and "CartesianProduct" not in p31
                    and "BroadcastNestedLoopJoin" not in p31))
 
+    # 32. gopher_quality: the published quality gate is ONE zero-shuffle
+    # Catalyst projection — no Exchange, no aggregate, no Python UDF.
+    from fastfilter_spark.pipeline import gopher_quality
+    p32 = plan_of(gopher_quality(docs))
+    checks.append(("gopher_quality: zero Exchange, zero aggregate, "
+                   "no Python UDF",
+                   "Exchange" not in p32
+                   and "HashAggregate" not in p32
+                   and "EvalPython" not in p32))
+
     print(p2)
     print(p3[:3000])
     ok = True
