@@ -1195,6 +1195,18 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id"))
 
 
+def q_c4_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Published C4 line/page cleaning rules (pipeline/text.py
+    c4_quality): full cleaned-STRING parity plus the page booleans."""
+    from fastfilter_spark.pipeline import c4_quality
+    out = c4_quality(_docs(spark, sf_dir))
+    return (out.select(
+        "doc_id", "clean_text", "n_lines_total", "n_lines_kept",
+        "n_sentences", "has_lorem_ipsum", "has_curly_brace",
+        "has_policy_phrase", "c4_keep")
+        .orderBy("doc_id"))
+
+
 def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data pipeline composition, exact: exact
     dedup (keep lowest doc_id per content) → quality gate (>=5 tokens,
@@ -2294,6 +2306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats_by_lang": q_token_stats_by_lang,
         "quality_features": q_quality_features,
         "gopher_quality": q_gopher_quality,
+        "c4_quality": q_c4_quality,
         "training_pipeline": q_training_pipeline,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
@@ -3185,6 +3198,37 @@ def oracle_sql() -> dict[str, str]:
             "AND (CAST(el AS DOUBLE) / nl <= 0.3) "
             "AND (CAST(aw AS DOUBLE) / nw >= 0.8) "
             "AND sw_hits >= 2) AS gopher_keep "
+            "FROM m ORDER BY doc_id"),
+        "c4_quality": (
+            "WITH b AS (SELECT doc_id, text, "
+            "string_split(text, chr(10)) AS ls FROM documents), "
+            "k AS (SELECT doc_id, text, ls, "
+            "list_filter(ls, l -> "
+            "regexp_matches(trim(l), '[.!?\"]$') "
+            r"AND len(list_filter(string_split_regex(trim(l), '\s+'), "
+            "x -> x <> '')) >= 3 "
+            "AND NOT contains(lower(l), 'javascript')) AS kept FROM b), "
+            "s AS (SELECT doc_id, text, "
+            # array_to_string of an EMPTY list is NULL in DuckDB;
+            # Spark concat_ws gives '' — coalesce to match
+            "coalesce(array_to_string(kept, chr(10)), '') AS clean_text, "
+            "CAST(len(ls) AS BIGINT) AS n_lines_total, "
+            "CAST(len(kept) AS BIGINT) AS n_lines_kept FROM k), "
+            "m AS (SELECT *, "
+            "CAST(length(clean_text) - length(regexp_replace(clean_text, "
+            "'[.!?]', '', 'g')) AS BIGINT) AS n_sentences, "
+            "contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum, "
+            "contains(text, '{') AS has_curly_brace, "
+            "(contains(lower(text), 'terms of use') "
+            "OR contains(lower(text), 'privacy policy') "
+            "OR contains(lower(text), 'cookie policy') "
+            "OR contains(lower(text), 'uses cookies')) "
+            "AS has_policy_phrase FROM s) "
+            "SELECT doc_id, clean_text, n_lines_total, n_lines_kept, "
+            "n_sentences, has_lorem_ipsum, has_curly_brace, "
+            "has_policy_phrase, "
+            "(NOT has_lorem_ipsum AND NOT has_curly_brace "
+            "AND NOT has_policy_phrase AND n_sentences >= 5) AS c4_keep "
             "FROM m ORDER BY doc_id"),
         "training_pipeline": (
             "WITH reps AS (SELECT text, MIN(doc_id) AS doc_id "

@@ -29,7 +29,7 @@ from .multimodal import (
 )
 from .text import (
     repetition_stats,
-    bpe_token_count, char_count, doc_fingerprint, gopher_quality, lang_id,
-    punct_count, quality_features, redact_pii, shingles, stopword_count,
-    token_count, tokens, with_text_analysis,
+    bpe_token_count, c4_quality, char_count, doc_fingerprint,
+    gopher_quality, lang_id, punct_count, quality_features, redact_pii,
+    shingles, stopword_count, token_count, tokens, with_text_analysis,
 )

@@ -431,3 +431,73 @@ def gopher_quality(df: DataFrame, text_col: str = "text",
               "r_stopwords"):
         keep = keep & F.col(r)
     return out.withColumn("gopher_keep", keep)
+
+
+# ---------------------------------------------------------------------------
+# C4 cleaning rules (Raffel et al. 2020 §2.2) — pure Catalyst
+# ---------------------------------------------------------------------------
+
+_C4_POLICY_PHRASES = ("terms of use", "privacy policy", "cookie policy",
+                      "uses cookies")
+
+_C4_OUT_COLS = ("clean_text", "n_lines_total", "n_lines_kept",
+                "n_sentences", "has_lorem_ipsum", "has_curly_brace",
+                "has_policy_phrase", "c4_keep")
+
+
+def c4_quality(df: DataFrame, text_col: str = "text",
+               min_line_words: int = 3,
+               min_sentences: int = 5) -> DataFrame:
+    """The published C4 line/page cleaning rules as ONE zero-shuffle
+    Catalyst projection (Raffel et al. 2020 "Exploring the Limits of
+    Transfer Learning" §2.2): keep only lines that end in terminal
+    punctuation (``. ! ? "``), contain ≥3 words, and don't mention
+    "javascript"; drop whole pages containing "lorem ipsum", a curly
+    brace, or a boilerplate policy phrase, or whose cleaned text has
+    fewer than 5 sentences (terminal-punctuation count — the paper's
+    sentence proxy). The upstream word-deny-list rule is deliberately
+    omitted (corpus-policy dependent, not a fixed published list).
+
+    Emits ``clean_text`` (kept lines rejoined) plus the per-page
+    booleans and ``c4_keep``. Line word-counting reuses the exact
+    ``tokens()`` semantics so the DuckDB oracle reproduces the full
+    cleaned STRING byte-identically (the redact_pii discipline).
+    """
+    clash = set(_C4_OUT_COLS) & set(df.columns)
+    if clash:
+        raise ValueError(f"c4_quality output columns already exist: "
+                         f"{sorted(clash)}")
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    base = df.withColumn("__lines", F.split(c, r"\n"))
+    lines = F.col("__lines")
+
+    def _line_kept(l):
+        words = F.filter(F.split(F.trim(l), _WS), lambda t: t != F.lit(""))
+        return (F.trim(l).rlike('[.!?"]$')
+                & (F.size(words) >= min_line_words)
+                & ~F.lower(l).contains("javascript"))
+
+    kept = F.filter(lines, _line_kept)
+    low = F.lower(c)
+    has_policy = F.lit(False)
+    for ph in _C4_POLICY_PHRASES:
+        has_policy = has_policy | low.contains(ph)
+
+    out = (base
+           .withColumn("clean_text", F.concat_ws("\n", kept))
+           .withColumn("n_lines_total", F.size(lines).cast("long"))
+           .withColumn("n_lines_kept", F.size(kept).cast("long"))
+           .withColumn("has_lorem_ipsum", low.contains("lorem ipsum"))
+           .withColumn("has_curly_brace", c.contains("{"))
+           .withColumn("has_policy_phrase", has_policy)
+           .drop("__lines"))
+    out = out.withColumn(
+        "n_sentences",
+        (F.length("clean_text")
+         - F.length(F.regexp_replace("clean_text", r"[.!?]", "")))
+        .cast("long"))
+    return out.withColumn(
+        "c4_keep",
+        ~F.col("has_lorem_ipsum") & ~F.col("has_curly_brace")
+        & ~F.col("has_policy_phrase")
+        & (F.col("n_sentences") >= min_sentences))

@@ -126,3 +126,27 @@ def test_spark_merge_bloom_and_add_keys(spark, corpus_df):
     # incremental add preserves exact geometry (OR-merge compatible)
     inc = add_keys(fa, a, b)
     assert inc.with_contains(keys, "key").where("contained").count() == n
+
+
+def test_spark_grouped_blockedbloom(spark, corpus_df):
+    """Per-group blocked-bloom blobs through the shared bloom_args
+    plumbing (grouped.py BLOOM_KINDS dispatch)."""
+    import numpy as np
+
+    from fastfilter_spark.spark import build_grouped_filters
+    from fastfilter_spark.spark.keys import content_key
+
+    docs = corpus_df.withColumn("key", content_key("content"))
+    gf = build_grouped_filters(docs.select("lang", "key"), ["lang"],
+                               kind="blockedbloom",
+                               bloom_n_expected_per_group=2000)
+    assert gf.n_groups == docs.select("lang").distinct().count()
+    own = gf.with_contains(docs.select("lang", "key"), "key")
+    assert own.where("NOT contained").count() == 0
+    some_lang = docs.select("lang").first().lang
+    filt = gf.filter_for(some_lang)
+    assert isinstance(filt, BlockedBloomFilter)
+    keys = (docs.where(f"lang = '{some_lang}'").select("key")
+            .limit(100).toPandas()["key"].to_numpy(np.int64)
+            .view(np.uint64))
+    assert filt.contains(keys).all()

@@ -106,3 +106,61 @@ def test_zero_shuffle_plan(spark):
     plan = gopher_quality(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---- C4 cleaning rules ------------------------------------------------------
+
+SENT = "This line has plenty of words and ends properly."
+C4_DOCS = [
+    # (doc_id, text, expect_keep, expect_kept_lines)
+    (0, "\n".join([SENT] * 6), True, 6),
+    (1, "\n".join([SENT] * 6) + "\nlorem ipsum dolor sit amet.", False, 7),
+    (2, "\n".join([SENT] * 6) + "\nfunction f() { return 1; }", False, 6),
+    (3, "\n".join([SENT] * 6) + "\nRead our Privacy Policy here.", False, 7),
+    (4, SENT + "\n" + SENT, True and False, 2),       # only 2 sentences < 5
+    (5, "no terminal punctuation here\n" + "\n".join([SENT] * 5), True, 5),
+    (6, "Enable javascript to view this page.\n" + "\n".join([SENT] * 5),
+     True, 5),
+    (7, "Too short.\n" + "\n".join([SENT] * 5), True, 5),  # <3 words dropped
+]
+
+
+@pytest.fixture(scope="module")
+def c4(spark):
+    from fastfilter_spark.pipeline import c4_quality
+    df = spark.createDataFrame([(i, t) for i, t, _, _ in C4_DOCS],
+                               "doc_id long, text string")
+    return {r["doc_id"]: r.asDict() for r in c4_quality(df).collect()}
+
+
+@pytest.mark.parametrize("doc_id,keep,kept_lines",
+                         [(i, k, n) for i, _, k, n in C4_DOCS])
+def test_c4_page_rules(c4, doc_id, keep, kept_lines):
+    row = c4[doc_id]
+    assert row["c4_keep"] is keep, row
+    assert row["n_lines_kept"] == kept_lines, row
+
+
+def test_c4_line_filters_rebuild_text(c4):
+    # dropped lines are gone from clean_text; kept lines intact
+    assert "javascript" not in c4[6]["clean_text"].lower()
+    assert "Too short." not in c4[7]["clean_text"]
+    assert "no terminal punctuation" not in c4[5]["clean_text"]
+    assert c4[0]["clean_text"] == "\n".join([SENT] * 6)
+
+
+def test_c4_zero_shuffle_plan(spark):
+    from fastfilter_spark.pipeline import c4_quality
+    df = spark.createDataFrame([(1, "hello world.")],
+                               "doc_id long, text string")
+    plan = c4_quality(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_c4_collision_guard(spark):
+    from fastfilter_spark.pipeline import c4_quality
+    df = spark.createDataFrame([(1, "x", "y")],
+                               "doc_id long, text string, clean_text string")
+    with pytest.raises(ValueError, match="already exist"):
+        c4_quality(df)

@@ -607,6 +607,16 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
                    and "HashAggregate" not in p32
                    and "EvalPython" not in p32))
 
+    # 33. c4_quality: line-level C4 cleaning is likewise ONE zero-
+    # shuffle projection (nested higher-order line filters, no UDF).
+    from fastfilter_spark.pipeline import c4_quality
+    p33 = plan_of(c4_quality(docs))
+    checks.append(("c4_quality: zero Exchange, zero aggregate, "
+                   "no Python UDF",
+                   "Exchange" not in p33
+                   and "HashAggregate" not in p33
+                   and "EvalPython" not in p33))
+
     print(p2)
     print(p3[:3000])
     ok = True
