@@ -62,11 +62,22 @@ class BlockedBloomFilter:
     @staticmethod
     def geometry(n: int, fpp: float = 0.01):
         n = max(1, n)
+        # k from the UNpadded per-key budget: extra pad bits fight
+        # block dispersion; more hashes into one block would not. The
+        # two 63-bit position words cap k at 14, and optimal k is
+        # -log2(fpp), so targets tighter than ~2^-14.5 ≈ 4e-5 are
+        # refused LOUDLY instead of silently under-hashing to a
+        # worse-than-asked real rate.
+        ideal_k = -math.log(fpp) / math.log(2)
+        if round(ideal_k) > 14:
+            raise ValueError(
+                f"blockedbloom supports k <= 14 hashes (target fpp >= "
+                f"~4e-5); asked fpp={fpp} needs k~{round(ideal_k)} — "
+                "use kind='bloom' (unblocked) or a fingerprint filter "
+                "(bf16/bf32) for tighter targets")
         m = -n * math.log(fpp) / (math.log(2) ** 2) * _BLOCK_PAD
         m = max(_BLOCK_BITS,
                 int(math.ceil(m / _BLOCK_BITS)) * _BLOCK_BITS)
-        # k from the UNpadded per-key budget: extra pad bits fight
-        # block dispersion; more hashes into one block would not.
         k = max(1, min(14, int(round(m / _BLOCK_PAD / n * math.log(2)))))
         return m, k
 

@@ -150,3 +150,13 @@ def test_spark_grouped_blockedbloom(spark, corpus_df):
             .limit(100).toPandas()["key"].to_numpy(np.int64)
             .view(np.uint64))
     assert filt.contains(keys).all()
+
+
+def test_tight_fpp_refused():
+    """k is capped at 14 (two 63-bit position words) and optimal k is
+    -log2(fpp): targets tighter than ~4e-5 must fail loud, not
+    silently under-hash."""
+    BlockedBloomFilter.empty(10_000, 5e-5)  # k=14 — allowed
+    for bad in (1e-5, 1e-6, 1e-9):
+        with pytest.raises(ValueError, match="k <= 14"):
+            BlockedBloomFilter.empty(10_000, bad)
