@@ -188,6 +188,9 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (out.select(F.col("id").alias("doc_id"),
                        F.col("n_tokens").cast("long").alias("n_tokens"),
                        F.round("dup_word_frac", 6).alias("dup_word_frac"),
+                       F.round("dup_line_frac", 6).alias("dup_line_frac"),
+                       F.round("dup_line_char_frac", 6)
+                       .alias("dup_line_char_frac"),
                        F.round("top_bigram_frac", 6).alias("top_bigram_frac"))
             .orderBy("doc_id"))
 
@@ -2809,7 +2812,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM sh8 s JOIN hits h USING (doc_id) "
             "WHERE h.n_hits >= 2 ORDER BY doc_id"),
         "repetition_stats": (
-            f"WITH base AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents), "
+            f"WITH base AS (SELECT doc_id, {_TOKENS_SQL} AS t, "
+            "string_split(text, chr(10)) AS ln FROM documents), "
             "b AS (SELECT doc_id, CASE WHEN len(t) >= 2 THEN "
             "list_transform(range(1, len(t)), "
             "i -> array_to_string(list_slice(t, i, i + 1), ' ')) "
@@ -2822,6 +2826,15 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(CASE WHEN len(t) > 0 THEN "
             "1.0 - len(list_distinct(t)) * 1.0 / len(t) ELSE 0.0 END, 6) "
             "AS dup_word_frac, "
+            "ROUND(1.0 - len(list_distinct(ln)) * 1.0 / len(ln), 6) "
+            "AS dup_line_frac, "
+            "ROUND(CASE WHEN coalesce(list_sum(list_transform(ln, "
+            "l -> length(l))), 0) > 0 THEN "
+            "(coalesce(list_sum(list_transform(ln, l -> length(l))), 0) "
+            "- coalesce(list_sum(list_transform(list_distinct(ln), "
+            "l -> length(l))), 0)) * 1.0 / "
+            "coalesce(list_sum(list_transform(ln, l -> length(l))), 0) "
+            "ELSE 0.0 END, 6) AS dup_line_char_frac, "
             "ROUND(COALESCE(bs.tbf, 0.0), 6) AS top_bigram_frac "
             "FROM base LEFT JOIN bs USING (doc_id) ORDER BY doc_id"),
         "dup_span_stats": (

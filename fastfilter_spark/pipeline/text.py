@@ -288,6 +288,9 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
     * ``dup_word_frac``  — 1 − distinct_tokens / total_tokens (pure
       per-row Catalyst expressions, no shuffle);
+    * ``dup_line_frac`` / ``dup_line_char_frac`` — surplus occurrences
+      of repeated lines (beyond each line's first) as a fraction of
+      lines / of line characters (per-row array algebra, no shuffle);
     * ``top_bigram_frac`` — count of the most frequent word bigram /
       total bigrams, via explode → (doc, bigram) count → per-doc
       max/sum — the same two-level aggregation shape as TF-IDF; both
@@ -313,14 +316,27 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         ).otherwise(F.array().cast("array<string>"))
 
     big = F.transform(F.array(toks), _bigrams)[0]
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
     base = df.select(F.col(id_col).alias("id"), toks.alias("t"),
-                     big.alias("bg"))
+                     big.alias("bg"), F.split(c, r"\n").alias("ln"))
+    # Gopher duplicate-line signals — per-row array algebra, NO extra
+    # shuffle: a line repeated c times contributes its (c−1) surplus
+    # occurrences (and their characters) to the dup fractions.
+    line_chars = F.aggregate(F.col("ln"), F.lit(0).cast("long"),
+                             lambda acc, l: acc + F.length(l))
+    dist_chars = F.aggregate(F.array_distinct("ln"),
+                             F.lit(0).cast("long"),
+                             lambda acc, l: acc + F.length(l))
     per_doc = base.select(
         "id",
         F.size("t").alias("n_tokens"),
         F.when(F.size("t") > 0,
                F.lit(1.0) - F.size(F.array_distinct("t")) / F.size("t"))
-        .otherwise(F.lit(0.0)).alias("dup_word_frac"))
+        .otherwise(F.lit(0.0)).alias("dup_word_frac"),
+        (F.lit(1.0) - F.size(F.array_distinct("ln")) / F.size("ln"))
+        .alias("dup_line_frac"),
+        F.when(line_chars > 0, (line_chars - dist_chars) / line_chars)
+        .otherwise(F.lit(0.0)).alias("dup_line_char_frac"))
     bg_counts = (base.select("id", F.explode("bg").alias("b"))
                  .groupBy("id", "b").agg(F.count("*").alias("c")))
     bg_stats = (bg_counts.groupBy("id")

@@ -816,6 +816,28 @@ def test_repetition_stats_flags_degenerate_docs(spark):
     assert out.loc[3, "top_bigram_frac"] == 0.0
 
 
+def test_repetition_stats_duplicate_line_signals(spark):
+    from fastfilter_spark.pipeline import repetition_stats
+
+    boiler = "all rights reserved"
+    rows = [(0, "unique one\nunique two\nunique three"),
+            (1, f"{boiler}\nreal content here\n{boiler}\n{boiler}"),
+            (2, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = repetition_stats(df, "text", "doc_id").toPandas() \
+        .set_index("id").sort_index()
+    assert out.loc[0, "dup_line_frac"] == 0.0
+    assert out.loc[0, "dup_line_char_frac"] == 0.0
+    # doc 1: 4 lines, 2 surplus copies of the boilerplate line
+    assert abs(out.loc[1, "dup_line_frac"] - 2 / 4) < 1e-9
+    chars = 3 * len(boiler) + len("real content here")
+    assert abs(out.loc[1, "dup_line_char_frac"]
+               - 2 * len(boiler) / chars) < 1e-9
+    # empty doc: one empty line, nothing duplicated
+    assert out.loc[2, "dup_line_frac"] == 0.0
+    assert out.loc[2, "dup_line_char_frac"] == 0.0
+
+
 def test_ivf_index_partition_pruning(spark, tmp_path):
     """write_ivf_index → ivf_topk_from_index must (a) return exactly
     what the in-memory ivf_topk returns for the same centroids, (b)
