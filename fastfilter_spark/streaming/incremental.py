@@ -187,6 +187,15 @@ def filter_rebuild_sink(stream_keys: DataFrame, work_dir: str,
     key set (tested), and any reader (with_contains, contains_via_
     sidecar, the ffsk_membership source) can consume the sidecar
     between triggers.
+
+    Bloom kinds ("bloom"/"blockedbloom") also work — ``add_keys``
+    reuses the exact first-build geometry so OR-merge stays valid and
+    zero FN holds — but their geometry is SIZED FROM BATCH 1's key
+    count: a stream that grows far beyond the first batch saturates
+    the fixed bit array (FPP degrades toward 1 while FN stays 0).
+    Byte-identity with a one-shot build over the full key set does NOT
+    hold for them (the one-shot sizes from the full count). Prefer the
+    static kinds here unless the final cardinality is known up front.
     """
     from ..spark.build import add_keys, build_partitioned_filter
     from ..spark.io import read_filter_sidecar, write_filter_sidecar

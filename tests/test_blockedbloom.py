@@ -160,3 +160,34 @@ def test_tight_fpp_refused():
     for bad in (1e-5, 1e-6, 1e-9):
         with pytest.raises(ValueError, match="k <= 14"):
             BlockedBloomFilter.empty(10_000, bad)
+
+
+def test_streaming_rebuild_sink_blockedbloom(spark, tmp_path):
+    """filter_rebuild_sink composes with the blocked-bloom kind: zero
+    FN over all streamed batches via the exact-geometry add_keys path.
+    (Byte-identity with a one-shot build does NOT hold for bloom kinds
+    — geometry is sized from batch 1; documented in the sink.)"""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fastfilter_spark.spark.io import read_filter_sidecar
+    from fastfilter_spark.streaming import filter_rebuild_sink
+
+    src = str(tmp_path / "bb_src")
+    spark.range(0, 3000).select(F.xxhash64("id").alias("key")) \
+        .repartition(3).write.parquet(src)
+    stream = (spark.readStream.schema("key long")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    work = str(tmp_path / "bb_rebuild")
+    q = filter_rebuild_sink(stream, work, kind="blockedbloom",
+                            num_partitions=8,
+                            checkpoint_dir=str(tmp_path / "bb_ck"))
+    q.awaitTermination(180)
+    streamed = read_filter_sidecar(os.path.join(work, "sidecar"))
+    assert streamed.kind == "blockedbloom"
+    all_keys = spark.range(0, 3000).select(F.xxhash64("id").alias("key"))
+    probed = streamed.with_contains(all_keys, "key")
+    assert probed.where("NOT contained").count() == 0  # zero FN
+    assert len(glob.glob(os.path.join(work, "keys", "batch=*"))) >= 2
