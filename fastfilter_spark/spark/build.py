@@ -230,15 +230,24 @@ def build_partitioned_filter(
     resumed build produces byte-identical blobs to an uninterrupted one.
 
     ``shuffle_mode``:
-      * ``"packed"`` (default) — keys are bucketed map-side in numpy and
-        the exchange moves one fat binary chunk row per (input
-        partition × pid). The scale-correct choice: row-shuffle overhead
-        (serialization per row, network framing on a real cluster) was
-        ~60%% of build wall time; measured best N→4N scaling efficiency.
+      * ``"packed"`` (default) — ONE bare-key JVM exchange keyed on the
+        pid expression pmod(xxhash64(key, salt), P); the builder task
+        recomputes each key's pid with the bit-exact numpy replica and
+        builds every pid present in the task. One Python pass total.
+        (r6: previously this mode packed per-pid chunks map-side in a
+        FIRST Python pass to halve the exchange bytes; measured, that
+        pass cost ~3x the bytes it saved — every key crossed the
+        JVM/Python boundary twice. Blobs and routing are byte-identical
+        across both plans.)
+      * ``"chunks"`` — the map-side chunk-pack exchange (one fat binary
+        row per input-partition × pid, ~8.2 B/key on the wire vs ~16
+        B/key for Tungsten rows). Same xxhash_pmod routing and
+        byte-identical blobs; for clusters where the network, not the
+        Python boundary, is the binding constraint.
       * ``"rows"`` — repartition(P, xxhash64(key,salt)) + mapInArrow,
-        reading the pid from TaskContext. One python pass instead of
-        two; wins on a single box at high core counts where python-side
-        memory bandwidth (not the shuffle) is the binding constraint.
+        reading the pid from TaskContext (spark_hash routing — no numpy
+        routing replica, so no sidecar/SQL/local probes). Single-box
+        fast path kept for comparison benchmarks.
     """
     from .. import workerside
 
@@ -290,8 +299,8 @@ def build_partitioned_filter(
             done = spark.read.parquet(partials_path).select("pid").distinct()
             done_pids = [r.pid for r in done.collect()]
 
-    routing = (ROUTING_XXHASH_PMOD if shuffle_mode == "packed"
-               else ROUTING_SPARK_HASH)
+    routing = (ROUTING_SPARK_HASH if shuffle_mode == "rows"
+               else ROUTING_XXHASH_PMOD)
     todo = placed
     if done_pids:
         todo = placed.where(
@@ -429,6 +438,64 @@ def cuckoo_update(
                              metrics.sort_index().reset_index(), pf.routing)
 
 
+def _spark_hash_int32(vals: np.ndarray) -> np.ndarray:
+    """Bit-exact numpy replica of Spark's ``hash()`` (Murmur3_x86_32,
+    seed 42) over IntegerType values — used ONLY to pre-search balanced
+    exchange tokens driver-side. If it ever drifted from Spark the
+    build would stay CORRECT (co-location keys on a function of pid);
+    only the task balance would degrade — and the parity test pins it.
+    """
+    M = np.uint32(0xFFFFFFFF)
+    k1 = vals.astype(np.int64).astype(np.uint32)
+    k1 = (k1 * np.uint32(0xcc9e2d51)) & M
+    k1 = ((k1 << np.uint32(15)) | (k1 >> np.uint32(17))) & M
+    k1 = (k1 * np.uint32(0x1b873593)) & M
+    h1 = np.uint32(42) ^ k1
+    h1 = ((h1 << np.uint32(13)) | (h1 >> np.uint32(19))) & M
+    h1 = (h1 * np.uint32(5) + np.uint32(0xe6546b64)) & M
+    h1 ^= np.uint32(4)                      # fmix(h1, len=4)
+    h1 ^= h1 >> np.uint32(16)
+    h1 = (h1 * np.uint32(0x85ebca6b)) & M
+    h1 ^= h1 >> np.uint32(13)
+    h1 = (h1 * np.uint32(0xc2b2ae35)) & M
+    h1 ^= h1 >> np.uint32(16)
+    return h1.view(np.int32)
+
+
+_PID_TOKEN_CAP = 4096
+_PID_TOKEN_CACHE: dict = {}
+
+
+def _pid_tokens(B: int) -> Optional[List[int]]:
+    """For each exchange bucket 0..B-1, an int token with
+    pmod(hash(token), B) == bucket. Exchanging on
+    ``tokens[pid % B]`` places pid group g in EXACTLY partition g —
+    perfectly round-robin-balanced ⌈P/B⌉ pids per task. Hashing the
+    pid directly instead leaves ~1/e of tasks empty and the fullest
+    with 3-4 pid groups (guide §2.5, synthetic-key collisions): a 3-4x
+    build straggler whenever P ~ parallelism. None above
+    _PID_TOKEN_CAP — the literal array would bloat the plan, and at
+    that scale collision imbalance self-averages across task waves."""
+    if B > _PID_TOKEN_CAP:
+        return None
+    toks = _PID_TOKEN_CACHE.get(B)
+    if toks is None:
+        toks = [None] * B
+        found, start = 0, 0
+        while found < B:
+            cand = np.arange(start, start + 16384, dtype=np.int64)
+            buckets = np.mod(_spark_hash_int32(cand).astype(np.int64), B)
+            for t, b in zip(cand, buckets):
+                if toks[b] is None:
+                    toks[b] = int(t)
+                    found += 1
+                    if found == B:
+                        break
+            start += 16384
+        _PID_TOKEN_CACHE[B] = toks
+    return toks
+
+
 def partials_dataframe(placed: DataFrame, kind_name: str, P: int, salt: int,
                        base_rng_state: int, bloom_args, shuffle_mode: str
                        ) -> DataFrame:
@@ -440,6 +507,57 @@ def partials_dataframe(placed: DataFrame, kind_name: str, P: int, salt: int,
     from .keys import route_expr
 
     if shuffle_mode == "packed":
+        # Bare-key exchange keyed on the pid EXPRESSION pmod(route, P):
+        # all rows of a pid land in one task, the worker recomputes the
+        # pid with the bit-exact numpy route replica and builds one
+        # blob per pid present (workerside.build_routed_map). One
+        # Python pass + one JVM exchange of 8-byte keys — the previous
+        # chunk-pack plan (kept as shuffle_mode="chunks") paid an extra
+        # full JVM->Python round trip of every key to halve the
+        # exchange bytes; measured on this engine the pack pass costs
+        # ~3x what it saves (guide §4.1: every Python boundary crossing
+        # moves the same bytes the exchange would, plus a transpose).
+        # Blobs are byte-identical across both plans (same per-pid key
+        # sets, same per-pid seeds), so the routing stays xxhash_pmod
+        # and every probe/serde path is unaffected.
+        #
+        def _build_routed(batches):
+            return workerside.build_routed_map(
+                batches, kind_name, salt, P, base_rng_state, bloom_args)
+
+        # recompute the pid expression from the bare key rather than
+        # referencing the `route` column: an exchange keyed on a column
+        # SHIPS that column (24 B/row instead of 8 — the same lesson as
+        # the routed probe), while an exchange keyed on an expression
+        # of `key` evaluates it map-side and moves only the key.
+        pid_expr = F.pmod(route_expr("key", salt), F.lit(P))
+        # B exchange partitions = min(P, cluster parallelism): each
+        # task builds ~P/B pids sequentially. MORE post-shuffle Python
+        # tasks are strictly worse here — the per-task mapInArrow
+        # setup dominates (identity pass over the same 1e7-row
+        # exchange measured 0.84 s at 32 tasks vs 2.9 s at 128), and
+        # B > parallelism buys nothing a wave can't.
+        spark = placed.sparkSession
+        par = spark.sparkContext.defaultParallelism
+        B = max(1, min(P, par))
+        toks = _pid_tokens(B)
+        if toks is not None:
+            # perfect balance: pid group g = pid % B is exchanged on a
+            # searched token whose Spark hash lands exactly in
+            # partition g — the balance rows-mode gets from
+            # TaskContext, with xxhash_pmod pids. F.lit(list) -> ONE
+            # array Literal: constant-folded, O(1) per-row lookup
+            # (F.array(*lits) re-creates the B-element array PER ROW
+            # inside the exchange's partitioning expression — measured
+            # ~0.6 s/1e7 rows at B=128).
+            part_key = F.lit(toks)[F.pmod(pid_expr, F.lit(B))]
+        else:
+            # huge-B fallback: hash the pid expression itself;
+            # collision imbalance self-averages at that task count.
+            part_key = pid_expr
+        return (placed.select("key").repartition(B, part_key)
+                .mapInArrow(_build_routed, PARTIAL_SCHEMA))
+    if shuffle_mode == "chunks":
         def _pack(batches):
             return workerside.pack_by_pid(batches, P)
 

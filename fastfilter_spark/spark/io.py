@@ -177,8 +177,8 @@ def build_filter_sidecar(keys_df: DataFrame, sidecar_path: str,
     if kind not in FILTER_KINDS:
         raise ValueError(f"unknown filter kind {kind!r} (bloom: use "
                          "build_partitioned_filter — its blobs are tiny)")
-    if shuffle_mode != "packed":
-        raise ValueError("sidecar build requires packed shuffle "
+    if shuffle_mode not in ("packed", "chunks"):
+        raise ValueError("sidecar build requires packed/chunks shuffle "
                          "(xxhash_pmod routing — the routed query mirrors it)")
     spark = keys_df.sparkSession
     P = num_partitions

@@ -1078,3 +1078,22 @@ def test_build_rejects_narrow_key_type(spark):
     pf = build_partitioned_filter(wide, kind="bf8", num_partitions=4)
     with pytest.raises(TypeError, match="bigint"):
         pf.with_contains(narrow, "key")
+
+
+def test_packed_and_chunks_blobs_byte_identical(spark, corpus_df):
+    """r6: the default "packed" mode became a bare-key exchange keyed on
+    the pid expression (one Python pass; the old two-pass chunk-pack
+    plan survives as shuffle_mode="chunks"). Both must produce
+    byte-identical blobs and identical xxhash_pmod routing — every
+    probe path (broadcast, sidecar, SQL, contains_local) depends on
+    the per-pid key sets and seeds being plan-independent."""
+    keys = keys_from_content(corpus_df, "content")
+    for kind, kwargs in (("bf8", {}), ("xor8", {}),
+                         ("bloom", {"bloom_n_expected": 10_000})):
+        a = build_partitioned_filter(keys, kind=kind, num_partitions=8,
+                                     **kwargs)
+        b = build_partitioned_filter(keys, kind=kind, num_partitions=8,
+                                     shuffle_mode="chunks", **kwargs)
+        assert a.routing == b.routing == "xxhash_pmod"
+        assert a.blobs == b.blobs
+        assert a.n_keys == b.n_keys
