@@ -238,3 +238,63 @@ def sha256_keys(contents) -> np.ndarray:
             c = c.encode("utf-8")
         out[i] = sha256_key_py(c)
     return out
+
+
+def xxhash64_bytes(data: bytes, seed: int = 42) -> int:
+    """Scalar XXH64 over a byte string — the exact arithmetic Spark's
+    ``xxhash64(string_col)`` applies (XXH64.hashUnsafeBytes over the
+    UTF-8 bytes, default seed 42). Returns the UNSIGNED 64-bit hash;
+    ``.view``/two's-complement to compare with Spark's signed output.
+
+    Public algorithm (Collet's xxHash, BSD). Driver-side use only
+    (per-file-name fids for the skip index — replacing a Spark
+    collect() job of a few thousand rows); parity with the JVM is
+    pinned by test_hashing, and a drift would surface as a LOUD
+    fid2name KeyError in the builder task, never silent corruption.
+    """
+    M = 0xFFFFFFFFFFFFFFFF
+    P1, P2, P3, P4, P5 = (int(_XXP1), int(_XXP2), int(_XXP3),
+                          int(_XXP4), int(_XXP5))
+
+    def rotl(x, r):
+        return ((x << r) | (x >> (64 - r))) & M
+
+    def rnd(acc, lane):
+        return (rotl((acc + lane * P2) & M, 31) * P1) & M
+
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v = [(seed + P1 + P2) & M, (seed + P2) & M, seed & M,
+             (seed - P1) & M]
+        while i + 32 <= n:
+            for j in range(4):
+                lane = int.from_bytes(data[i + 8 * j:i + 8 * j + 8],
+                                      "little")
+                v[j] = rnd(v[j], lane)
+            i += 32
+        h = (rotl(v[0], 1) + rotl(v[1], 7) + rotl(v[2], 12)
+             + rotl(v[3], 18)) & M
+        for vj in v:
+            h = ((h ^ rnd(0, vj)) * P1 + P4) & M
+    else:
+        h = (seed + P5) & M
+    h = (h + n) & M
+    while i + 8 <= n:
+        lane = int.from_bytes(data[i:i + 8], "little")
+        k = (rotl((lane * P2) & M, 31) * P1) & M
+        h = ((rotl(h ^ k, 27) * P1) + P4) & M
+        i += 8
+    if i + 4 <= n:
+        lane = int.from_bytes(data[i:i + 4], "little")
+        h = ((rotl(h ^ ((lane * P1) & M), 23) * P2) + P3) & M
+        i += 4
+    while i < n:
+        h = (rotl(h ^ ((data[i] * P5) & M), 11) * P1) & M
+        i += 1
+    h ^= h >> 33
+    h = (h * P2) & M
+    h ^= h >> 29
+    h = (h * P3) & M
+    h ^= h >> 32
+    return h

@@ -101,27 +101,102 @@ def _as_u64(keys) -> np.ndarray:
     return arr.astype(np.int64).view(np.uint64)
 
 
+def _conf_bytes(spark, key: str, default: int) -> int:
+    """A byte-valued Spark conf ("134217728", "128m", "4mb", ...)."""
+    raw = str(spark.conf.get(key, str(default))).strip().lower()
+    mult = 1
+    for suf, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                   ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                   ("b", 1)):
+        if raw.endswith(suf):
+            raw, mult = raw[:-len(suf)], m
+            break
+    return int(float(raw) * mult)
+
+
+def _file_sizes(spark, names) -> Optional[List[int]]:
+    """Byte sizes of the listed files, or None when fetching them
+    cheaply isn't possible. Local paths stat directly; remote
+    filesystems pay one driver RPC per file, so they are only worth it
+    for small write sets (the incremental-update shape)."""
+    local = [n for n in names if n.startswith("file:")]
+    if len(local) == len(names):
+        try:
+            return [os.path.getsize(n[len("file:"):]) for n in names]
+        except OSError:
+            return None
+    if len(names) > 512:
+        return None
+    try:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        out = []
+        for n in names:
+            p = jvm.org.apache.hadoop.fs.Path(n)
+            out.append(p.getFileSystem(conf).getFileStatus(p).getLen())
+        return out
+    except Exception:
+        return None
+
+
+def _files_task_atomic(spark, names) -> bool:
+    """True iff Spark's scan planner will NOT split any of these files
+    across tasks, with a 2x safety margin. Replicates
+    FilePartition.maxSplitBytes (stable across Spark 3.x/4.x):
+    min(maxPartitionBytes, max(openCostInBytes, totalBytes/minPartNum)).
+    When every file is task-atomic the per-file blobs can be built
+    INSIDE the scan stage — the groupBy exchange of every corpus row
+    is removed outright (guide §2.4). A wrong answer here cannot
+    corrupt the index: the builder path verifies post-write that no
+    file produced two distinct blobs and fails loudly."""
+    if not names or len(names) > 16384:
+        return False
+    sizes = _file_sizes(spark, names)
+    if sizes is None:
+        return False
+    max_pb = _conf_bytes(spark, "spark.sql.files.maxPartitionBytes",
+                         128 << 20)
+    open_cost = _conf_bytes(spark, "spark.sql.files.openCostInBytes",
+                            4 << 20)
+    try:
+        min_pn = int(spark.conf.get("spark.sql.files.minPartitionNum"))
+    except Exception:
+        min_pn = spark.sparkContext.defaultParallelism
+    total = sum(sizes) + len(sizes) * open_cost
+    bytes_per_core = total / max(1, min_pn)
+    max_split = min(max_pb, max(open_cost, bytes_per_core))
+    return max(sizes) <= max_split / 2
+
+
 def _write_file_blobs(spark, df, names, key_expr, kind: str,
                       base_rng_state: int, files_path: str,
-                      mode: str) -> None:
+                      mode: str) -> Optional[dict]:
     """One blob row per file of ``df``, written executor-side.
 
     Groups on an 8-byte xxhash64(file) fid, NOT the file-name string:
-    the per-row shuffle payload is what dominates the build (the
+    the per-row shuffle/Arrow payload is what dominates the build (the
     string variant shuffled ~110 B/row of path — measured 17.2 s vs
-    4.1 s at 1e7 keys). The fid→name map is built driver-side from
-    the file listing with Spark's own hash (no replica to drift); a
-    name collision — which would silently merge two files' filters —
-    is detected by the length check and refused. Seeds derive from the
-    file NAME, so blobs are independent of the grouping scheme."""
+    4.1 s at 1e7 keys). The fid→name map is computed DRIVER-side with
+    the bit-exact XXH64 replica (r6: the previous createDataFrame +
+    collect round trip cost a 0.35 s Spark job for 32 names; a replica
+    drift would surface as a loud fid2name KeyError in the builder
+    task, and parity is pinned by test_hashing). A name collision —
+    which would silently merge two files' filters — is detected by the
+    length check and refused. Seeds derive from the file NAME, so
+    blobs are independent of the grouping scheme.
+
+    Returns a summary dict {files, keys, blob_bytes} over THIS write's
+    rows when the zero-shuffle path ran (its split-detection job sees
+    every row anyway — a fresh build can derive the manifest from it
+    without re-scanning the index table), else None."""
+    from ..core.hashing import xxhash64_bytes
     from .. import workerside
 
     names = sorted(names)
-    fid_rows = (spark.createDataFrame([(n,) for n in names],
-                                      "file string")
-                .select("file", F.xxhash64("file").alias("fid"))
-                .collect())
-    fid2name = {r.fid: r.file for r in fid_rows}
+    fid2name = {}
+    for n in names:
+        h = xxhash64_bytes(n.encode("utf-8"), 42)
+        fid2name[h - (1 << 64) if h >= (1 << 63) else h] = n
     if len(fid2name) != len(names):   # pragma: no cover - 2^-64 event
         raise RuntimeError("xxhash64 collision across file names; "
                            "cannot build a per-file index safely")
@@ -131,12 +206,27 @@ def _write_file_blobs(spark, df, names, key_expr, kind: str,
                         key_expr.cast("long").alias("key"))
               .where(F.col("key").isNotNull()))
 
-    def _build(tbl):
-        return workerside.build_file_blob(tbl, kind, base_rng_state,
-                                          bc.value)
+    atomic = _files_task_atomic(spark, names)
+    if atomic:
+        # zero-shuffle build (guide §2.4): every file is task-atomic,
+        # so each scan task holds whole files and the per-file blobs
+        # are built inside the scan stage — the groupBy exchange of
+        # (fid, key) for every corpus row is gone (measured 2.8 s ->
+        # ~1.5 s at 1e7 keys / 32 files). Blobs are byte-identical
+        # (seeds derive from the file name, not the grouping).
+        def _build_scan(batches):
+            return workerside.build_file_blobs_scan(
+                batches, kind, base_rng_state, bc.value)
 
-    (placed.groupBy("fid").applyInArrow(_build, _INDEX_SCHEMA)
-     .write.mode(mode).parquet(files_path))
+        (placed.mapInArrow(_build_scan, _INDEX_SCHEMA)
+         .write.mode(mode).parquet(files_path))
+    else:
+        def _build(tbl):
+            return workerside.build_file_blob(tbl, kind, base_rng_state,
+                                              bc.value)
+
+        (placed.groupBy("fid").applyInArrow(_build, _INDEX_SCHEMA)
+         .write.mode(mode).parquet(files_path))
 
     # files whose key column is empty/all-NULL produce no group — give
     # them an (empty-filter, n_keys=0) row anyway so every listed file
@@ -147,11 +237,38 @@ def _write_file_blobs(spark, df, names, key_expr, kind: str,
     # scan so the check touches this write's rows, not the whole index
     # table; a fresh build (names = everything) keeps the plain
     # column-pruned distinct — a 100k-literal IN would bloat the plan.
-    chk = spark.read.parquet(files_path).select("file")
+    chk = spark.read.parquet(files_path)
     if 0 < len(names) <= 1024:
         chk = chk.where(F.col("file").isin(names))
-    got = ({r.file for r in chk.distinct().collect()}
-           if names else set())
+    summary = None
+    if atomic:
+        # hard guard behind the split prediction: a file that WAS
+        # split across scan tasks yields 2+ DISTINCT partial blobs —
+        # fail loudly instead of committing an index with partial
+        # filters (benign duplicate rows from a crashed re-run are
+        # byte-identical and pass). One job, shared with the
+        # missing-file check below AND (fresh builds) the manifest
+        # aggregates — no extra scan of the index table.
+        per = (chk.groupBy("file")
+               .agg(F.count_distinct(F.xxhash64("blob")).alias("nb"),
+                    F.first("n_keys").alias("n_keys"),
+                    F.first(F.length("blob")).alias("blob_bytes"))
+               .collect())
+        split = [r.file for r in per if r.nb > 1]
+        if split:
+            raise RuntimeError(
+                "skip-index scan-stage build produced partial blobs for "
+                f"split files {split[:3]}... — the task-atomicity "
+                "prediction disagreed with Spark's scan planner on this "
+                "version; rebuild with build_file_skipping_index (the "
+                "grouped path) and report the Spark version")
+        got = {r.file for r in per} if names else set()
+        summary = {"files": len(per),
+                   "keys": int(sum(r.n_keys for r in per)),
+                   "blob_bytes": int(sum(r.blob_bytes for r in per))}
+    else:
+        got = ({r.file for r in chk.select("file").distinct().collect()}
+               if names else set())
     missing = [n for n in names if n not in got]
     if missing:
         empty = np.empty(0, dtype=np.uint64)
@@ -163,6 +280,10 @@ def _write_file_blobs(spark, df, names, key_expr, kind: str,
                          float("nan")))
         (spark.createDataFrame(rows, _INDEX_SCHEMA)
          .coalesce(1).write.mode("append").parquet(files_path))
+        if summary is not None:
+            summary["files"] += len(rows)
+            summary["blob_bytes"] += sum(len(r[2]) for r in rows)
+    return summary
 
 
 def _index_agg(spark, files_path: str):
@@ -210,16 +331,20 @@ def build_file_skipping_index(
         if d == _FILES or d.startswith(_FILES + ".g"):
             shutil.rmtree(os.path.join(index_path, d),
                           ignore_errors=True)
-    _write_file_blobs(spark, df, df.inputFiles(), key_expr, kind,
-                      base_rng_state, files_path, mode="overwrite")
-
-    agg = _index_agg(spark, files_path)
+    summary = _write_file_blobs(spark, df, df.inputFiles(), key_expr, kind,
+                                base_rng_state, files_path,
+                                mode="overwrite")
+    if summary is None:
+        # grouped-path build: one agg scan of the (small) index table
+        agg = _index_agg(spark, files_path)
+        summary = {"files": int(agg.files), "keys": int(agg.keys or 0),
+                   "blob_bytes": int(agg.blob_bytes or 0)}
     manifest = {"kind": kind, "base_rng_state": int(base_rng_state),
                 "data_path": data_path, "files_dir": _FILES,
                 "key_repr": _key_repr(key_expr),
-                "n_files": int(agg.files),
-                "n_keys": int(agg.keys or 0),
-                "blob_bytes": int(agg.blob_bytes or 0)}
+                "n_files": summary["files"],
+                "n_keys": summary["keys"],
+                "blob_bytes": summary["blob_bytes"]}
     return _commit_manifest(manifest_path, manifest)
 
 

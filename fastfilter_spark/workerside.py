@@ -357,6 +357,45 @@ def build_file_blob(tbl: "pa.Table", kind: str, base_rng_state: int,
               "bits_per_entry"])
 
 
+def build_file_blobs_scan(batches, kind: str, base_rng_state: int,
+                          fid2name: Dict[int, str]):
+    """Zero-shuffle skip-index builder: mapInArrow body running INSIDE
+    the scan stage (no groupBy exchange). Valid only when no input
+    file is split across tasks — the caller proves task-atomicity from
+    the file listing before choosing this path; then every file's rows
+    are contiguous within exactly one task and per-file accumulation
+    across the task's batches is a complete group. Blobs are
+    byte-identical to the grouped path's (seeds derive from the file
+    NAME, independent of grouping). The shuffle this removes moved
+    16 B/row (fid + key) for every corpus row."""
+    accum: Dict[int, List[np.ndarray]] = {}
+    for b in batches:
+        fids = b.column("fid").to_numpy(zero_copy_only=False)
+        keys = b.column("key").to_numpy(zero_copy_only=False)
+        order = np.argsort(fids, kind="stable")
+        sf = fids[order]
+        sk = keys[order]
+        present = np.unique(sf)
+        bounds = np.searchsorted(sf, present)
+        bounds = np.append(bounds, len(sf))
+        for i, f in enumerate(present):
+            accum.setdefault(int(f), []).append(sk[bounds[i]:bounds[i + 1]])
+    for fid, chunks in accum.items():
+        name = fid2name[fid]   # KeyError = loud task failure, by design
+        raw = np.concatenate(chunks).view(U64)
+        keys = np.unique(raw)
+        filt = _BUILDERS[kind](keys, group_rng_state(base_rng_state, name))
+        yield pa.RecordBatch.from_arrays([
+            pa.array([name], pa.string()),
+            pa.array([kind], pa.string()),
+            pa.array([filt.to_bytes()], pa.binary()),
+            pa.array([int(keys.size)], pa.int64()),
+            pa.array([int(raw.size)], pa.int64()),
+            pa.array([float(filt.bits_per_entry())], pa.float64()),
+        ], names=["file", "kind", "blob", "n_keys", "keys_ingested",
+                  "bits_per_entry"])
+
+
 def match_skip_blobs(it, probe_bytes: bytes):
     """mapInArrow body for skip-index pruning: yield the names of the
     blobs matching ≥1 broadcast probe key (vectorized contains per

@@ -101,3 +101,25 @@ def test_sha256_key():
     ks = sha256_keys(["abc", "def"])
     assert ks[0] == sha256_key_py(b"abc")
     assert ks[1] == sha256_key_py(b"def")
+
+
+def test_xxhash64_bytes_parity_with_spark(spark):
+    """Driver-side XXH64-over-bytes replica (skip-index fid map) must
+    match Spark's xxhash64(string) bit-for-bit across every length
+    regime: empty, <4, 4-7, 8-31, exactly 32, >32 (stripe loop), and
+    multi-byte UTF-8."""
+    from pyspark.sql import functions as F
+
+    from fastfilter_spark.core.hashing import xxhash64_bytes
+
+    strs = ["", "a", "abc", "1234", "1234567", "12345678",
+            "file:///tmp/ffsk/data.parquet/part-00000-abc.parquet",
+            "x" * 31, "y" * 32, "z" * 33, "w" * 100,
+            "ünïcødé-路径/文件.parquet"]
+    df = (spark.createDataFrame([(s,) for s in strs], "s string")
+          .select("s", F.xxhash64("s").alias("h")))
+    jvm = {r.s: r.h for r in df.collect()}
+    for s in strs:
+        mine = xxhash64_bytes(s.encode("utf-8"), 42)
+        signed = mine - (1 << 64) if mine >= (1 << 63) else mine
+        assert signed == jvm[s], s

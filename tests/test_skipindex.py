@@ -315,3 +315,40 @@ def test_shared_prune_matches_fresh_prune(spark, clustered, index):
     b = sorted(r.id for r in pruned_lookup(
         spark, clustered, index, keys, "id").collect())
     assert a == b == [7, 42]
+
+
+def test_scan_and_grouped_builds_byte_identical(spark, tmp_path):
+    """r6: the zero-shuffle scan-stage build (task-atomic files) must
+    produce byte-identical blobs to the grouped fallback — seeds
+    derive from the file name, so the physical plan must not leak
+    into the index."""
+    from pyspark.sql import functions as F
+
+    from fastfilter_spark.spark import build_file_skipping_index
+    from fastfilter_spark.spark import skipindex as si
+
+    data = str(tmp_path / "data.parquet")
+    (spark.range(0, 50_000, 1, 4)
+     .select(F.xxhash64("id").alias("key"))
+     .repartitionByRange(4, "key")
+     .write.mode("overwrite").parquet(data))
+
+    idx_a = str(tmp_path / "idx_scan")
+    m_a = build_file_skipping_index(spark, data, idx_a, key="key")
+    # force the grouped path by disabling the atomicity gate
+    orig = si._files_task_atomic
+    si._files_task_atomic = lambda *_: False
+    try:
+        idx_b = str(tmp_path / "idx_grouped")
+        m_b = build_file_skipping_index(spark, data, idx_b, key="key")
+    finally:
+        si._files_task_atomic = orig
+
+    import pyarrow.parquet as pq
+    a = (pq.read_table(f"{idx_a}/files.parquet").to_pandas()
+         .sort_values("file").reset_index(drop=True))
+    b = (pq.read_table(f"{idx_b}/files.parquet").to_pandas()
+         .sort_values("file").reset_index(drop=True))
+    assert list(a["file"]) == list(b["file"])
+    assert all(bytes(x) == bytes(y) for x, y in zip(a["blob"], b["blob"]))
+    assert m_a["n_keys"] == m_b["n_keys"] == 50_000
