@@ -488,29 +488,49 @@ def _probe_sidecar_batch(b, key_name: str, salt: int, P: int, filter_for):
         names=b.schema.names + ["contained"])
 
 
+_SIDECAR_ROUTE_CACHE: Dict[tuple, Dict] = {}
+
+
 def contains_sidecar_route(batches, sidecar_path: str, P: int, salt: int,
                            key_name: str = "key"):
     """Probe-side routed lookup for large P (mapInArrow after
     repartition on the pid expression): a task deserializes ONLY the
-    blobs of the pids routed to it (expected 1, Poisson tail 2–3) by
-    reading them from the sidecar parquet — per-worker memory is a
-    couple of blobs instead of all P (broadcast-all was >100 MB/worker
-    at P=256). Emits the input rows + a `contained` column.
+    blobs of the pids routed to it (~P/num_tasks of them) by reading
+    them from the sidecar parquet — per-worker memory is a few blobs
+    instead of all P (broadcast-all was >100 MB/worker at P=256).
+    Emits the input rows + a `contained` column.
 
     The pid is recomputed worker-side from the key (route_pid is the
     bit-exact numpy replica of the JVM route expression) — shipping a
     precomputed __route column through the exchange doubled the
     shuffled bytes of a bare-key probe for nothing.
+
+    The dataset handle (file listing + schema) and the loaded filters
+    are cached per PROCESS keyed by the sidecar generation token — the
+    same pattern `_sidecar_filters` uses for the local path, so reused
+    workers skip the per-task listing/footer work and repeat probes
+    skip the blob loads entirely; a rebuild at the same path changes
+    the token and is never answered from stale blobs. The filter cache
+    is count-bounded: at most ~256 pids' blobs per process (FIFO
+    eviction) — the per-worker memory contract stays O(few blobs).
     """
     import os
     import pyarrow.dataset as pads
 
-    cache: Dict[int, object] = {}
-    path = os.path.join(sidecar_path, "partials.parquet")
-    # list files + open footers ONCE per task — per-pid loads then prune
-    # to one row group via parquet stats (pq.read_table(filters=...) per
-    # pid re-listed the whole directory: O(files) metadata work per pid)
-    ds = pads.dataset(path, format="parquet")
+    token = sidecar_cache_token(sidecar_path)
+    state = _SIDECAR_ROUTE_CACHE.get(token)
+    if state is None:
+        path = os.path.join(sidecar_path, "partials.parquet")
+        # list files + open footers ONCE per process per generation —
+        # per-pid loads then prune to one row group via parquet stats
+        # (pq.read_table(filters=...) per pid re-listed the whole
+        # directory: O(files) metadata work per pid)
+        state = {"ds": pads.dataset(path, format="parquet"),
+                 "filters": {}}
+        _SIDECAR_ROUTE_CACHE[token] = state
+        while len(_SIDECAR_ROUTE_CACHE) > 2:
+            _SIDECAR_ROUTE_CACHE.pop(next(iter(_SIDECAR_ROUTE_CACHE)))
+    ds, cache = state["ds"], state["filters"]
 
     def _filter_for(pid: int):
         f = cache.get(pid)
@@ -520,6 +540,8 @@ def contains_sidecar_route(batches, sidecar_path: str, P: int, salt: int,
             f = (load_filter(tbl.column("blob")[0].as_py())
                  if tbl.num_rows else False)
             cache[pid] = f
+            while len(cache) > 256:
+                cache.pop(next(iter(cache)))
         return f
 
     for b in batches:
