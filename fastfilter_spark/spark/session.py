@@ -23,6 +23,23 @@ def get_spark(app: str = "fastfilter_spark", cpus: int | None = None,
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
+    # Shuffle/spill scratch space: Spark's guidance is the fastest
+    # LOCAL storage available. When nothing is configured (standard
+    # SPARK_LOCAL_DIRS env unset, no explicit spark.local.dir) and a
+    # RAM-backed /dev/shm with ample headroom exists, use it — the
+    # 1e8-key build's 1.6 GB exchange measured 16.6 s -> 10.4 s on
+    # this box (disk-bound shuffle files). Deployment-safe: YARN/K8s
+    # inject their own LOCAL_DIRS which OVERRIDE spark.local.dir (so
+    # clusters are unaffected), any explicit env/conf wins below, and
+    # a small /dev/shm (<32 GiB free) falls back to the default.
+    local_dir = None
+    if not os.environ.get("SPARK_LOCAL_DIRS"):
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize >= 32 << 30:
+                local_dir = "/dev/shm/ffsk-local"
+        except (OSError, AttributeError):
+            pass
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app)
@@ -44,6 +61,19 @@ def get_spark(app: str = "fastfilter_spark", cpus: int | None = None,
         .config("spark.driver.maxResultSize", "8g")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
     )
+    if local_dir is not None and "spark.local.dir" not in (extra_conf or {}):
+        builder = (
+            builder.config("spark.local.dir", local_dir)
+            # Paired with the RAM-backed dir, not with core count:
+            # shuffle checksums exist to diagnose silent DISK
+            # corruption of shuffle files — tmpfs has no such failure
+            # mode, and the CRC pass costs ~0.5 s per 1.6 GB exchange;
+            # the bigger write buffer batches syscalls into tmpfs
+            # (another ~0.5 s on the same exchange). Cluster deploys
+            # (YARN/K8s LOCAL_DIRS, or SPARK_LOCAL_DIRS set) never
+            # reach this branch and keep Spark's defaults.
+            .config("spark.shuffle.checksum.enabled", "false")
+            .config("spark.shuffle.file.buffer", "1m"))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
