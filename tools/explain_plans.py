@@ -617,6 +617,41 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
                    and "HashAggregate" not in p33
                    and "EvalPython" not in p33))
 
+    # 34. r6 default packed build: ONE exchange moving ONLY the bare
+    # 8-byte key (token-balanced pid placement computed map-side in
+    # the partitioning expression; no route/pid column transits), the
+    # builder MapInArrow directly above it, and no pre-exchange
+    # Python pass (the chunk-pack mode pays one; it is checked as
+    # shape #2 above).
+    from fastfilter_spark.spark.build import (PARTIAL_SCHEMA as _PS,
+                                              partials_dataframe)
+    placed34 = (keys.withColumn("route", route_expr("key", 0)))
+    p34 = plan_of(partials_dataframe(placed34, "bf8", 8, 0, 1, None,
+                                     "packed"))
+    ex34 = re.search(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", p34)
+    checks.append(("packed build r6: exactly one Exchange",
+                   len(re.findall(r"\(\d+\) Exchange", p34)) == 1))
+    checks.append(("packed build r6: exchange carries ONLY the bare key",
+                   ex34 is not None and "," not in ex34.group(1)
+                   and "key" in ex34.group(1)))
+    checks.append(("packed build r6: no Python pass below the exchange "
+                   "(builder MapInArrow is above it)",
+                   p34.find("MapInArrow") < p34.find("Exchange")))
+
+    # 35. r6 skip-index scan-stage build: when files are task-atomic
+    # the per-file blob plan has ZERO exchanges — the groupBy(fid)
+    # shuffle of every corpus row is gone.
+    from fastfilter_spark import workerside as _ws
+    placed35 = (docs.select(F.xxhash64(F.input_file_name()).alias("fid"),
+                            content_key("text").alias("key"))
+                .where(F.col("key").isNotNull()))
+    p35 = plan_of(placed35.mapInArrow(
+        lambda it: _ws.build_file_blobs_scan(it, "bf8", 1, {}),
+        "file string, kind string, blob binary, n_keys long, "
+        "keys_ingested long, bits_per_entry double"))
+    checks.append(("skipindex r6: scan-stage build has ZERO Exchange",
+                   "Exchange" not in p35))
+
     print(p2)
     print(p3[:3000])
     ok = True
