@@ -37,9 +37,17 @@ def get_spark(app: str = "fastfilter_spark", cpus: int | None = None,
         try:
             st = os.statvfs("/dev/shm")
             if st.f_bavail * st.f_frsize >= 32 << 30:
-                local_dir = "/dev/shm/ffsk-local"
+                cand = "/dev/shm/ffsk-local"
+                # prove writability NOW: an unwritable dir would fail
+                # every session at first shuffle, not just run slower
+                os.makedirs(cand, exist_ok=True)
+                probe = os.path.join(cand, f".probe-{os.getpid()}")
+                with open(probe, "w") as fh:
+                    fh.write("ok")
+                os.remove(probe)
+                local_dir = cand
         except (OSError, AttributeError):
-            pass
+            local_dir = None
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app)
