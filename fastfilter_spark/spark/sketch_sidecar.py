@@ -81,19 +81,17 @@ def _has_partials(parts_dir: str) -> bool:
             and any(f.startswith("part-") for f in os.listdir(parts_dir)))
 
 
-# Sketches whose state is an exact commutative monoid over the value
-# MULTISET: merging per-batch partials yields byte-identical blobs to a
-# single fold in ANY order (HLL registers are per-bucket max; theta
-# keeps the k smallest hashes). For these the sidecar folds partials
-# MAP-side and the exchange moves O(batches x pids) small blobs instead
-# of every row (guide §2.3 "aggregate before you shuffle"); KLL /
-# t-digest / MG compaction is order-dependent (the sorted-fold
-# determinism contract needs all of a pid's rows in one place) and CMS
-# partial blobs (width x depth counters) are BIGGER than the rows they
-# replace — those kinds keep the row exchange.
-_ORDER_FREE_KINDS = ("hll", "theta")
-
-
+# r6 negative result, kept so it is not re-tried: a map-side partial
+# fold for the order-free kinds (hll/theta — exact commutative monoids,
+# byte-identical merge) was implemented and measured SLOWER end-to-end
+# at 1e7/P=128 on local[32]: 2.9-3.2 s vs 1.3-1.6 s for the row
+# exchange (A/B in one calm window, host control 0.098-0.113). The
+# per-(Arrow batch x pid) overhead — pandas groupby, one sketch
+# allocation + small-batch fold + serialization per group, ~4096
+# groups/run — costs more than shuffling the 16 B rows through the
+# RAM-backed local dir it was saving. On a genuinely network-bound
+# cluster the trade could reverse (the blobs are ~16 KB x batches x
+# pids vs 16 B x rows); revisit only with a real network measurement.
 def _fold_pid(kind: str, sketch_kwargs: dict, pdf: pd.DataFrame
               ) -> pd.DataFrame:
     """One pid's rows -> one (pid, n_rows, blob) lineage row. Sorting
@@ -201,27 +199,6 @@ def build_sketch_sidecar(df: DataFrame, sidecar_path: str,
     def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
         return _fold_pid(kind, sketch_kwargs, pdf)
 
-    cls, _vk = SKETCH_SIDECAR_KINDS[kind]
-
-    def _map_partials(batches_it):
-        # map-side fold for the order-free kinds: one partial blob per
-        # (Arrow batch, pid present) — the exchange then carries blobs,
-        # not rows. Exact-monoid merge keeps the final blob a pure
-        # function of the pid's multiset, same as the sorted fold.
-        for pdf in batches_it:
-            if not len(pdf):
-                continue
-            for pid, sub in pdf.groupby("pid", sort=False):
-                yield _fold_pid(kind, sketch_kwargs, sub)
-
-    def _merge_partials(pdf: pd.DataFrame) -> pd.DataFrame:
-        acc = cls.from_bytes(bytes(pdf["blob"].iloc[0]))
-        for b in pdf["blob"].iloc[1:]:
-            acc = _merge(kind, acc, cls.from_bytes(bytes(b)))
-        return pd.DataFrame({"pid": [int(pdf["pid"].iloc[0])],
-                             "n_rows": [int(pdf["n_rows"].sum())],
-                             "blob": [acc.to_bytes()]})
-
     bounds = [round(b * P / batches) for b in range(batches + 1)]
     for b in range(batches):
         if _stop_after is not None and b >= _stop_after:
@@ -236,16 +213,9 @@ def build_sketch_sidecar(df: DataFrame, sidecar_path: str,
         if len(todo) < hi - lo:
             sub = sub.where(
                 ~F.col("pid").isin(sorted(done_pids & set(range(lo, hi)))))
-        if kind in _ORDER_FREE_KINDS:
-            part_schema = "pid int, n_rows long, blob binary"
-            (sub.mapInPandas(_map_partials, part_schema)
-             .groupBy("pid")
-             .applyInPandas(_merge_partials, part_schema)
-             .write.mode("append").parquet(parts_dir))
-        else:
-            (sub.groupBy("pid")
-             .applyInPandas(_fold, "pid int, n_rows long, blob binary")
-             .write.mode("append").parquet(parts_dir))
+        (sub.groupBy("pid")
+         .applyInPandas(_fold, "pid int, n_rows long, blob binary")
+         .write.mode("append").parquet(parts_dir))
 
     if _has_partials(parts_dir):
         # NO try/except: a read failure must NOT fall through to a

@@ -185,36 +185,3 @@ def test_resume_read_failure_aborts_not_duplicates(spark, keyed, tmp_path):
     # no manifest was committed over the corrupt state
     assert not os.path.exists(os.path.join(sc, "sketch_manifest.json"))
 
-
-def test_order_free_mapside_fold_byte_identical(spark, tmp_path):
-    """r6: hll/theta sidecars fold partials MAP-side (the exchange moves
-    blobs, not rows). The merged blob must be byte-identical to the
-    row-exchange sorted fold — the monoid-purity the resume contract
-    rests on."""
-    import pyarrow.parquet as pq
-    from pyspark.sql import functions as F
-
-    import fastfilter_spark.spark.sketch_sidecar as ss
-    from fastfilter_spark.spark import build_sketch_sidecar
-
-    df = spark.range(0, 100_000, 1, 8).select(F.xxhash64("id").alias("key"))
-    for kind, kw in (("hll", {"p": 12}), ("theta", {})):
-        d_new = str(tmp_path / f"{kind}_new")
-        d_old = str(tmp_path / f"{kind}_old")
-        build_sketch_sidecar(df, d_new, kind=kind, col="key",
-                             num_partitions=16, **kw)
-        orig = ss._ORDER_FREE_KINDS
-        ss._ORDER_FREE_KINDS = ()
-        try:
-            build_sketch_sidecar(df, d_old, kind=kind, col="key",
-                                 num_partitions=16, **kw)
-        finally:
-            ss._ORDER_FREE_KINDS = orig
-
-        def blobs(d):
-            t = (pq.read_table(f"{d}/partials.parquet").to_pandas()
-                 .sort_values("pid"))
-            return (list(t["pid"]), [bytes(b) for b in t["blob"]],
-                    list(t["n_rows"]))
-
-        assert blobs(d_new) == blobs(d_old), kind
