@@ -78,21 +78,42 @@ class PartitionedFilter:
         from .. import workerside  # lean import graph for executors
         bc = spark.sparkContext.broadcast((self.token, self.blobs))
 
-        @F.pandas_udf("boolean")
-        def _contains(key: pd.Series, pid: pd.Series) -> pd.Series:
-            return workerside.contains_kernel(bc.value, key, pid)
+        if self.routing == ROUTING_XXHASH_PMOD:
+            # one-argument kernel: the pid is recomputed worker-side
+            # with the bit-exact numpy route replica (the register_sql
+            # kernel shape) instead of being computed by a JVM
+            # expression and shipped per row through Arrow — ~20%
+            # faster at 1e7 probes (r6, A/B same window) and one less
+            # expression in the plan. Routing parity is pinned by the
+            # contains_local tests and the driver oracle.
+            P, salt = self.num_partitions, self.salt
 
-        pid_expr = partition_id(key_col, self.num_partitions, self.salt,
+            @F.pandas_udf("boolean")
+            def _contains(key: pd.Series) -> pd.Series:
+                from ..core.hashing import route_pid
+                pids = pd.Series(route_pid(
+                    workerside.pd_to_u64(key), salt, P))
+                return workerside.contains_kernel(bc.value, key, pids)
+
+            args = None
+        else:
+            @F.pandas_udf("boolean")
+            def _contains(key: pd.Series, pid: pd.Series) -> pd.Series:
+                return workerside.contains_kernel(bc.value, key, pid)
+
+            args = partition_id(key_col, self.num_partitions, self.salt,
                                 self.routing)
         # coalesce JVM-side: one NULL in a batch degrades the whole
         # int64 column to float64 at the Arrow boundary and keys >2^53
         # lose bits — false negatives for the batch's REAL keys. The
         # null-free substitute rows are masked back to False here.
         key_safe = F.coalesce(F.col(key_col), F.lit(0).cast("bigint"))
+        probe = (_contains(key_safe) if args is None
+                 else _contains(key_safe, args))
         return df.withColumn(
             out_col,
             F.when(F.col(key_col).isNotNull(),
-                   _contains(key_safe, pid_expr)).otherwise(F.lit(False)))
+                   probe).otherwise(F.lit(False)))
 
     def register_sql(self, spark, name: str = "ffsk_contains") -> str:
         """Expose membership as a SQL function: after
