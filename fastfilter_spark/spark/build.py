@@ -90,10 +90,8 @@ class PartitionedFilter:
 
             @F.pandas_udf("boolean")
             def _contains(key: pd.Series) -> pd.Series:
-                from ..core.hashing import route_pid
-                pids = pd.Series(route_pid(
-                    workerside.pd_to_u64(key), salt, P))
-                return workerside.contains_kernel(bc.value, key, pids)
+                return workerside.contains_routed_kernel(
+                    bc.value, key, salt, P)
 
             args = None
         else:
@@ -134,11 +132,10 @@ class PartitionedFilter:
 
         @F.pandas_udf("boolean")
         def _contains_sql(key: pd.Series) -> pd.Series:
-            from ..core.hashing import route_pid
-            from ..spark.keys import pd_to_u64
-            pids = pd.Series(route_pid(pd_to_u64(key), salt, P))
-            # contains_kernel masks NULL keys to False itself
-            return workerside.contains_kernel(bc.value, key, pids)
+            # the routed kernel masks NULL keys to False itself and
+            # converts the batch to uint64 exactly once
+            return workerside.contains_routed_kernel(bc.value, key,
+                                                     salt, P)
 
         # the public name is a SQL-defined wrapper that coalesces NULLs
         # JVM-side BEFORE the kernel: one NULL in a batch otherwise
@@ -566,11 +563,10 @@ def partials_dataframe(placed: DataFrame, kind_name: str, P: int, salt: int,
             # perfect balance: pid group g = pid % B is exchanged on a
             # searched token whose Spark hash lands exactly in
             # partition g — the balance rows-mode gets from
-            # TaskContext, with xxhash_pmod pids. F.lit(list) -> ONE
-            # array Literal: constant-folded, O(1) per-row lookup
-            # (F.array(*lits) re-creates the B-element array PER ROW
-            # inside the exchange's partitioning expression — measured
-            # ~0.6 s/1e7 rows at B=128).
+            # TaskContext, with xxhash_pmod pids. (F.lit(list) and
+            # F.array(*lits) produce the IDENTICAL constant-folded
+            # array literal in the optimized plan — verified on
+            # Spark 4.1.2 — so the choice here is brevity, not perf.)
             part_key = F.lit(toks)[F.pmod(pid_expr, F.lit(B))]
         else:
             # huge-B fallback: hash the pid expression itself;
@@ -688,9 +684,22 @@ def _rewrite_checkpoint(pf: PartitionedFilter, checkpoint_dir: str,
     manifest_path = os.path.join(checkpoint_dir, "manifest.json")
     # identical key set to build_partitioned_filter's manifest — a
     # missing shuffle_mode key would fail the next build's manifest
-    # comparison and break resume after incremental ingest
+    # comparison and break resume after incremental ingest. Preserve
+    # the ORIGINAL build's mode when the existing manifest records one
+    # compatible with the filter's routing (r6: "chunks" shares
+    # xxhash_pmod with "packed"; hardcoding "packed" here would make a
+    # chunks-built checkpoint unresumable after add_keys).
     shuffle_mode = ("packed" if pf.routing == ROUTING_XXHASH_PMOD
                     else "rows")
+    if os.path.exists(manifest_path):
+        try:
+            with open(manifest_path) as fh:
+                prev_mode = json.load(fh).get("shuffle_mode")
+        except (OSError, ValueError):
+            prev_mode = None
+        if (pf.routing == ROUTING_XXHASH_PMOD
+                and prev_mode in ("packed", "chunks")):
+            shuffle_mode = prev_mode
     with open(manifest_path, "w") as fh:
         json.dump({"kind": pf.kind, "P": pf.num_partitions, "salt": pf.salt,
                    "base_rng_state": base_rng_state,

@@ -45,6 +45,22 @@ def get_spark(app: str = "fastfilter_spark", cpus: int | None = None,
                 with open(probe, "w") as fh:
                     fh.write("ok")
                 os.remove(probe)
+                # sweep leftovers of CRASHED sessions (a SIGKILLed JVM
+                # never deletes its spark-*/blockmgr-* scratch, and in
+                # tmpfs that is leaked RAM until reboot). Only entries
+                # untouched for >24 h are removed — a live session's
+                # shuffle files are recent by construction, and
+                # concurrent sessions each own uuid'd subdirs.
+                import shutil
+                import time as _time
+                cutoff = _time.time() - 24 * 3600
+                for d in os.listdir(cand):
+                    p = os.path.join(cand, d)
+                    try:
+                        if os.path.getmtime(p) < cutoff:
+                            shutil.rmtree(p, ignore_errors=True)
+                    except OSError:
+                        pass
                 local_dir = cand
         except (OSError, AttributeError):
             local_dir = None

@@ -129,6 +129,20 @@ def bloom_builder(kind, *args):
     return build
 
 
+def _group_slices(groups: np.ndarray, payload: np.ndarray):
+    """(group_value, payload_slice) pairs via ONE stable sort — the
+    shared group-split idiom of pack_by_pid / build_routed_map /
+    build_file_blobs_scan (was copy-pasted three times; r6 review)."""
+    order = np.argsort(groups, kind="stable")
+    sg = groups[order]
+    sp = payload[order]
+    present = np.unique(sg)
+    bounds = np.searchsorted(sg, present)
+    bounds = np.append(bounds, len(sg))
+    for i, g in enumerate(present):
+        yield g, sp[bounds[i]:bounds[i + 1]]
+
+
 def pack_by_pid(batches, P: int):
     """Stage 1 of the pack-shuffle build (mapInArrow over raw input).
 
@@ -144,14 +158,8 @@ def pack_by_pid(batches, P: int):
         k = b.column("key").to_numpy(zero_copy_only=False)
         r = b.column("route").to_numpy(zero_copy_only=False)
         pid = np.mod(r, P)
-        order = np.argsort(pid, kind="stable")
-        sp = pid[order]
-        sk = k[order]
-        present = np.unique(sp)
-        bounds = np.searchsorted(sp, present)
-        bounds = np.append(bounds, len(sp))
-        for i, p in enumerate(present):
-            accum.setdefault(int(p), []).append(sk[bounds[i]:bounds[i + 1]])
+        for p, sk in _group_slices(pid, k):
+            accum.setdefault(int(p), []).append(sk)
     if not accum:
         return
     pids = sorted(accum)
@@ -220,15 +228,8 @@ def build_routed_map(batches, kind: str, salt: int, P: int,
         return
     raw = np.concatenate(chunks).view(U64)
     pids = route_pid(raw, salt, P)
-    order = np.argsort(pids, kind="stable")
-    sp = pids[order]
-    sk = raw[order]
-    present = np.unique(sp)
-    bounds = np.searchsorted(sp, present)
-    bounds = np.append(bounds, len(sp))
-    for i, p in enumerate(present):
-        yield _build_one(int(p), sk[bounds[i]:bounds[i + 1]], kind,
-                         base_rng_state, bloom_args)
+    for p, sk in _group_slices(pids, raw):
+        yield _build_one(int(p), sk, kind, base_rng_state, bloom_args)
 
 
 def build_partition_arrow(tbl: "pa.Table", kind: str, base_rng_state: int,
@@ -372,14 +373,8 @@ def build_file_blobs_scan(batches, kind: str, base_rng_state: int,
     for b in batches:
         fids = b.column("fid").to_numpy(zero_copy_only=False)
         keys = b.column("key").to_numpy(zero_copy_only=False)
-        order = np.argsort(fids, kind="stable")
-        sf = fids[order]
-        sk = keys[order]
-        present = np.unique(sf)
-        bounds = np.searchsorted(sf, present)
-        bounds = np.append(bounds, len(sf))
-        for i, f in enumerate(present):
-            accum.setdefault(int(f), []).append(sk[bounds[i]:bounds[i + 1]])
+        for f, sk in _group_slices(fids, keys):
+            accum.setdefault(int(f), []).append(sk)
     for fid, chunks in accum.items():
         name = fid2name[fid]   # KeyError = loud task failure, by design
         raw = np.concatenate(chunks).view(U64)
@@ -489,6 +484,7 @@ def _probe_sidecar_batch(b, key_name: str, salt: int, P: int, filter_for):
 
 
 _SIDECAR_ROUTE_CACHE: Dict[tuple, Dict] = {}
+_ROUTE_LRU_BYTES = 48 << 20   # cross-task blob reuse budget per process
 
 
 def contains_sidecar_route(batches, sidecar_path: str, P: int, salt: int,
@@ -505,14 +501,17 @@ def contains_sidecar_route(batches, sidecar_path: str, P: int, salt: int,
     precomputed __route column through the exchange doubled the
     shuffled bytes of a bare-key probe for nothing.
 
-    The dataset handle (file listing + schema) and the loaded filters
-    are cached per PROCESS keyed by the sidecar generation token — the
-    same pattern `_sidecar_filters` uses for the local path, so reused
-    workers skip the per-task listing/footer work and repeat probes
-    skip the blob loads entirely; a rebuild at the same path changes
-    the token and is never answered from stale blobs. The filter cache
-    is count-bounded: at most ~256 pids' blobs per process (FIFO
-    eviction) — the per-worker memory contract stays O(few blobs).
+    Caching (r6, revised after review): the pyarrow dataset handle
+    (file listing + schema) is cached per PROCESS keyed by the sidecar
+    generation token — a rebuild at the same path changes the token
+    and is never answered stale. Loaded filters live in a per-TASK
+    dict (a task touches each of its pids once no matter how many
+    batches it gets — never thrashes, freed with the task, the pre-r6
+    memory shape) PLUS a small per-process LRU bounded by BLOB BYTES
+    (not pid count) for cross-task/repeat-probe reuse: for big-blob
+    sidecars the budget admits only a few blobs, so the per-worker
+    O(few blobs) contract holds at the 1e9+ tier where an unbounded
+    process cache would re-accumulate the broadcast-all footprint.
     """
     import os
     import pyarrow.dataset as pads
@@ -526,22 +525,36 @@ def contains_sidecar_route(batches, sidecar_path: str, P: int, salt: int,
         # (pq.read_table(filters=...) per pid re-listed the whole
         # directory: O(files) metadata work per pid)
         state = {"ds": pads.dataset(path, format="parquet"),
-                 "filters": {}}
+                 "lru": {}, "lru_bytes": 0}
         _SIDECAR_ROUTE_CACHE[token] = state
         while len(_SIDECAR_ROUTE_CACHE) > 2:
             _SIDECAR_ROUTE_CACHE.pop(next(iter(_SIDECAR_ROUTE_CACHE)))
-    ds, cache = state["ds"], state["filters"]
+    ds = state["ds"]
+    task_cache: Dict[int, object] = {}
 
     def _filter_for(pid: int):
-        f = cache.get(pid)
-        if f is None:
-            tbl = ds.to_table(columns=["pid", "blob"],
-                              filter=pads.field("pid") == pid)
-            f = (load_filter(tbl.column("blob")[0].as_py())
-                 if tbl.num_rows else False)
-            cache[pid] = f
-            while len(cache) > 256:
-                cache.pop(next(iter(cache)))
+        f = task_cache.get(pid)
+        if f is not None:
+            return f
+        hit = state["lru"].get(pid)
+        if hit is not None:
+            f, _nb = hit
+            task_cache[pid] = f
+            return f
+        tbl = ds.to_table(columns=["pid", "blob"],
+                          filter=pads.field("pid") == pid)
+        if tbl.num_rows:
+            blob = tbl.column("blob")[0].as_py()
+            f, nb = load_filter(blob), len(blob)
+        else:
+            f, nb = False, 64
+        task_cache[pid] = f
+        state["lru"][pid] = (f, nb)
+        state["lru_bytes"] += nb
+        while state["lru_bytes"] > _ROUTE_LRU_BYTES and state["lru"]:
+            _p, (_f, _nb) = next(iter(state["lru"].items()))
+            del state["lru"][_p]
+            state["lru_bytes"] -= _nb
         return f
 
     for b in batches:
@@ -654,7 +667,10 @@ def contains_sidecar_local(batches, sidecar_path: str, P: int, salt: int,
 _FILTER_CACHE: Dict[str, List] = {}
 
 
-def contains_kernel(bc_value, key: pd.Series, pid: pd.Series) -> pd.Series:
+def _contains_impl(bc_value, key: pd.Series, keys: np.ndarray,
+                   pids: np.ndarray) -> pd.Series:
+    """Shared probe body over pre-converted arrays (the two public
+    kernels differ only in where the pid comes from)."""
     token, blobs = bc_value
     filters = _FILTER_CACHE.get(token)
     if filters is None:
@@ -662,8 +678,6 @@ def contains_kernel(bc_value, key: pd.Series, pid: pd.Series) -> pd.Series:
         _FILTER_CACHE[token] = filters
         while len(_FILTER_CACHE) > 8:  # bound worker memory
             _FILTER_CACHE.pop(next(iter(_FILTER_CACHE)))
-    keys = pd_to_u64(key)
-    pids = pid.to_numpy(dtype=np.int32, na_value=0)
     out = np.zeros(len(keys), dtype=bool)
     order = np.argsort(pids, kind="stable")
     sorted_pids = pids[order]
@@ -680,3 +694,21 @@ def contains_kernel(bc_value, key: pd.Series, pid: pd.Series) -> pd.Series:
     if na.any():
         out[na] = False
     return pd.Series(out)
+
+
+def contains_kernel(bc_value, key: pd.Series, pid: pd.Series) -> pd.Series:
+    keys = pd_to_u64(key)
+    pids = pid.to_numpy(dtype=np.int32, na_value=0)
+    return _contains_impl(bc_value, key, keys, pids)
+
+
+def contains_routed_kernel(bc_value, key: pd.Series, salt: int,
+                           P: int) -> pd.Series:
+    """One-argument broadcast probe: the uint64 conversion happens ONCE
+    and feeds both the numpy pid routing and the blob probes (the
+    two-step route_pid(pd_to_u64(...)) + contains_kernel shape paid the
+    Series->uint64 conversion and the NULL scan twice per batch)."""
+    from .core.hashing import route_pid
+    keys = pd_to_u64(key)
+    pids = route_pid(keys, salt, P)
+    return _contains_impl(bc_value, key, keys, pids)

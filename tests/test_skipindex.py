@@ -333,6 +333,11 @@ def test_scan_and_grouped_builds_byte_identical(spark, tmp_path):
      .repartitionByRange(4, "key")
      .write.mode("overwrite").parquet(data))
 
+    # the fixture must actually take the scan-stage path, or this
+    # test degenerates to grouped-vs-grouped (review finding)
+    df = spark.read.parquet(data)
+    assert si._files_task_atomic(spark, df.inputFiles())
+
     idx_a = str(tmp_path / "idx_scan")
     m_a = build_file_skipping_index(spark, data, idx_a, key="key")
     # force the grouped path by disabling the atomicity gate

@@ -1097,3 +1097,23 @@ def test_packed_and_chunks_blobs_byte_identical(spark, corpus_df):
         assert a.routing == b.routing == "xxhash_pmod"
         assert a.blobs == b.blobs
         assert a.n_keys == b.n_keys
+
+
+def test_pid_token_placement_parity_with_spark(spark):
+    """The r6 build exchange balances pid groups with pre-searched
+    tokens whose Spark-murmur3 must land each group in ITS OWN
+    partition. Pin the driver-side hash replica against Spark itself
+    (a drift would only degrade balance, but the docstring promises a
+    pinned parity — keep the promise): for several B, every token's
+    pmod(hash(token), B) must equal its index, per Spark."""
+    from pyspark.sql import functions as F
+
+    from fastfilter_spark.spark.build import _pid_tokens
+
+    for B in (1, 7, 8, 32, 100):
+        toks = _pid_tokens(B)
+        rows = (spark.createDataFrame(
+                    [(i, t) for i, t in enumerate(toks)], "i int, t int")
+                .select("i", F.pmod(F.hash("t"), F.lit(B)).alias("b"))
+                .collect())
+        assert all(r.b == r.i for r in rows), B

@@ -636,7 +636,8 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
                    and "key" in ex34.group(1)))
     checks.append(("packed build r6: no Python pass below the exchange "
                    "(builder MapInArrow is above it)",
-                   p34.find("MapInArrow") < p34.find("Exchange")))
+                   "MapInArrow" in p34 and "Exchange" in p34
+                   and p34.find("MapInArrow") < p34.find("Exchange")))
 
     # 35. r6 skip-index scan-stage build: when files are task-atomic
     # the per-file blob plan has ZERO exchanges — the groupBy(fid)
